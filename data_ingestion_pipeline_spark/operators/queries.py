@@ -1,0 +1,181 @@
+"""The reference's query-service surface, re-expressed on DataFrames.
+
+Maps the three REST query endpoints plus the stored-proc-only
+latest-per-station (SURVEY.md §2.3-§2.6) onto the driver testdata's
+``events`` table — the weather-reading analog (user_id ≡ station_id,
+value ≡ measure, ts ≡ timestamp):
+
+- raw scan-filter-sort   ≡ GET /weather/{station_id}
+  (`services/query/main.py:170-223`)
+- grouped aggregate      ≡ GET /weather/aggregate/{station_id}
+  (`services/query/main.py:262-272`)
+- time-bucketed agg      ≡ GET /weather/timeseries/{station_id}
+  (`services/query/main.py:342-354`; time_bucket ≡ tumbling window)
+- latest per station     ≡ get_latest_weather_data DISTINCT ON
+  (`migrations/db.sql:80-92`)
+
+Scale notes: every function is a single declarative chain —
+filter+projection push to the parquet scan; the aggregates do
+map-side partial aggregation then one shuffle on the group key; the
+global sort is the only range shuffle and is at the API boundary
+(the reference also sorts only for presentation). At 100 TB the
+time-range predicate would additionally prune partitions of a
+time-partitioned table (see operators/upsert.py for the writer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.exact import dec_avg
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+# Query parameters (the REST path/query params, frozen for the oracle
+# harness). user 7 ≡ {station_id}; the time range ≡ start_time/end_time.
+STATION = 7
+START = "2024-01-05 00:00:00"
+END = "2024-01-20 00:00:00"
+
+
+def raw_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw readings for one station in a time range, newest first.
+
+    ≡ `SELECT station_id, temperature, ... WHERE station_id=? AND
+    timestamp BETWEEN ? AND ? ORDER BY timestamp DESC`
+    (`services/query/main.py:200-212`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("user_id") == STATION)
+            & F.col("ts").between(F.lit(START).cast("timestamp"), F.lit(END).cast("timestamp"))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.col("ts").desc())
+    )
+
+
+def raw_filter_open_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional-predicate variant: no time bounds supplied.
+
+    The reference includes the BETWEEN clause only when both bounds
+    are present (`services/query/main.py:207-209`); conditional plan
+    construction is ordinary DataFrame code here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == STATION)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.col("ts").desc())
+    )
+
+
+def grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate stats for one station (avg/min/max/count).
+
+    ≡ `services/query/main.py:262-272` (A1). Aliases match the
+    oracle exactly (driver hashes by sorted column name).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("user_id") == STATION)
+            & F.col("ts").between(F.lit(START).cast("timestamp"), F.lit(END).cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            dec_avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+    )
+
+
+def grouped_agg_all_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station stats over all stations.
+
+    The multi-station endpoint the reference's integration tests
+    probe but never implemented (`/weather/all`,
+    `services/query/tests/test_query_integration.py:241-281`) —
+    trivially the same plan without the station predicate. The group
+    key is the natural shuffle key; partial aggregation means each
+    of the ~1000 executors ships one row per station, not raw rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        dec_avg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("reading_count"),
+    )
+
+
+def timeseries_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate for one station.
+
+    ≡ `time_bucket('1 hour', timestamp)` + AVG + COUNT(*) GROUP BY
+    bucket (`services/query/main.py:342-354`, default interval).
+    date_trunc is the hour-aligned tumbling window; both engines
+    align buckets identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("user_id") == STATION)
+            & F.col("ts").between(F.lit(START).cast("timestamp"), F.lit(END).cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            dec_avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def timeseries_15m_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling windows per station and event_type.
+
+    The interval-parameterized variant (UI exercises 15m…1d,
+    `services/query/main.py:324`); uses Spark's `window()` — the
+    general `time_bucket` equivalent (epoch-aligned) — and a
+    composite group key. Returns window start as `bucket`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").alias("w"),
+            F.col("user_id"),
+            F.col("event_type"),
+        )
+        .agg(
+            dec_avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "user_id",
+            "event_type",
+            "avg_value",
+            "reading_count",
+        )
+    )
+
+
+def latest_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest reading per station.
+
+    ≡ `SELECT DISTINCT ON (station_id) ... ORDER BY station_id,
+    timestamp DESC` (`migrations/db.sql:80-92`). row_number over a
+    per-key window; ties broken by event_id so the result is
+    deterministic under any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
