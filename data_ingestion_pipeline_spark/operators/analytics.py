@@ -1,0 +1,227 @@
+"""Star-schema analytical queries (north-star extensions, SURVEY.md §7.8).
+
+The reference has no joins (single-table schema, SURVEY.md §2.9);
+these add the relational-analytics surface a user of a real pipeline
+needs, over the driver's TPC-H-ish testdata.
+
+Scale design, per query:
+- dimension tables (region, nation — O(10..10^2) rows at any SF) are
+  explicitly `F.broadcast()` so the big fact side never shuffles for
+  them;
+- fact⋈fact joins (orders⋈lineitem) shuffle on the join key once —
+  at 100 TB both sides would be bucketed by orderkey at write time,
+  turning this into a co-located join (see operators/upsert.py);
+- all top-k use deterministic tie-breaks so results are stable under
+  any partitioning (and match the single-threaded oracle);
+- float aggregates via exact decimal sums (functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.exact import dec_avg, dec_sum
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _charge() -> F.Column:
+    return _disc_price() * (1 + F.col("l_tax"))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: 2-key groupBy, 8 aggregates.
+
+    One scan (shipdate predicate pushed to parquet), map-side partial
+    agg, 6-group result — the canonical whole-stage-codegen agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(_disc_price()).alias("sum_disc_price"),
+            dec_sum(_charge()).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation for one region and year.
+
+    region and nation are broadcast (tiny at every SF); customer joins
+    the orders side on custkey; orders⋈lineitem is the one real
+    shuffle. Catalyst pushes the region/date filters below the joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dec_sum(_disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 unshipped orders by revenue.
+
+    BUILDING-segment customers, orders placed before the cutoff,
+    lineitems shipped after it. Deterministic LIMIT via
+    (revenue DESC, o_orderkey) ordering.
+    """
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dec_sum(_disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lifetime lineitem revenue.
+
+    Aggregate lineitem→orders first (pre-aggregation shrinks the
+    probe side before the customer join — the scalable order), then
+    join the per-customer totals to names.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(dec_sum(_disc_price()).alias("order_rev"))
+    per_cust = (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("order_rev").cast("decimal(38,6)")).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def revenue_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume by part type (Q14-flavored join to part).
+
+    part is broadcast below the broadcast-join threshold; at SFs
+    where it isn't, AQE falls back to shuffle join automatically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            dec_sum(_disc_price()).alias("revenue"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier with nation name (two broadcast dims)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(dec_sum(_disc_price()).alias("revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (ranking window).
+
+    The general per-group-top-k (W1 generalizes from top-1); one
+    shuffle on the window key, no join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotal rows.
+
+    Grouping-set nulls are coalesced to 'ALL' so the result is
+    key-addressable (and oracle-comparable) without grouping_id.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "count_order",
+        )
+    )
+
+
+def event_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + approximate-distinct users per event type.
+
+    countDistinct is the exact (2-shuffle) path; approx_count_distinct
+    (HyperLogLog++) is the single-pass path that scales to 100 TB —
+    both exposed; the approx column is checked rows-only via a
+    separate entry (approx values are engine-specific).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+def event_type_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users (no oracle — sketch values
+    are engine-specific; correctness is bounded-error, tested in
+    tests/test_analytics.py against the exact count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_distinct_users")
+    )

@@ -1,0 +1,186 @@
+"""Near-duplicate detection: n-gram Jaccard (exact) and MinHash-LSH
+(approximate, the 100 TB path).
+
+Exact all-pairs Jaccard is quadratic — correct and oracle-checkable
+at the 500-row documents table, and the ground truth the LSH variant
+is tested against. MinHash-LSH is the scalable design: per-document
+signatures (one scan), band-bucket exploding, and a self-join on
+bucket keys — candidate generation cost scales with bucket
+collisions, not n².
+
+SimHash gives the complementary Hamming-distance formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+SHINGLE_K = 3
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows
+JACCARD_THRESHOLD = 0.5
+
+
+def shingles(col: F.Column, k: int = SHINGLE_K) -> F.Column:
+    """Distinct k-word shingles of a whitespace-tokenized text column."""
+    words = F.split(col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-gram-shingle Jaccard ≥ threshold.
+
+    Exact formulation: |A∩B| / |A∪B| over distinct shingle sets via
+    array_intersect/array_union — JVM-side, no UDFs. The self-join is
+    quadratic by design (this is the ground-truth/oracle variant;
+    minhash_lsh_candidates is the sub-quadratic scale path).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Per-document MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, i).
+
+    One scan, no shuffle, no Python: the signature is an array column
+    computed entirely inside codegen. xxhash64 with the permutation
+    index as a second argument is the seeded hash family.
+    """
+    sh = shingles(F.col(text_col))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).filter(
+        F.size(sh) > 0
+    )
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding + signature-estimated
+    Jaccard.
+
+    Signatures are split into N_BANDS bands of N_HASHES/N_BANDS rows;
+    each band hashes to a bucket key; documents sharing any bucket
+    become candidates. The shuffle is on (band, bucket-hash) — short
+    uniform keys — and join fan-out is per-bucket, so cost tracks
+    true duplicate density rather than n². est_jaccard = fraction of
+    agreeing signature components; final filter at the same 0.5
+    threshold as the exact variant.
+
+    No SQL oracle (xxhash64 is Spark-specific); ground-truthed
+    against ngram_jaccard_pairs in tests/test_dedup.py.
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            b,
+                            F.concat_ws(
+                                ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(N_HASHES))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash: sign of the per-bit sum of token hashes.
+
+    bit_j(doc) = 1 iff Σ_tokens (2·((xxhash64(tok) >> j) & 1) − 1) > 0.
+    Computed as explode → groupBy(doc) with `bits` conditional sums —
+    all JVM-side; one shuffle on doc_id. 32 bits keeps the packed
+    fingerprint well inside a signed 64-bit long.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint + 4 byte-bands per document.
+
+    Hamming-near documents (dist ≤ ~3 on 32 bits) share at least one
+    of the 4 bytes with high probability — the byte columns are the
+    LSH join keys for a Hamming candidate search. Exposed as the
+    fingerprint table; the pairwise step mirrors minhash_lsh.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs)
+    return fps.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )

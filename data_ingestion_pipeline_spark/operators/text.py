@@ -1,0 +1,115 @@
+"""Text-analysis operators over the documents table.
+
+Training-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristic, fingerprinting,
+exact dedup. All pure `pyspark.sql.functions` — JVM-side, inside
+whole-stage codegen; no Python in the row path, so the same plan
+runs unchanged over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+# Tiny stopword list for the quality/language heuristics; fixed here
+# and mirrored literally in the oracle SQL.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, average token length, stopword ratio.
+
+    token_count is whitespace tokenization; avg_token_len and
+    stopword_ratio are the standard cheap quality signals. One scan,
+    no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("bigint")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("token_count"),
+        ((F.length("text") - n + 1).cast("double") / n.cast("double")).alias(
+            "avg_token_len"
+        ),
+        (stop_hits.cast("double") / n.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: keep docs in a token-count band with a minimum
+    stopword ratio — the batch analog of a C4-style quality filter.
+    Emits the score components so downstream can re-threshold without
+    rescanning."""
+    stats = doc_stats(spark, sf_dir)
+    return stats.filter(
+        (F.col("token_count") >= 20)
+        & (F.col("token_count") <= 1000)
+        & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id", "token_count", "stopword_ratio")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-flavored language-ID heuristic.
+
+    Real lang-ID is a model; the engine-level contract is: compute a
+    per-language score from token/character evidence, argmax it. Here
+    the score is the English-stopword hit ratio — documents above the
+    threshold classify 'en', else 'other'. Deterministic, pure SQL
+    functions, mirrored in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast(
+        "double"
+    ) / F.size(toks).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text + structural meta.
+
+    Normalization = lowercase + collapse whitespace; the fingerprint
+    is the dedup/lineage key for exact-duplicate detection across
+    shards (same role as the reference's SHA-256 cache key,
+    services/query/main.py:68-79).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(_tokens()).cast("bigint").alias("token_count"),
+    )
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id.
+
+    hash-groupBy dedup: one shuffle on the 128-bit fingerprint —
+    uniformly distributed, so no skew at any scale. Survivor choice
+    (min doc_id) is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

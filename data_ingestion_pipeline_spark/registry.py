@@ -20,7 +20,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_ingestion_pipeline_spark.operators import ingest, queries
+from data_ingestion_pipeline_spark.operators import (
+    analytics,
+    dedup,
+    ingest,
+    queries,
+    similarity,
+    text,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -184,6 +191,257 @@ REGISTRY: dict[str, QuerySpec] = {
                         THEN 0 ELSE 1 END) AS BIGINT) AS failed
         FROM events GROUP BY user_id
         """,
+    ),
+    # ---- star-schema analytics (north-star joins, SURVEY.md §7.8) ----
+    "q1_pricing_summary": QuerySpec(
+        analytics.q1_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    "revenue_by_nation": QuerySpec(
+        analytics.revenue_by_nation,
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """,
+    ),
+    "shipping_priority_top10": QuerySpec(
+        analytics.shipping_priority_top10,
+        """
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+    ),
+    "top_customers": QuerySpec(
+        analytics.top_customers,
+        """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS order_rev
+            FROM lineitem GROUP BY l_orderkey
+        ), per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(order_rev AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM per_order JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, revenue
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+        """,
+    ),
+    "revenue_by_part_type": QuerySpec(
+        analytics.revenue_by_part_type,
+        """
+        SELECT p_type,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS line_count
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type ORDER BY p_type
+        """,
+    ),
+    "supplier_revenue": QuerySpec(
+        analytics.supplier_revenue,
+        """
+        SELECT s_suppkey, s_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY s_suppkey, s_name, n_name
+        ORDER BY s_suppkey
+        """,
+    ),
+    "top_orders_per_customer": QuerySpec(
+        analytics.top_orders_per_customer,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        FROM orders
+        QUALIFY rank <= 3
+        """,
+    ),
+    "rollup_pricing": QuerySpec(
+        analytics.rollup_pricing,
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+    ),
+    "event_type_cardinality": QuerySpec(
+        analytics.event_type_cardinality,
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS distinct_users,
+               COUNT(*) AS event_count
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "event_type_cardinality_approx": QuerySpec(
+        analytics.event_type_cardinality_approx,
+        None,  # HLL++ sketch values are engine-specific; bounded-error tested in pytest
+    ),
+    # ---- text analysis (north-star LLM-pipeline ops) ----
+    "doc_stats": QuerySpec(
+        text.doc_stats,
+        """
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+               CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+        FROM documents
+        """,
+    ),
+    "doc_quality": QuerySpec(
+        text.doc_quality,
+        """
+        WITH stats AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+            FROM documents
+        )
+        SELECT doc_id, token_count, stopword_ratio FROM stats
+        WHERE token_count BETWEEN 20 AND 1000 AND stopword_ratio >= 0.01
+        """,
+    ),
+    "lang_id": QuerySpec(
+        text.lang_id,
+        """
+        SELECT doc_id, lang,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM documents
+        """,
+    ),
+    "doc_fingerprint": QuerySpec(
+        text.doc_fingerprint,
+        """
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+        FROM documents
+        """,
+    ),
+    "docs_exact_dedup": QuerySpec(
+        text.docs_exact_dedup,
+        """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+    ),
+    # ---- near-duplicate detection ----
+    "ngram_jaccard_pairs": QuerySpec(
+        dedup.ngram_jaccard_pairs,
+        """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        ) WHERE jaccard >= 0.5
+        """,
+    ),
+    "minhash_lsh_candidates": QuerySpec(
+        dedup.minhash_lsh_candidates,
+        None,  # xxhash64 family is Spark-specific; ground-truthed vs ngram_jaccard_pairs in pytest
+    ),
+    "simhash_buckets": QuerySpec(
+        dedup.simhash_buckets,
+        None,  # same: hash-family-specific fingerprints, structure tested in pytest
+    ),
+    # ---- similarity search over embeddings ----
+    "cosine_topk": QuerySpec(
+        similarity.cosine_topk,
+        """
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id,
+                   SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+            FROM e GROUP BY vec_id
+        ), dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS dot
+            FROM e q JOIN e c ON q.i = c.i
+            WHERE q.vec_id < 10 AND c.vec_id >= 10
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               dot / (nq.nrm * nc.nrm) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INTEGER) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+        QUALIFY rank <= 5
+        """,
+    ),
+    "ann_lsh_topk": QuerySpec(
+        similarity.ann_lsh_topk,
+        None,  # approximate by construction; recall vs cosine_topk tested in pytest
     ),
 }
 
