@@ -25,9 +25,18 @@ JACCARD_THRESHOLD = 0.5
 
 
 def shingles(col: F.Column, k: int = SHINGLE_K) -> F.Column:
-    """Distinct k-word shingles of a whitespace-tokenized text column."""
+    """Distinct k-word shingles of a whitespace-tokenized text column.
+
+    Docs shorter than k tokens yield an empty array. The guard must be
+    a `when`, not `greatest(n, 0)`: Spark's `sequence(1, 0)` is the
+    DESCENDING range [1, 0] (unlike DuckDB's empty generate_series),
+    and `slice(words, 0, k)` throws at runtime.
+    """
     words = F.split(col, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0)))
+    n = F.size(words) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
     )

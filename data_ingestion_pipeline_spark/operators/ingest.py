@@ -65,9 +65,13 @@ def validate_route_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _validity(load_table(spark, sf_dir, "events"))
     return ev.filter(F.col("validation_error").isNotNull()).select(
         F.col("validation_error").alias("error"),
-        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
-            "original_message"
-        ),
+        # ignoreNullFields=false: a null `value` must serialize as
+        # "value":null (Spark's default omits null fields; DuckDB's
+        # to_json — and the reference's json.dumps — emit them).
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value"),
+            {"ignoreNullFields": "false"},
+        ).alias("original_message"),
         F.col("event_id").alias("source_event_id"),
     )
 
@@ -132,33 +136,25 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def batch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-batch ingestion accounting over exploded batch envelopes.
+    """Per-batch ingestion accounting: {batch_id, total, successful,
+    failed} — the collector's batch endpoint response
+    (`services/collector/main.py:215-222`).
 
-    ≡ the collector's batch endpoint response {batch_id, total,
-    successful, failed} (`services/collector/main.py:215-222`).
-    Events are grouped into one envelope per station
-    (batch_id = 'batch_<user_id>'), exploded back to records, rows
-    validated, and accounted. The envelope build + explode exercises
-    ArrayType(Struct) plumbing (S2) and round-trips exactly.
+    Straight conditional-sum aggregation — one partial-agg shuffle on
+    the group key, no row materialization. (An earlier version built
+    collect_list envelopes first; at scale a hot key would OOM an
+    executor, and the accounting never needed the round-trip. The
+    envelope/explode plumbing itself is exercised separately by
+    batch_envelope_explode with bounded envelope sizes.)
     """
     ev = load_table(spark, sf_dir, "events")
-    envelopes = ev.groupBy("user_id").agg(
-        F.collect_list(F.struct("event_id", "ts", "event_type", "value")).alias("records")
-    )
-    records = envelopes.select(
-        F.concat(F.lit("batch_"), F.col("user_id")).alias("batch_id"),
-        F.explode("records").alias("r"),
+    ok = F.col("value").between(VALUE_MIN, VALUE_MAX) & F.col("event_type").isin(
+        *KNOWN_TYPES
     )
     return (
-        records.select(
-            "batch_id",
-            F.col("r.value").alias("value"),
-            F.col("r.event_type").alias("event_type"),
-        )
-        .withColumn(
-            "ok",
-            F.col("value").between(VALUE_MIN, VALUE_MAX)
-            & F.col("event_type").isin(*KNOWN_TYPES),
+        ev.select(
+            F.concat(F.lit("batch_"), F.col("user_id")).alias("batch_id"),
+            ok.alias("ok"),
         )
         .groupBy("batch_id")
         .agg(
@@ -166,4 +162,37 @@ def batch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("successful"),
             F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("failed"),
         )
+    )
+
+
+def batch_envelope_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-envelope round-trip (S2): build {batch_id, records:[...]}
+    envelopes, then explode back to flat records.
+
+    Envelopes are keyed by event_id div 100, so every envelope holds at
+    most 100 records regardless of data scale — the collect_list here
+    is bounded by construction (unlike grouping by a potentially-hot
+    natural key). Exercises ArrayType(StructType) plumbing both ways.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    envelopes = ev.groupBy(
+        (F.col("event_id") - (F.col("event_id") % 100)).alias("batch_no")
+    ).agg(
+        F.collect_list(F.struct("event_id", "ts", "user_id", "event_type", "value")).alias(
+            "records"
+        )
+    )
+    records = envelopes.select(
+        F.concat(F.lit("batch_"), (F.col("batch_no") / 100).cast("long").cast("string")).alias(
+            "batch_id"
+        ),
+        F.explode("records").alias("r"),
+    )
+    return records.select(
+        "batch_id",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.ts").alias("ts"),
+        F.col("r.user_id").alias("user_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.value").alias("value"),
     )

@@ -4,10 +4,19 @@ Brute-force cosine top-k is the exact baseline (oracle-checked);
 the LSH-bucketed variant is the scale path: random-hyperplane
 signatures turn the n·m scoring into per-bucket scoring.
 
-Exactness design: dot products and norms accumulate as DECIMAL so
-the result is identical under any partitioning and matches the
-single-threaded oracle bit-for-bit; the only float ops are the final
-divide/sqrt, which are order-free.
+Exactness design: dot products and norms accumulate as FIXED-POINT
+LONGS — each elementwise product is quantized once via
+``floor(x*y*1e12)`` (floor of a double is IEEE-defined, no
+rounding-mode ambiguity) and summed as 64-bit integers, which is
+exact, associative, and commutative. The result is therefore
+identical under any partitioning, on one core or 1000 executors, and
+matches the DuckDB oracle computing the same expression bit-for-bit.
+The only float ops afterwards are divide/sqrt on identical inputs —
+correctly-rounded IEEE, so engine-identical too.
+
+Overflow headroom: testdata embeddings are 64-dim with |x| ≤ 0.6, so
+|floor(x·y·1e12)| ≤ 3.6e11 and a 64-dim sum ≤ 2.4e13 ≪ 2^63; even
+4096-dim unit vectors stay < 4.1e15.
 """
 
 from __future__ import annotations
@@ -20,24 +29,29 @@ from data_ingestion_pipeline_spark.sources.tables import load_table
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_PLANES = 16
+FIXED_SCALE = 1e12  # fixed-point quantum for exact dot products
 
 
-def _dec_dot(a, b) -> F.Column:
-    """Exact dot product of two float-array columns, as double."""
-    prods = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(38,12)")
+def _fixed_dot(a, b) -> F.Column:
+    """Exact fixed-point dot product of two float-array columns, as double.
+
+    Quantizes each product once (floor at 1e-12 resolution), then sums
+    longs — see module docstring for why this is engine- and
+    partitioning-independent.
+    """
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            (x.cast("double") * y.cast("double")) * F.lit(FIXED_SCALE)
+        ),
     )
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(38,12)"),
-        # re-cast: Spark widens/narrows decimal '+' to (38,11); the cast
-        # keeps the exact 12-digit scale (values are ≪ the 26 integer digits)
-        lambda acc, x: (acc + x).cast("decimal(38,12)"),
-    ).cast("double")
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+    return total.cast("double") / F.lit(FIXED_SCALE)
 
 
 def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    return df.withColumn("nrm", F.sqrt(_dec_dot(F.col(vec), F.col(vec))))
+    return df.withColumn("nrm", F.sqrt(_fixed_dot(F.col(vec), F.col(vec))))
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +74,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", _dec_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        "cosine", _fixed_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -78,7 +92,9 @@ def hyperplane_signature(vec, n_planes: int = N_PLANES) -> F.Column:
     Plane weights are pseudo-random but fully deterministic:
     w[p][d] = (xxhash64(p·100003 + d) % 1000003) − 501501 — a seeded
     hash in expression form, so signatures need no driver-side
-    randomness and are reproducible everywhere.
+    randomness and are reproducible everywhere. The projection sign
+    uses the same fixed-point long accumulation as _fixed_dot, so the
+    bit is partition-order independent.
     """
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     bit = lambda p: F.when(  # noqa: E731
@@ -86,15 +102,16 @@ def hyperplane_signature(vec, n_planes: int = N_PLANES) -> F.Column:
             F.zip_with(
                 vec,
                 dims,
-                lambda x, d: (
+                lambda x, d: F.floor(
                     x.cast("double")
                     * (
                         (F.xxhash64(F.lit(p) * 100003 + d) % 1000003) - F.lit(501501)
                     ).cast("double")
-                ).cast("decimal(38,6)"),
+                    * F.lit(1e6)
+                ),
             ),
-            F.lit(0).cast("decimal(38,6)"),
-            lambda acc, x: (acc + x).cast("decimal(38,6)"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
         )
         > 0,
         F.lit(1).cast("long"),
@@ -153,7 +170,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(c, ["band", "bucket"])
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
-            "cosine", _dec_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            "cosine", _fixed_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -82,18 +82,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint: md5 of normalized text + structural meta.
+    """Content fingerprint: SHA-256 of normalized text + structural meta.
 
     Normalization = lowercase + collapse whitespace; the fingerprint
     is the dedup/lineage key for exact-duplicate detection across
-    shards (same role as the reference's SHA-256 cache key,
-    services/query/main.py:68-79).
+    shards. SHA-256 matches the reference's content-hash choice
+    (services/query/main.py:68-79) — F7 in SURVEY.md §2.8.
     """
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
     return docs.select(
         "doc_id",
-        F.md5(norm).alias("fingerprint"),
+        F.sha2(norm, 256).alias("fingerprint"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
         F.size(_tokens()).cast("bigint").alias("token_count"),
     )

@@ -192,6 +192,14 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY user_id
         """,
     ),
+    "batch_envelope_explode": QuerySpec(
+        ingest.batch_envelope_explode,
+        """
+        SELECT 'batch_' || CAST(event_id // 100 AS VARCHAR) AS batch_id,
+               event_id, ts, user_id, event_type, value
+        FROM events
+        """,
+    ),
     # ---- star-schema analytics (north-star joins, SURVEY.md §7.8) ----
     "q1_pricing_summary": QuerySpec(
         analytics.q1_pricing_summary,
@@ -365,7 +373,7 @@ REGISTRY: dict[str, QuerySpec] = {
         text.doc_fingerprint,
         """
         SELECT doc_id,
-               md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint,
+               sha256(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint,
                CAST(length(text) AS BIGINT) AS n_chars_actual,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
         FROM documents
@@ -417,13 +425,15 @@ REGISTRY: dict[str, QuerySpec] = {
             FROM embeddings
         ), norms AS (
             SELECT vec_id,
-                   SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                        AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+                   SQRT(CAST(SUM(CAST(floor(
+                       (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
             FROM e GROUP BY vec_id
         ), dots AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)
-                        AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                   CAST(SUM(CAST(floor(
+                       (CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
             FROM e q JOIN e c ON q.i = c.i
             WHERE q.vec_id < 10 AND c.vec_id >= 10
             GROUP BY 1, 2
