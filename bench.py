@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints EXACTLY ONE JSON line on stdout:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1, "cpus": 32}
+
+Each query is materialized through the `noop` sink — full execution of
+the physical plan (scan, shuffles, codegen) with no driver-side
+collect, so the timing reflects the distributed work, not result
+transfer.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR        testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS          local parallelism (default 32)
+  SPARK_GRAFT_BENCH_REPEAT  runs per query (default 1). With >1 the
+                            JSON reports the FIRST (cold) timing and a
+                            parallel "warm" map of the best timing —
+                            used to fill BASELINE.md.
+
+`ngram_jaccard_pairs` is deliberately excluded: it is the quadratic
+ground-truth fixture for the LSH dedup operators (see operators/
+dedup.py), not a production path; benching it at sf0.1 would measure
+an O(n²) oracle, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_pipeline_spark.registry import REGISTRY  # noqa: E402
+from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
+
+EXCLUDED = {
+    "ngram_jaccard_pairs",  # quadratic oracle fixture, not a production path
+}
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench", cpus=cpus)
+    names = [n for n in REGISTRY if n not in EXCLUDED]
+
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(max(repeat, 1)):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(min(runs), 3)
+
+    out = {
+        "metric": "total_wall_sec",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if repeat > 1:
+        out["warm"] = warm
+        out["warm_total"] = round(sum(warm.values()), 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,17 +75,29 @@ def minhash_signatures(
     """Per-document MinHash signature: sig[i] = min over shingles of
     xxhash64(shingle, i).
 
-    One scan, no shuffle, no Python: the signature is an array column
-    computed entirely inside codegen. xxhash64 with the permutation
-    index as a second argument is the seeded hash family.
+    Shape: explode shingles to rows, hash each row n_hashes ways, then
+    n_hashes MIN aggregates per doc_id — all JVM-side with map-side
+    partial aggregation, so the shuffle carries one n_hashes-wide row
+    per (partition, doc). xxhash64 with the permutation index as a
+    second argument is the seeded hash family.
+
+    Deliberately NOT a nested array expression (array_min∘transform per
+    permutation): lambda-bound subtrees defeat Spark's common-
+    subexpression elimination, so that formulation re-tokenizes the
+    document once per permutation — measured 50× slower at sf0.1.
+    Docs with fewer than SHINGLE_K tokens drop out (empty explode),
+    matching the oracle's len(sh) > 0 filter.
     """
-    sh = shingles(F.col(text_col))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col))).alias("s"),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).filter(
-        F.size(sh) > 0
+    mins = [
+        F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
     )
 
 
