@@ -27,6 +27,8 @@ from data_ingestion_pipeline_spark.operators import (
     queries,
     similarity,
     text,
+    upsert,
+    wire,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -148,6 +150,24 @@ REGISTRY: dict[str, QuerySpec] = {
            OR event_type NOT IN {_KNOWN_TYPES_SQL}
         """,
     ),
+    "wire_parse_valid": QuerySpec(
+        wire.wire_parse_valid,
+        """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE event_id % 97 <> 0
+        """,
+    ),
+    "wire_parse_dlq": QuerySpec(
+        wire.wire_parse_dlq,
+        """
+        SELECT 'malformed json' AS error,
+               'CORRUPT<' || printf(
+                   '{"event_id":%d,"ts_us":%d,"user_id":%d,"event_type":"%s","value":%.2f}',
+                   event_id, epoch_us(ts), user_id, event_type, value
+               ) AS original_message
+        FROM events WHERE event_id % 97 = 0
+        """,
+    ),
     "dedup_exact": QuerySpec(
         ingest.dedup_exact,
         """
@@ -163,6 +183,25 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "upsert_merge": QuerySpec(
         ingest.upsert_merge,
+        """
+        WITH base AS (
+            SELECT event_id, ts, user_id, event_type, value FROM events
+        ), updates AS (
+            SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value
+            FROM events WHERE event_id % 10 = 0
+        )
+        SELECT * FROM updates
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM updates u
+            WHERE u.user_id = b.user_id AND u.ts = b.ts)
+        """,
+    ),
+    "upsert_table_roundtrip": QuerySpec(
+        upsert.upsert_table_roundtrip,
+        # same semantics (and oracle) as upsert_merge, but through real
+        # day-partitioned parquet files with partition-overwrite
         """
         WITH base AS (
             SELECT event_id, ts, user_id, event_type, value FROM events
