@@ -88,8 +88,14 @@ def upsert_into_table(
     Only the partitions containing update keys are read, merged, and
     rewritten (dynamic partition overwrite). The anti join shuffles
     the touched-partition slice and the updates on the key; untouched
-    partitions are never opened.
+    partitions are never opened. A not-yet-existing table is created
+    (first streaming micro-batch).
     """
+    if not os.path.isdir(path) or not any(
+        not f.startswith((".", "_")) for f in os.listdir(path)
+    ):
+        write_time_partitioned(updates, path, ts_col)
+        return
     # touched-day list: partition METADATA (bounded by day count), not
     # data — the one acceptable collect in this module; it becomes the
     # IN-list that prunes the base scan to touched partitions only.

@@ -30,6 +30,7 @@ from data_ingestion_pipeline_spark.operators import (
     upsert,
     wire,
 )
+from data_ingestion_pipeline_spark.streaming import pipeline as streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -196,6 +197,33 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE NOT EXISTS (
             SELECT 1 FROM updates u
             WHERE u.user_id = b.user_id AND u.ts = b.ts)
+        """,
+    ),
+    # ---- streaming slice (SURVEY.md §2.7 T1-T5) ----
+    "stream_dedup_upsert": QuerySpec(
+        streaming.stream_dedup_to_table,
+        # the drained stream must equal the batch dedup of the same
+        # duplicated feed — same oracle as dedup_exact
+        """
+        WITH feed AS (
+            SELECT * FROM events
+            UNION ALL
+            SELECT * FROM events WHERE event_id % 5 = 0
+        )
+        SELECT event_id, ts, user_id, event_type, value FROM feed
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id) = 1
+        """,
+    ),
+    "stream_timeseries_1h": QuerySpec(
+        streaming.stream_timeseries_1h,
+        f"""
+        SELECT date_trunc('hour', ts) AS bucket,
+               {_DEC_AVG_VALUE} AS avg_value,
+               COUNT(*) AS reading_count
+        FROM events
+        WHERE user_id = 7 AND {_TIME_PRED}
+        GROUP BY 1
         """,
     ),
     "upsert_table_roundtrip": QuerySpec(

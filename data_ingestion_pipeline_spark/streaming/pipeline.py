@@ -1,0 +1,216 @@
+"""Streaming ingest pipeline: replay → watermarked dedup → triggered
+micro-batch upsert, with observable counters.
+
+The reference's consumer loop is: Kafka poll → keyed in-flight dedup
+in a shared dict (services/consumer/main.py:326-346) → size/time-
+triggered flush (:348-353, :462-489) → per-row PK upsert (:225-249)
+→ graceful drain on shutdown (:42-90). The Structured Streaming
+re-expression, one concern per operator:
+
+- T1 keyed dedup     → ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+                       (bounded state — strictly stronger than the
+                       reference's unbounded dict).
+- T2 size trigger    → ``maxFilesPerTrigger`` bounds micro-batch size.
+- T3 time trigger    → ``trigger(processingTime=...)`` in deployment;
+                       tests use ``availableNow`` for determinism.
+- T4 graceful drain  → ``availableNow`` processes the backlog then
+                       stops; checkpointed offsets make resume exact.
+- T5 at-least-once + idempotent sink → ``foreachBatch`` into the
+                       partition-overwrite upsert (operators/
+                       upsert.py): replaying a batch rewrites the
+                       same partitions to the same content.
+- A4 counters        → ``observe()`` metrics per micro-batch
+                       (messages/valid), aggregated after the drain —
+                       the analog of the consumer's /stats
+                       (messages_processed, in_memory_duplicates,
+                       batches_persisted).
+
+Late-data divergence (SURVEY.md §2.7): the reference accepts
+arbitrarily late rows; a watermark drops rows later than its horizon.
+The pipelines here default the horizon to the full feed span, making
+the divergence unobservable on the test feeds while keeping the
+bounded-state mechanics real.
+
+Determinism note for the oracle-checked entries: injected duplicates
+are verbatim copies (ingest._with_injected_duplicates), so the
+surviving row per key is byte-identical no matter which micro-batch
+wins, and the drained table equals the batch dedup of the same feed
+under ANY file/batch ordering.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_ingestion_pipeline_spark.functions.exact import dec_avg
+from data_ingestion_pipeline_spark.operators.ingest import _with_injected_duplicates
+from data_ingestion_pipeline_spark.operators.upsert import (
+    read_table,
+    scratch_path,
+    upsert_into_table,
+)
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+# Flat record schema of the replay feed (the file-stream stand-in for
+# the Kafka topic; schemas.EVENTS minus the free-form props column).
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+FEED_COLS = [f.name for f in FEED_SCHEMA.fields]
+
+
+def build_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
+    """Materialize the 20%-duplicated events feed as a multi-file
+    stream-source directory.
+
+    Originals and duplicates are written separately (4 + 2 files), so
+    a duplicate usually arrives in a DIFFERENT micro-batch than its
+    original — exercising cross-batch dedup state, not just
+    within-batch dropDuplicates.
+    """
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(*FEED_COLS)
+    ev.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    dups = ev.filter(F.col("event_id") % 5 == 0)
+    dups.repartition(2).write.mode("append").parquet(feed_dir)
+
+
+def run_dedup_ingest(
+    spark: SparkSession,
+    feed_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    watermark: str = "30 days",
+    max_files_per_trigger: int = 2,
+) -> dict[str, int]:
+    """Drain the feed through watermarked dedup into the partitioned
+    upsert table; returns the /stats-style counters.
+
+    availableNow + maxFilesPerTrigger = process the whole backlog as a
+    sequence of bounded micro-batches, then stop (graceful drain). In
+    a live deployment swap the trigger for processingTime="5 seconds"
+    (T3) — nothing else changes.
+    """
+    persisted = {"rows": 0, "batches": 0}
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf = bdf.persist()
+        n = bdf.count()
+        upsert_into_table(spark, table_path, bdf, ["user_id", "ts"], ts_col="ts")
+        bdf.unpersist()
+        persisted["rows"] += n
+        persisted["batches"] += 1
+
+    stream = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+        .observe("source", F.count(F.lit(1)).alias("messages"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "ts"])
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    messages = 0
+    for progress in query.recentProgress:
+        om = progress.observedMetrics.get("source")
+        if om is not None:
+            messages += om["messages"]
+    return {
+        "messages_processed": messages,
+        "rows_persisted": persisted["rows"],
+        "in_memory_duplicates": messages - persisted["rows"],
+        "batches_persisted": persisted["batches"],
+    }
+
+
+def stream_dedup_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle entry for the full streaming slice (T1+T2+T4+T5): replay
+    the duplicated feed, dedup in-stream, upsert per micro-batch,
+    return the drained table.
+
+    Oracle = batch dedup of the same feed (same SQL as dedup_exact):
+    the streamed result must equal the batch result exactly.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_dedup", sf_name, "feed")
+    table = scratch_path("stream_dedup", sf_name, "table")
+    ckpt = scratch_path("stream_dedup", sf_name, "ckpt")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    build_feed(spark, sf_dir, feed)
+    run_dedup_ingest(spark, feed, table, ckpt)
+    return read_table(spark, table).select(*FEED_COLS)
+
+
+def stream_timeseries_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the 1-hour timeseries aggregate (A3): windowed
+    avg/count in update mode, each micro-batch upserting refreshed
+    windows into a result table keyed by bucket.
+
+    The final table state after the drain equals the batch aggregate
+    over the whole feed — update-mode re-emits a window whenever a
+    batch touches it, and the upsert keeps the latest emit, so the
+    last write per window reflects all of its rows regardless of how
+    the feed was batched.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_ts1h", sf_name, "feed")
+    table = scratch_path("stream_ts1h", sf_name, "table")
+    ckpt = scratch_path("stream_ts1h", sf_name, "ckpt")
+    for p in (feed, table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(*FEED_COLS)
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+
+    agg = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+        .withWatermark("ts", "30 days")
+        .filter(
+            (F.col("user_id") == 7)
+            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            dec_avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "avg_value", "reading_count"
+        )
+    )
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        upsert_into_table(spark, table, bdf, ["bucket"], ts_col="bucket")
+
+    query = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return read_table(spark, table).select("bucket", "avg_value", "reading_count")

@@ -1,0 +1,70 @@
+"""Streaming slice tests (SURVEY.md §2.7).
+
+Result-equality of the streamed tables vs the DuckDB oracle is
+covered by test_oracle_parity (stream_dedup_upsert,
+stream_timeseries_1h are ordinary registry entries). Here: the
+/stats-style counters recover the known injected duplicate rate, and
+the sink is idempotent under batch replay (T5).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.operators.upsert import (
+    read_table,
+    scratch_path,
+    upsert_into_table,
+)
+from data_ingestion_pipeline_spark.sources.tables import load_table
+from data_ingestion_pipeline_spark.streaming.pipeline import (
+    FEED_COLS,
+    build_feed,
+    run_dedup_ingest,
+)
+from tests.conftest import SF_TEST
+
+
+def test_stream_dedup_counters(spark):
+    """The drained counters must recover the generator's injected
+    duplicate rate exactly: messages = n + n/5, persisted = n,
+    duplicates = n/5 (injected copies are verbatim; no natural
+    (user_id, ts) collisions exist in the testdata)."""
+    feed = scratch_path("t_counters", "feed")
+    table = scratch_path("t_counters", "table")
+    ckpt = scratch_path("t_counters", "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_table(spark, SF_TEST, "events")
+    n = ev.count()
+    n_dups = ev.filter(F.col("event_id") % 5 == 0).count()
+
+    build_feed(spark, SF_TEST, feed)
+    counters = run_dedup_ingest(spark, feed, table, ckpt)
+
+    assert counters["messages_processed"] == n + n_dups
+    assert counters["rows_persisted"] == n
+    assert counters["in_memory_duplicates"] == n_dups
+    assert counters["batches_persisted"] >= 2, "feed must span micro-batches"
+    assert read_table(spark, table).count() == n
+
+
+def test_upsert_replay_idempotent(spark):
+    """T5: re-applying the same update batch must leave the table
+    byte-identical — at-least-once delivery is harmless."""
+    table = scratch_path("t_replay", "table")
+    shutil.rmtree(table, ignore_errors=True)
+
+    ev = load_table(spark, SF_TEST, "events").select(*FEED_COLS)
+    batch = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + F.lit(5.0)
+    )
+    upsert_into_table(spark, table, ev, ["user_id", "ts"])
+    upsert_into_table(spark, table, batch, ["user_id", "ts"])
+    once = sorted(tuple(r) for r in read_table(spark, table).collect())
+    upsert_into_table(spark, table, batch, ["user_id", "ts"])  # replay
+    twice = sorted(tuple(r) for r in read_table(spark, table).collect())
+    assert once == twice
