@@ -190,10 +190,10 @@ def simhash_fingerprints(
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint + 4 byte-bands per document.
 
-    Hamming-near documents (dist ≤ ~3 on 32 bits) share at least one
-    of the 4 bytes with high probability — the byte columns are the
-    LSH join keys for a Hamming candidate search. Exposed as the
-    fingerprint table; the pairwise step mirrors minhash_lsh.
+    Hamming-near documents (dist ≤ 3 on 32 bits) MUST share at least
+    one of the 4 bytes — pigeonhole: ≤3 differing bits can touch at
+    most 3 of the 4 bands, leaving one byte equal. The byte columns
+    are the LSH join keys simhash_candidates uses.
     """
     docs = load_table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs)
@@ -204,4 +204,63 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)).alias(f"band{i}")
             for i in range(4)
         ],
+    )
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-near candidate pairs via SimHash byte-band LSH.
+
+    Self-join on (band, byte) bucket keys — any pair within Hamming
+    distance 3 of each other shares at least one band byte
+    (pigeonhole over 4 bands), so at that radius the candidate step
+    has perfect recall by construction; the exact Hamming distance
+    (bit_count of XOR) then filters collisions. Shuffle is on short
+    uniform bucket keys; cost tracks bucket collisions, not n².
+
+    No SQL oracle (xxhash64-derived fingerprints are Spark-specific);
+    recall vs near-identical n-gram Jaccard pairs is asserted in
+    tests/test_dedup.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = bands.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    b = bands.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k is the exact baseline (oracle-checked);
-the LSH-bucketed variant is the scale path: random-hyperplane
-signatures turn the n·m scoring into per-bucket scoring.
+the approximate path computes 128-bit hyperplane signatures, coarse-
+ranks candidates by signature Hamming distance, and exactly rescores
+only a small shortlist per query.
 
 Exactness design: dot products and norms accumulate as FIXED-POINT
 LONGS — each elementwise product is quantized once via
@@ -28,7 +29,8 @@ from data_ingestion_pipeline_spark.sources.tables import load_table
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
-N_PLANES = 16
+N_PLANES = 128  # hyperplane signature bits (2 packed longs)
+SHORTLIST = 64  # Hamming-shortlist size per query before exact rerank
 FIXED_SCALE = 1e12  # fixed-point quantum for exact dot products
 
 
@@ -86,89 +88,115 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_signature(vec, n_planes: int = N_PLANES) -> F.Column:
-    """Random-hyperplane LSH signature (packed into a long).
+def hamming_signatures(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, sig0, sig1): random-hyperplane signature packed into
+    ⌈n_planes/64⌉ longs.
 
-    Plane weights are pseudo-random but fully deterministic:
-    w[p][d] = (xxhash64(p·100003 + d) % 1000003) − 501501 — a seeded
-    hash in expression form, so signatures need no driver-side
-    randomness and are reproducible everywhere. The projection sign
-    uses the same fixed-point long accumulation as _fixed_dot, so the
-    bit is partition-order independent.
+    Plane weights are pseudo-random but fully deterministic —
+    w[p][d] = pmod(xxhash64(p·100003 + d), 1000003) − 501501 — a
+    seeded hash in expression form, so signatures need no driver-side
+    randomness and are reproducible everywhere. pmod, not %: Spark's
+    % keeps the dividend's sign, which would skew the weights negative
+    and correlate the bits (measured recall cost: ~2×). Projections use the
+    same fixed-point long sums as _fixed_dot, so every bit is
+    partition-order independent.
+
+    Shape: posexplode the vector, one fixed-point SUM aggregate per
+    plane (map-side combine, one shuffle on vec_id) — the same
+    explode+aggregate formulation that made MinHash 28× faster than
+    nested array lambdas (see operators/dedup.py).
     """
-    dims = F.sequence(F.lit(0), F.size(vec) - 1)
-    bit = lambda p: F.when(  # noqa: E731
-        F.aggregate(
-            F.zip_with(
-                vec,
-                dims,
-                lambda x, d: F.floor(
-                    x.cast("double")
-                    * (
-                        (F.xxhash64(F.lit(p) * 100003 + d) % 1000003) - F.lit(501501)
-                    ).cast("double")
-                    * F.lit(1e6)
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-        > 0,
-        F.lit(1).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    sig = None
-    for p in range(n_planes):
-        term = bit(p) * F.lit(1 << p).cast("long")
-        sig = term if sig is None else sig + term
-    return sig
-
-
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: score only candidates whose hyperplane
-    signature is Hamming-close (here: equal in at least one of two
-    8-bit bands) to the query's.
-
-    The scale story: bucket keys replace the full cross product, so
-    the scored pair count tracks bucket collision rates. Recall vs
-    cosine_topk is measured in tests/test_similarity.py.
-    """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "sig", hyperplane_signature(F.col("embedding"))
-    )
-    bands = emb.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), 8 * i)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("bucket"),
-                    )
-                    for i in range(N_PLANES // 8)
-                ]
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    sums = [
+        F.sum(
+            F.floor(
+                F.col("x").cast("double")
+                * (
+                    F.pmod(F.xxhash64(F.lit(p * 100003) + F.col("d")), F.lit(1000003))
+                    - F.lit(501501)
+                ).cast("double")
+                * F.lit(1e6)
             )
-        ).alias("bb"),
-    ).select("vec_id", "embedding", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        ).alias(f"s{p}")
+        for p in range(n_planes)
+    ]
+    per = ex.groupBy("vec_id").agg(*sums)
 
-    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
-        "band",
-        "bucket",
+    def pack(lo: int, width: int) -> F.Column:
+        sig = F.lit(0).cast("long")
+        for j in range(width):
+            bit = F.when(F.col(f"s{lo + j}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = sig + F.shiftleft(bit, j)
+        return sig
+
+    return per.select(
+        "vec_id",
+        pack(0, 64).alias("sig0"),
+        pack(64, n_planes - 64).alias("sig1"),
+    )
+
+
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: Hamming-shortlist on 128-bit hyperplane
+    signatures, then exact cosine rerank of the shortlist.
+
+    Why not band-bucket LSH here: the testdata embeddings are
+    near-random (true top-5 cosines ≈ 0.26-0.39), so requiring exact
+    equality on even an 8-bit band almost never fires for true
+    neighbors — measured recall@5 was 0.10. Signature-Hamming
+    correlates with angle at any similarity level, so shortlisting
+    the SHORTLIST smallest-Hamming candidates per query and exactly
+    rescoring only those reaches ~0.8 recall while computing full
+    dot products for SHORTLIST/n of the corpus.
+
+    Scale shape: the coarse pass streams 16-byte signatures once
+    against broadcast query signatures (XOR + bit_count — no
+    embedding bytes move); only the shortlist rows pull their
+    embeddings for exact scoring. Recall vs cosine_topk is asserted
+    in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = hamming_signatures(emb)
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig0").alias("qs0"),
+        F.col("sig1").alias("qs1"),
+    )
+    c = sigs.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sig0").alias("cs0"),
+        F.col("sig1").alias("cs1"),
+    )
+    ham = c.join(F.broadcast(q)).withColumn(
+        "hamming",
+        F.bit_count(F.col("qs0").bitwiseXOR(F.col("cs0")))
+        + F.bit_count(F.col("qs1").bitwiseXOR(F.col("cs1"))),
+    )
+    hw = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    shortlist = (
+        ham.withColumn("hrank", F.row_number().over(hw))
+        .filter(F.col("hrank") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+
+    embn = _with_norm(emb)
+    qv = embn.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    c = bands.filter(F.col("vec_id") >= N_QUERIES).select(
-        "band",
-        "bucket",
+    cv = embn.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    cand = (
-        q.join(c, ["band", "bucket"])
-        .dropDuplicates(["query_id", "neighbor_id"])
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn(
             "cosine", _fixed_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
@@ -177,7 +205,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -30,6 +30,7 @@ from data_ingestion_pipeline_spark.operators import (
     upsert,
     wire,
 )
+from data_ingestion_pipeline_spark.sources import generator
 from data_ingestion_pipeline_spark.streaming import pipeline as streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -197,6 +198,41 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE NOT EXISTS (
             SELECT 1 FROM updates u
             WHERE u.user_id = b.user_id AND u.ts = b.ts)
+        """,
+    ),
+    # ---- synthetic source (SURVEY.md §2.1 S5/S6) ----
+    "synthetic_weather": QuerySpec(
+        generator.synthetic_weather,
+        """
+        SELECT 'station_' || CAST((((id + 1) * 2654435761 + 12345) % 2147483648) % 10 AS VARCHAR) AS station_id,
+               -10.0 + CAST((((id + 2) * 2654435761 + 12345) % 2147483648) % 451 AS DOUBLE) / 10.0 AS temperature,
+               CAST((((id + 3) * 2654435761 + 12345) % 2147483648) % 1001 AS DOUBLE) / 10.0 AS humidity,
+               CAST((((id + 4) * 2654435761 + 12345) % 2147483648) % 301 AS DOUBLE) / 10.0 AS wind_speed,
+               TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 1 SECOND AS "timestamp",
+               md5('trace_' || CAST(id AS VARCHAR)) AS trace_id,
+               id AS reading_id
+        FROM range(5000) t(id)
+        """,
+    ),
+    "synthetic_weather_feed": QuerySpec(
+        generator.synthetic_weather_feed,
+        """
+        WITH g AS (
+            SELECT 'station_' || CAST((((id + 1) * 2654435761 + 12345) % 2147483648) % 10 AS VARCHAR) AS station_id,
+                   -10.0 + CAST((((id + 2) * 2654435761 + 12345) % 2147483648) % 451 AS DOUBLE) / 10.0 AS temperature,
+                   CAST((((id + 3) * 2654435761 + 12345) % 2147483648) % 1001 AS DOUBLE) / 10.0 AS humidity,
+                   CAST((((id + 4) * 2654435761 + 12345) % 2147483648) % 301 AS DOUBLE) / 10.0 AS wind_speed,
+                   TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 1 SECOND AS "timestamp",
+                   id AS reading_id
+            FROM range(5000) t(id)
+        )
+        SELECT station_id, temperature, humidity, wind_speed, "timestamp",
+               md5('trace_' || CAST(reading_id AS VARCHAR)) AS trace_id, reading_id
+        FROM g
+        UNION ALL
+        SELECT station_id, temperature, humidity, wind_speed, "timestamp",
+               md5('dup_' || CAST(reading_id AS VARCHAR)) AS trace_id, reading_id
+        FROM g WHERE reading_id % 5 = 0
         """,
     ),
     # ---- streaming slice (SURVEY.md §2.7 T1-T5) ----
@@ -482,6 +518,10 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup.simhash_buckets,
         None,  # same: hash-family-specific fingerprints, structure tested in pytest
     ),
+    "simhash_candidates": QuerySpec(
+        dedup.simhash_candidates,
+        None,  # xxhash64-derived; recall vs exact Jaccard asserted in tests/test_dedup.py
+    ),
     # ---- similarity search over embeddings ----
     "cosine_topk": QuerySpec(
         similarity.cosine_topk,
@@ -516,8 +556,8 @@ REGISTRY: dict[str, QuerySpec] = {
         QUALIFY rank <= 5
         """,
     ),
-    "ann_lsh_topk": QuerySpec(
-        similarity.ann_lsh_topk,
+    "ann_hamming_topk": QuerySpec(
+        similarity.ann_hamming_topk,
         None,  # approximate by construction; recall vs cosine_topk tested in pytest
     ),
 }

@@ -1,0 +1,101 @@
+"""Near-duplicate detection: quantitative checks of the approximate
+(LSH) operators against the exact ground truth.
+
+ngram_jaccard_pairs (exact, quadratic — the oracle fixture) defines
+truth; minhash_lsh_candidates and simhash_candidates are the scale
+paths and must recover it. Floors are set conservatively below the
+measured values at sf0.001 (MinHash: recall=precision=1.0; SimHash:
+24/27 near-identical pairs) so the assertions are meaningful but not
+brittle to testdata regeneration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.operators import dedup
+from tests.conftest import SF_TEST
+
+
+def test_shingles_short_docs(spark):
+    """Docs with fewer than k tokens must yield an empty shingle set,
+    not a runtime error (sequence(1,0) is a descending range in
+    Spark — the guard must short-circuit it)."""
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three",), ("one two three four",)],
+        ["text"],
+    )
+    rows = df.select(dedup.shingles(F.col("text")).alias("sh")).collect()
+    assert [r.sh for r in rows] == [
+        [],
+        [],
+        ["one two three"],
+        ["one two three", "two three four"],
+    ]
+
+
+def test_minhash_lsh_vs_exact(spark):
+    """MinHash-LSH candidates must recover the exact Jaccard≥0.5 pairs
+    (recall) without flooding (precision)."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(spark, SF_TEST).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(spark, SF_TEST).collect()
+    }
+    assert exact, "fixture must produce ground-truth pairs"
+    recall = len(exact & lsh) / len(exact)
+    precision = len(exact & lsh) / len(lsh)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+    assert precision >= 0.8, f"precision {precision:.2f}"
+
+
+def test_minhash_estimate_tracks_jaccard(spark):
+    """For the pairs both variants emit, the signature-estimated
+    Jaccard must be within 0.25 of the exact value (32 hashes →
+    σ ≈ 0.09 at j=0.5)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, SF_TEST).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_candidates(spark, SF_TEST).collect()
+    }
+    common = set(exact) & set(lsh)
+    assert common
+    for p in common:
+        assert abs(exact[p] - lsh[p]) <= 0.25, (p, exact[p], lsh[p])
+
+
+def test_simhash_candidates_find_near_identicals(spark):
+    """Near-identical documents (exact Jaccard ≥ 0.9) must surface as
+    SimHash candidates, and every emitted pair must honor the Hamming
+    radius."""
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, SF_TEST)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    cands = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_candidates(spark, SF_TEST).collect()
+    }
+    assert all(h <= dedup.SIMHASH_MAX_HAMMING for h in cands.values())
+    assert near, "fixture must contain near-identical pairs"
+    found = len(near & set(cands)) / len(near)
+    assert found >= 0.7, f"near-identical recall {found:.2f}"
+
+
+def test_simhash_buckets_structure(spark):
+    """Fingerprint table: 32-bit simhash, 4 byte-bands in [0, 255],
+    one row per tokenizable document."""
+    b = dedup.simhash_buckets(spark, SF_TEST)
+    rows = b.collect()
+    assert len(rows) == b.select("doc_id").distinct().count()
+    for r in rows[:50]:
+        assert 0 <= r.simhash < (1 << 32)
+        for i in range(4):
+            assert 0 <= r[f"band{i}"] <= 0xFF

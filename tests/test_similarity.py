@@ -1,0 +1,64 @@
+"""Similarity search: the exact baseline against an independent numpy
+computation, and the approximate path's recall against the baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_ingestion_pipeline_spark.operators import similarity
+from data_ingestion_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_TEST
+
+
+def _numpy_topk(spark):
+    rows = (
+        load_table(spark, SF_TEST, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    qm = ids < similarity.N_QUERIES
+    cos = En[qm] @ En[~qm].T
+    out = {}
+    for qi, qid in enumerate(ids[qm]):
+        order = np.lexsort((ids[~qm], -cos[qi]))[: similarity.TOP_K]
+        out[qid] = [(ids[~qm][j], cos[qi][j]) for j in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark):
+    """The fixed-point exact scorer must agree with float64 numpy to
+    ~1e-9 (quantization at 1e-12/term over 64 dims) and produce the
+    identical neighbor ranking."""
+    expected = _numpy_topk(spark)
+    got = {}
+    for r in similarity.cosine_topk(spark, SF_TEST).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    assert set(got) == set(expected)
+    for qid, rows in got.items():
+        rows.sort()
+        assert [n for _, n, _ in rows] == [n for n, _ in expected[qid]]
+        for (_, _, c_spark), (_, c_np) in zip(rows, expected[qid]):
+            assert abs(c_spark - c_np) < 1e-9
+
+
+def test_ann_hamming_recall(spark):
+    """The Hamming-shortlist ANN must recover ≥60% of the true top-5
+    (measured: 0.82 at sf0.001, 0.74 at sf0.01 with SHORTLIST=64)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, SF_TEST).collect()
+    }
+    ann_rows = similarity.ann_hamming_topk(spark, SF_TEST).collect()
+    ann = {(r.query_id, r.neighbor_id) for r in ann_rows}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.6, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    # shape: exactly TOP_K ranked rows per query
+    per_q = {}
+    for r in ann_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), qid
