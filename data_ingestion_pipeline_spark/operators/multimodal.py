@@ -1,0 +1,144 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+A training-data pipeline carries image/audio/video as opaque
+``binary`` columns plus typed metadata, with decode / feature-extract
+steps as Arrow-batched Pandas UDFs. The reference has no multimodal
+surface (SURVEY.md §2.9); this module is north-star scope
+(BASELINE.json), built so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested even
+though actual codecs are absent from this environment.
+
+Three layers:
+
+1. ``with_binary_payload`` — binary column synthesis (UTF-8 bytes of
+   the document text, standing in for real media bytes; the testdata
+   ships no binary column). Everything downstream treats the payload
+   as opaque bytes.
+2. ``binary_metadata`` — JVM-side metadata extraction (byte length,
+   SHA-256 content address, magic-byte format sniff). Oracle-checked.
+3. ``byte_histogram_features`` — REAL feature extraction in a
+   ``mapInPandas`` UDF: per-payload normalized 16-bin byte histogram
+   via numpy over Arrow batches. This is the exact execution shape a
+   CLIP-embed or mel-spectrogram step would use: batched zero-copy
+   columnar transfer, one Python worker per partition, output schema
+   declared up front. Verified row-by-row against numpy in
+   tests/test_multimodal.py.
+4. ``decode_image`` — the codec step, STUBBED: raises
+   NotImplementedError (no image libraries in this container) but
+   declares the production signature and output schema so the
+   call-site contract is pinned.
+
+Scale notes: payloads stay columnar end-to-end (no collect); the
+histogram UDF is compute-bound per batch with Arrow transfer
+amortized; for real media, pair the binary column with
+``spark.sql.files.maxPartitionBytes`` sizing so one partition's
+payloads fit executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+N_BINS = 16
+
+# magic-byte prefixes → sniffed format (tiny illustrative table)
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",
+    b"OggS": "ogg",
+}
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column (UTF-8 bytes of the text —
+    deterministic stand-in for media bytes)."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque payloads: size, content address,
+    sniffed format. All JVM-side (length/sha2/startswith on binary) —
+    the scan shape is one pass, no Python."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    fmt = F.lit("unknown")
+    for magic, name in _MAGIC.items():
+        fmt = F.when(
+            F.col("payload").startswith(F.lit(magic)), F.lit(name)
+        ).otherwise(fmt)
+    return docs.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("content_sha256"),
+        fmt.alias("sniffed_format"),
+    )
+
+
+def byte_histogram_features(
+    df: DataFrame, payload_col: str = "payload", n_bins: int = N_BINS
+) -> DataFrame:
+    """Normalized byte-value histogram per payload — a real, cheap
+    content feature (useful for corrupt-file triage and format
+    clustering), computed the way a heavy extractor would be:
+    ``mapInPandas`` over Arrow record batches, numpy inside."""
+    import numpy as np  # local import: executors re-import per worker
+
+    out_schema = "doc_id long, n_bytes long, hist array<double>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists = []
+            sizes = []
+            for payload in pdf[payload_col]:
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                sizes.append(len(buf))
+                counts = np.bincount(buf >> 4, minlength=n_bins).astype(np.float64)
+                hists.append(
+                    (counts / max(len(buf), 1)).tolist()
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": sizes, "hist": hists}
+            )
+
+    return df.mapInPandas(extract, out_schema)
+
+
+def binary_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: histogram features for every document payload.
+
+    No SQL oracle (Pandas-UDF output); verified against a direct
+    numpy computation in tests/test_multimodal.py.
+    """
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return byte_histogram_features(docs)
+
+
+# ---- codec stub -----------------------------------------------------------
+
+DECODED_IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, pixels binary"
+)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode image payloads to raw pixel buffers.
+
+    NOT IMPLEMENTED in this environment: no image codec library
+    (Pillow/OpenCV) is installed in the container. The production
+    implementation is a ``mapInPandas`` UDF with output schema
+    DECODED_IMAGE_SCHEMA, batch-decoding payloads exactly like
+    byte_histogram_features does for histograms.
+    """
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this "
+        "environment; see byte_histogram_features for the production "
+        "mapInPandas shape this would use"
+    )

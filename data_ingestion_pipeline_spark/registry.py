@@ -24,6 +24,7 @@ from data_ingestion_pipeline_spark.operators import (
     analytics,
     dedup,
     ingest,
+    multimodal,
     queries,
     similarity,
     text,
@@ -521,6 +522,23 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash_candidates": QuerySpec(
         dedup.simhash_candidates,
         None,  # xxhash64-derived; recall vs exact Jaccard asserted in tests/test_dedup.py
+    ),
+    # ---- multimodal binary columns (north-star scope) ----
+    "binary_metadata": QuerySpec(
+        multimodal.binary_metadata,
+        # DuckDB sha256(VARCHAR) hashes the string's UTF-8 bytes — the
+        # same bytes Spark's encode(text,'UTF-8') payload holds
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_sha256,
+               'unknown' AS sniffed_format
+        FROM documents
+        """,
+    ),
+    "binary_byte_histogram": QuerySpec(
+        multimodal.binary_byte_histogram,
+        None,  # Pandas-UDF output; verified against numpy in tests/test_multimodal.py
     ),
     # ---- similarity search over embeddings ----
     "cosine_topk": QuerySpec(
