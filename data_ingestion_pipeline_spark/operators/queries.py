@@ -164,6 +164,56 @@ def timeseries_15m_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raw_filter_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated raw query: page 2 of 20 rows, newest first.
+
+    The reference never implemented pagination — its integration
+    tests probe page/page_size and tolerate either answer
+    (`services/query/tests/test_query_integration.py:167-201`,
+    `README.md:361` lists it as future work). Spark 4 has
+    offset/limit natively; the sort key includes event_id so page
+    boundaries are deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == STATION)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .offset(20)
+        .limit(20)
+    )
+
+
+def raw_marshal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP/JSON result marshal (K7 + F3): rows → JSON response
+    strings with ISO-8601 timestamps.
+
+    ≡ the query service's tuple→dict→isoformat marshal
+    (`services/query/main.py:217-223`). Built with format_string +
+    date_format so the byte layout is explicit (and oracle-matched
+    via strftime); the engine-level point is that result marshal is a
+    projection, not a driver-side loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    body = F.format_string(
+        '{"event_id":%d,"ts":"%s","user_id":%d,"event_type":"%s","value":%.2f}',
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    return (
+        ev.filter(
+            (F.col("user_id") == STATION)
+            & F.col("ts").between(
+                F.lit(START).cast("timestamp"), F.lit(END).cast("timestamp")
+            )
+        )
+        .select(F.col("event_id").alias("event_id"), body.alias("json"))
+    )
+
+
 def latest_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newest reading per station.
 

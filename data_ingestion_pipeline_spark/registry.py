@@ -69,6 +69,26 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events WHERE user_id = 7 ORDER BY ts DESC
         """,
     ),
+    "raw_filter_page": QuerySpec(
+        queries.raw_filter_page,
+        """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE user_id = 7
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 20 OFFSET 20
+        """,
+    ),
+    "raw_marshal_json": QuerySpec(
+        queries.raw_marshal_json,
+        f"""
+        SELECT event_id,
+               printf('{{"event_id":%d,"ts":"%s","user_id":%d,"event_type":"%s","value":%.2f}}',
+                      event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                      user_id, event_type, value) AS json
+        FROM events
+        WHERE user_id = 7 AND {_TIME_PRED}
+        """,
+    ),
     "grouped_agg": QuerySpec(
         queries.grouped_agg,
         f"""
