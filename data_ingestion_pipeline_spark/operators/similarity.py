@@ -88,33 +88,53 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic hyperplane weight table, w[d][p] ∈ [-501501,
+    501501]: an md5 draw per (plane, dim) computed ONCE driver-side (a
+    few thousand hashes) — seeded, engine-independent. An earlier
+    in-expression xxhash64 formulation re-evaluated millions of
+    redundant hashes per pass; a cheaper multiplicative-hash table had
+    lattice structure (weights linear in d mod a prime) that
+    correlated the planes and halved recall — a real hash is load-
+    bearing here. Symmetric range: a sign-biased distribution also
+    correlates the bits.
+    """
+    import hashlib
+
+    def draw(p: int, d: int) -> int:
+        h = hashlib.md5(f"plane:{p}:dim:{d}".encode()).digest()
+        return int.from_bytes(h[:8], "big") % 1000003 - 501501
+
+    return [[draw(p, d) for p in range(n_planes)] for d in range(dim)]
+
+
 def hamming_signatures(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, sig0, sig1): random-hyperplane signature packed into
     ⌈n_planes/64⌉ longs.
 
-    Plane weights are pseudo-random but fully deterministic —
-    w[p][d] = pmod(xxhash64(p·100003 + d), 1000003) − 501501 — a
-    seeded hash in expression form, so signatures need no driver-side
-    randomness and are reproducible everywhere. pmod, not %: Spark's
-    % keeps the dividend's sign, which would skew the weights negative
-    and correlate the bits (measured recall cost: ~2×). Projections use the
-    same fixed-point long sums as _fixed_dot, so every bit is
-    partition-order independent.
+    Projections use the same fixed-point long sums as _fixed_dot, so
+    every bit is partition-order independent.
 
-    Shape: posexplode the vector, one fixed-point SUM aggregate per
-    plane (map-side combine, one shuffle on vec_id) — the same
+    Shape: posexplode the vector, broadcast-join the tiny per-dim
+    weight table (dim rows), one fixed-point SUM aggregate per plane
+    (map-side combine, one shuffle on vec_id) — the same
     explode+aggregate formulation that made MinHash 28× faster than
     nested array lambdas (see operators/dedup.py).
     """
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    spark = emb.sparkSession
+    dim = emb.select(F.size("embedding")).first()[0]
+    wdf = spark.createDataFrame(
+        [(d, ws) for d, ws in enumerate(_plane_weights(n_planes, dim))],
+        "d int, w array<bigint>",
+    )
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x")).join(
+        F.broadcast(wdf), "d"
+    )
     sums = [
         F.sum(
             F.floor(
                 F.col("x").cast("double")
-                * (
-                    F.pmod(F.xxhash64(F.lit(p * 100003) + F.col("d")), F.lit(1000003))
-                    - F.lit(501501)
-                ).cast("double")
+                * F.col("w").getItem(p).cast("double")
                 * F.lit(1e6)
             )
         ).alias(f"s{p}")

@@ -47,7 +47,7 @@ def test_cosine_topk_matches_numpy(spark):
 
 def test_ann_hamming_recall(spark):
     """The Hamming-shortlist ANN must recover ≥60% of the true top-5
-    (measured: 0.82 at sf0.001, 0.74 at sf0.01 with SHORTLIST=64)."""
+    (measured: 0.82 at sf0.001, 0.88 at sf0.01 with SHORTLIST=64)."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(spark, SF_TEST).collect()
