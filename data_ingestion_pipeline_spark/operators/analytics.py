@@ -225,3 +225,53 @@ def event_type_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_distinct_users")
     )
+
+
+def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order over 450k — LEFT SEMI join.
+
+    Semi join is the EXISTS-subquery shape: the orders side reduces
+    to its distinct keys during the shuffle (no fact-row fanout, no
+    duplicate customers), which is the property that matters when the
+    right side is 100 TB of orders.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def orders_without_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitem rows — LEFT ANTI join (NOT EXISTS).
+
+    The integrity-audit query shape: anti join shuffles only keys of
+    the right side; at scale both tables bucketed on orderkey make it
+    co-located.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def power_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with both a high-value click AND a high-value purchase —
+    INTERSECT of two distinct-key sets (set operation surface;
+    absent in the reference, SURVEY.md §2.9).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.intersect(buyers)

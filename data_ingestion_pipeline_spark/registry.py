@@ -31,6 +31,7 @@ from data_ingestion_pipeline_spark.operators import (
     upsert,
     wire,
 )
+from data_ingestion_pipeline_spark.functions import skew
 from data_ingestion_pipeline_spark.sources import generator
 from data_ingestion_pipeline_spark.streaming import pipeline as streaming
 
@@ -438,6 +439,46 @@ REGISTRY: dict[str, QuerySpec] = {
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+    ),
+    "grouped_agg_salted": QuerySpec(
+        skew.grouped_agg_salted,
+        # identical oracle to grouped_agg_all_stations: the salted
+        # two-phase plan must be bit-identical to the direct aggregate
+        f"""
+        SELECT user_id,
+               {_DEC_AVG_VALUE} AS avg_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               COUNT(*) AS reading_count
+        FROM events GROUP BY user_id
+        """,
+    ),
+    "big_order_customers": QuerySpec(
+        analytics.big_order_customers,
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        """,
+    ),
+    "orders_without_lineitem": QuerySpec(
+        analytics.orders_without_lineitem,
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
+    ),
+    "power_users_intersect": QuerySpec(
+        analytics.power_users_intersect,
+        """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click' AND value > 150
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 150
         """,
     ),
     "event_type_cardinality": QuerySpec(

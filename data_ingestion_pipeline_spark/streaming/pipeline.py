@@ -25,11 +25,16 @@ re-expression, one concern per operator:
                        (messages_processed, in_memory_duplicates,
                        batches_persisted).
 
-Late-data divergence (SURVEY.md §2.7): the reference accepts
-arbitrarily late rows; a watermark drops rows later than its horizon.
-The pipelines here default the horizon to the full feed span, making
-the divergence unobservable on the test feeds while keeping the
-bounded-state mechanics real.
+Late-data semantics (SURVEY.md §2.7), verified empirically in
+tests/test_streaming.py: ``dropDuplicatesWithinWatermark`` ACCEPTS
+arbitrarily late rows — matching the reference — because the
+watermark only bounds dedup-state retention, it does not filter
+input. The narrow divergence: a duplicate arriving more than the
+horizon after its original is no longer in state and passes the
+stream dedup — and is then collapsed anyway by the idempotent keyed
+upsert sink, exactly as the reference's PK upsert absorbs
+redeliveries. Defense in depth: state bounds memory, the sink
+guarantees correctness.
 
 Determinism note for the oracle-checked entries: injected duplicates
 are verbatim copies (ingest._with_injected_duplicates), so the

@@ -68,3 +68,47 @@ def test_upsert_replay_idempotent(spark):
     upsert_into_table(spark, table, batch, ["user_id", "ts"])  # replay
     twice = sorted(tuple(r) for r in read_table(spark, table).collect())
     assert once == twice
+
+
+def test_late_data_accepted_and_upsert_collapses(spark):
+    """Late-data semantics with a SHORT watermark horizon:
+
+    1. rows arriving long after the watermark passed their event time
+       are still ACCEPTED (dropDuplicatesWithinWatermark bounds state,
+       not input) — matching the reference's accept-arbitrarily-late
+       behavior;
+    2. a duplicate arriving beyond the horizon escapes the stream's
+       dedup state but is collapsed by the idempotent keyed upsert —
+       the final table has exactly one row per key regardless.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    feed = scratch_path("t_late", "feed")
+    table = scratch_path("t_late", "table")
+    ckpt = scratch_path("t_late", "ckpt")
+    for p in (feed, table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_table(spark, SF_TEST, "events").select(*FEED_COLS)
+    recent = ev.filter(F.col("ts") >= "2024-01-25")
+    old = ev.filter(F.col("ts") < "2024-01-03")
+    dup_of_recent = recent.filter(F.col("event_id") % 3 == 0)
+
+    # file 1: recent data (advances the watermark past `old` + horizon)
+    recent.repartition(1).write.mode("overwrite").parquet(feed)
+    time.sleep(1.2)  # file-source orders by mod time; force batch order
+    # file 2: arbitrarily-late originals + beyond-horizon duplicates
+    old.unionAll(dup_of_recent).repartition(1).write.mode("append").parquet(feed)
+
+    counters = run_dedup_ingest(
+        spark, feed, table, ckpt, watermark="1 day", max_files_per_trigger=1
+    )
+    n_recent, n_old, n_dup = recent.count(), old.count(), dup_of_recent.count()
+    assert counters["messages_processed"] == n_recent + n_old + n_dup
+    got = read_table(spark, table)
+    # every distinct key exactly once: late originals accepted, late
+    # duplicates collapsed by the sink
+    assert got.count() == n_recent + n_old
+    assert got.select("user_id", "ts").distinct().count() == n_recent + n_old

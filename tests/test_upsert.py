@@ -1,0 +1,65 @@
+"""Partitioned-upsert mechanics: the property that matters at 100 TB
+is that merging an update batch rewrites ONLY the day-partitions the
+batch touches — verified here at the filesystem level.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.operators.upsert import (
+    read_table,
+    scratch_path,
+    upsert_into_table,
+    write_time_partitioned,
+)
+from data_ingestion_pipeline_spark.sources.tables import load_table
+from data_ingestion_pipeline_spark.streaming.pipeline import FEED_COLS
+from tests.conftest import SF_TEST
+
+TOUCHED_DAY = "2024-01-05"
+UNTOUCHED_DAY = "2024-01-10"
+
+
+def _files(table: str, day: str) -> dict[str, tuple[float, int]]:
+    return {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(f"{table}/p_date={day}/*.parquet")
+    }
+
+
+def test_upsert_rewrites_only_touched_partitions(spark):
+    table = scratch_path("t_prune", "table")
+    shutil.rmtree(table, ignore_errors=True)
+
+    ev = load_table(spark, SF_TEST, "events").select(*FEED_COLS)
+    write_time_partitioned(ev, table)
+    n = ev.count()
+
+    before_touched = _files(table, TOUCHED_DAY)
+    before_untouched = _files(table, UNTOUCHED_DAY)
+    assert before_touched and before_untouched, "both days must exist"
+
+    updates = ev.filter(F.to_date("ts") == TOUCHED_DAY).withColumn(
+        "value", F.col("value") + F.lit(7.0)
+    )
+    n_upd = updates.count()
+    assert n_upd > 0
+    upsert_into_table(spark, table, updates, ["user_id", "ts"])
+
+    # untouched day: byte-identical files, not even re-written
+    assert _files(table, UNTOUCHED_DAY) == before_untouched
+    # touched day: rewritten
+    assert _files(table, TOUCHED_DAY) != before_touched
+
+    merged = read_table(spark, table)
+    assert merged.count() == n
+    got_updated = merged.filter(
+        (F.to_date("ts") == TOUCHED_DAY)
+    ).agg(F.sum("value")).first()[0]
+    want_updated = updates.agg(F.sum("value")).first()[0]
+    assert abs(got_updated - want_updated) < 1e-6
