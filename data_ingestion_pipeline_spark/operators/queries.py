@@ -229,3 +229,55 @@ def latest_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+def parse_time_bound(bound: str) -> F.Column:
+    """Input-boundary predicate (P6): parse an ISO-8601 bound, failing
+    fast on garbage instead of silently matching nothing.
+
+    The reference 400s on unparseable start/end times
+    (`services/query/main.py:253-259`). In Spark, `to_timestamp`
+    returns null on parse failure — which would silently turn a range
+    scan into a full-miss filter. Under Spark 4's default ANSI mode
+    the parse itself already raises CAST_INVALID_INPUT; the
+    assert_true preserves fail-fast on non-ANSI clusters. assert_true
+    evaluates to NULL when the check passes, so coalesce yields the
+    parsed timestamp.
+    """
+    ts = F.to_timestamp(F.lit(bound))
+    check = F.assert_true(ts.isNotNull(), F.lit(f"unparseable time bound: {bound!r}"))
+    return F.coalesce(check.cast("timestamp"), ts)
+
+
+def rollup_multires_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-station stats derived by RE-AGGREGATING 15-minute
+    partials — the continuous-aggregate / hypertable-rollup pattern.
+
+    At scale the fine-grained rollup (sum, count per 15m bucket) is
+    maintained incrementally by the streaming pipeline
+    (streaming/pipeline.py maintains exactly such a table); coarser
+    resolutions then read the small rollup, never the raw events.
+    Decimal partial sums recompose exactly, so the two-level result
+    is bit-identical to aggregating the raw data directly — which is
+    what the oracle asserts.
+    """
+    from data_ingestion_pipeline_spark.functions.exact import SCALE
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = f"decimal(38,{SCALE})"
+    fine = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w"), F.col("user_id")
+    ).agg(
+        F.sum(F.col("value").cast(dec)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        fine.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("bucket"), "user_id"
+        )
+        .agg(
+            (F.sum("s").cast("double") / F.sum("c")).alias("avg_value"),
+            F.sum("c").alias("reading_count"),
+        )
+        .select("bucket", "user_id", "avg_value", "reading_count")
+    )

@@ -135,6 +135,17 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY 1, 2, 3
         """,
     ),
+    "rollup_multires_1d": QuerySpec(
+        queries.rollup_multires_1d,
+        # oracle aggregates the RAW data directly — the two-level
+        # partials recomposition must be bit-identical to it
+        f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, user_id,
+               {_DEC_AVG_VALUE} AS avg_value,
+               COUNT(*) AS reading_count
+        FROM events GROUP BY 1, 2
+        """,
+    ),
     "latest_per_station": QuerySpec(
         queries.latest_per_station,
         """

@@ -94,3 +94,21 @@ def test_wire_parse_single_scan(spark):
 
     plan = plan_of(wire_parse_valid(spark, SF_TEST))
     assert "Exchange" not in plan, "wire parse should be shuffle-free"
+
+
+def test_parse_time_bound_fail_fast(spark):
+    """P6: valid bounds parse; garbage raises at execution instead of
+    silently matching nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    ok = spark.range(1).select(
+        queries.parse_time_bound("2024-01-05 00:00:00").alias("t")
+    ).first()
+    assert ok.t is not None
+    # Spark 4 ANSI mode already raises CAST_INVALID_INPUT at the
+    # to_timestamp; the assert_true covers non-ANSI deployments
+    with pytest.raises(Exception, match="unparseable|ASSERT|CAST_INVALID_INPUT"):
+        spark.range(1).select(
+            queries.parse_time_bound("not-a-time").alias("t")
+        ).first()
