@@ -281,3 +281,47 @@ def rollup_multires_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "user_id", "avg_value", "reading_count")
     )
+
+
+def timeseries_sliding_1h15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate: 1-hour windows every 15 minutes for
+    one station (SURVEY.md §2.7 notes sliding windows are free in
+    Spark; the reference has only tumbling). Each event lands in 4
+    overlapping windows — the fan-out happens inside the window()
+    expression, before partial aggregation, so the shuffle still
+    carries one row per (window, group)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == STATION)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            dec_avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("reading_count"),
+        )
+        .select(F.col("w.start").alias("bucket"), "avg_value", "reading_count")
+    )
+
+
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, per station.
+
+    Spark's session_window merges events closer than the gap; a
+    session spans [first_ts, last_ts + gap). The oracle reproduces
+    exactly this with gaps-and-islands SQL (break when the gap is
+    >= 30 minutes, matching Spark's exclusive session end).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dec_avg("value").alias("avg_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+            "avg_value",
+        )
+    )

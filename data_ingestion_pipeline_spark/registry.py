@@ -135,6 +135,44 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY 1, 2, 3
         """,
     ),
+    "timeseries_sliding_1h15m": QuerySpec(
+        queries.timeseries_sliding_1h15m,
+        # each event belongs to the 4 slide-aligned windows covering it
+        f"""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS bucket,
+               {_DEC_AVG_VALUE} AS avg_value,
+               COUNT(*) AS reading_count
+        FROM events, generate_series(0, 3) t(k)
+        WHERE user_id = 7
+        GROUP BY 1
+        """,
+    ),
+    "session_windows_30m": QuerySpec(
+        queries.session_windows_30m,
+        # gaps-and-islands; break on gap >= 30 min to match Spark's
+        # exclusive session end (end = last event + gap)
+        f"""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), islands AS (
+            SELECT *, SUM(brk) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS event_count,
+               {_DEC_AVG_VALUE} AS avg_value
+        FROM islands GROUP BY user_id, sess
+        """,
+    ),
     "rollup_multires_1d": QuerySpec(
         queries.rollup_multires_1d,
         # oracle aggregates the RAW data directly — the two-level
