@@ -113,3 +113,47 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (builder's-brief checklist): whitespace
+    tokens and a BPE-ish regex count (word runs or single
+    non-word-non-space chars — the base segmentation a byte-pair
+    tokenizer starts from). Both JVM-side regex ops; the pattern is
+    ASCII-safe so Java and RE2 (DuckDB) agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
+        .cast("bigint")
+        .alias("bpeish_tokens"),
+    )
+
+
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Rabin-Karp-style
+    polynomial rolling hash over the token stream,
+    h = fold(pmod(h·B + pmod(xxhash64(tok), M), M)).
+
+    Unlike the content SHA (doc_fingerprint), equal token MULTISETS
+    with different order hash differently — the fingerprint for
+    order-aware near-dup pipelines and shard-level content addressing.
+    The explicit Mersenne-prime modulus keeps every intermediate ≤
+    2^51, because Spark 4's ANSI mode makes silent 64-bit wraparound a
+    runtime ARITHMETIC_OVERFLOW error. One scan, no shuffle. xxhash64
+    is Spark-specific → no SQL oracle; order sensitivity and
+    determinism are asserted in tests/test_dedup.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    B = 1000003
+    M = 2147483647  # 2^31 − 1
+    h = F.aggregate(
+        _tokens(),
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(
+            acc * F.lit(B) + F.pmod(F.xxhash64(tok), F.lit(M)), F.lit(M)
+        ),
+    )
+    return docs.select("doc_id", h.alias("rolling_hash"))

@@ -593,6 +593,20 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents
         """,
     ),
+    "token_counts": QuerySpec(
+        text.token_counts,
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS bpeish_tokens
+        FROM documents
+        """,
+    ),
+    "doc_rolling_hash": QuerySpec(
+        text.doc_rolling_hash,
+        None,  # xxhash64 token hashes are Spark-specific; order sensitivity tested in pytest
+    ),
     "docs_exact_dedup": QuerySpec(
         text.docs_exact_dedup,
         """

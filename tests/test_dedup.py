@@ -99,3 +99,32 @@ def test_simhash_buckets_structure(spark):
         assert 0 <= r.simhash < (1 << 32)
         for i in range(4):
             assert 0 <= r[f"band{i}"] <= 0xFF
+
+
+def test_rolling_hash_order_sensitive_and_deterministic(spark):
+    """Rabin-Karp fingerprint: equal docs hash equal; the same token
+    multiset in a different order hashes differently."""
+    from data_ingestion_pipeline_spark.operators.text import doc_rolling_hash
+
+    h1 = {r.doc_id: r.rolling_hash for r in doc_rolling_hash(spark, SF_TEST).collect()}
+    h2 = {r.doc_id: r.rolling_hash for r in doc_rolling_hash(spark, SF_TEST).collect()}
+    assert h1 == h2  # deterministic across runs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    probe = df.select(
+        "doc_id",
+        F.aggregate(
+            F.split(F.col("text"), " "),
+            F.lit(0).cast("long"),
+            lambda acc, tok: F.pmod(
+                acc * F.lit(1000003) + F.pmod(F.xxhash64(tok), F.lit(2147483647)),
+                F.lit(2147483647),
+            ),
+        ).alias("h"),
+    )
+    rows = {r.doc_id: r.h for r in probe.collect()}
+    assert rows[1] == rows[3], "identical docs must hash equal"
+    assert rows[1] != rows[2], "reordered tokens must hash differently"
