@@ -275,3 +275,72 @@ def power_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return clickers.intersect(buyers)
+
+
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping-set
+    combinations in one pass (rollup_pricing covers the hierarchical
+    subset). Spark plans grouping sets as a single expand+aggregate —
+    one shuffle regardless of the number of sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "count_order",
+        )
+    )
+
+
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull a typed field out of the events
+    table's JSON `props` column and aggregate it — the
+    get_json_object path stays JVM-side (Jackson), no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def station_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station least-squares trend of value over time — advanced
+    analytics kept EXACT across engines.
+
+    Not regr_slope(): its internal float accumulation is
+    order-dependent, so a cluster run would not hash-match the
+    oracle. Instead the four sufficient statistics are accumulated
+    exactly (integer seconds, decimal products; time is centered on
+    2024-01-15 so every product stays well inside exact-double/long
+    range), and the slope is assembled in a fixed sequence of single
+    IEEE ops on identical inputs — bit-identical on any engine or
+    partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("unix_micros(ts) div 1000000") - F.lit(1705276800)
+    y = F.col("value")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y.cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    slope = (n_d * F.col("sxy") - sx_d * F.col("sy")) / (
+        n_d * sxx_d - sx_d * sx_d
+    )
+    return stats.select(
+        "user_id", slope.alias("slope"), F.col("n").alias("reading_count")
+    )

@@ -530,6 +530,50 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE event_type = 'purchase' AND value > 150
         """,
     ),
+    "cube_pricing": QuerySpec(
+        analytics.cube_pricing,
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+    ),
+    "props_json_extract": QuerySpec(
+        analytics.props_json_extract,
+        """
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+               MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "station_trend_slope": QuerySpec(
+        analytics.station_trend_slope,
+        """
+        WITH s AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   SUM((epoch_us(ts) // 1000000) - 1705276800) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(((epoch_us(ts) // 1000000) - 1705276800) * value
+                        AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                   SUM(((epoch_us(ts) // 1000000) - 1705276800)
+                       * ((epoch_us(ts) // 1000000) - 1705276800)) AS sxx
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               n AS reading_count
+        FROM s
+        """,
+    ),
     "event_type_cardinality": QuerySpec(
         analytics.event_type_cardinality,
         """
