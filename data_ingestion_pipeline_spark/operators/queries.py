@@ -325,3 +325,40 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+def timeseries_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per station — the analog of
+    TimescaleDB's time_bucket_gapfill + locf (the reference's DB
+    offers it; its query service never got there).
+
+    Two stages: the hourly aggregate is ordinary exact JVM
+    aggregation; the per-station grid reindex + forward-fill runs as
+    ``applyInPandas`` (grouped Arrow batches, pandas date_range +
+    ffill inside) — the right tool because gap-filling is a per-group
+    sequential transform, not an algebraic aggregate. Filled values
+    are COPIES of exact aggregates, so cross-engine equality is
+    preserved bit-for-bit. Scale: one shuffle on user_id; each
+    group's series (≤ hours-in-range rows) fits a worker comfortably.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id"), F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(dec_avg("value").alias("avg_value"))
+
+    schema = "user_id long, bucket timestamp, avg_value double, filled boolean"
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").set_index("bucket")
+        grid = pd.date_range(pdf.index.min(), pdf.index.max(), freq="1h")
+        out = pdf.reindex(grid)
+        out["user_id"] = pdf["user_id"].iloc[0]
+        out["filled"] = out["avg_value"].isna()
+        out["avg_value"] = out["avg_value"].ffill()
+        return out.reset_index(names="bucket")[
+            ["user_id", "bucket", "avg_value", "filled"]
+        ]
+
+    return hourly.groupBy("user_id").applyInPandas(fill, schema)

@@ -135,6 +135,33 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY 1, 2, 3
         """,
     ),
+    "timeseries_1h_gapfill": QuerySpec(
+        queries.timeseries_1h_gapfill,
+        f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   {_DEC_AVG_VALUE} AS avg_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+            FROM bounds
+        ), joined AS (
+            SELECT g.user_id, g.bucket, h.avg_value,
+                   h.avg_value IS NULL AS filled
+            FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+        )
+        SELECT user_id, bucket,
+               last_value(avg_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS avg_value,
+               filled
+        FROM joined
+        """,
+    ),
     "timeseries_sliding_1h15m": QuerySpec(
         queries.timeseries_sliding_1h15m,
         # each event belongs to the 4 slide-aligned windows covering it
