@@ -32,7 +32,7 @@ from data_ingestion_pipeline_spark.operators import (
     wire,
 )
 from data_ingestion_pipeline_spark.functions import skew
-from data_ingestion_pipeline_spark.sources import generator
+from data_ingestion_pipeline_spark.sources import files, generator
 from data_ingestion_pipeline_spark.streaming import pipeline as streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -296,6 +296,12 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE NOT EXISTS (
             SELECT 1 FROM updates u
             WHERE u.user_id = b.user_id AND u.ts = b.ts)
+        """,
+    ),
+    "csv_source_roundtrip": QuerySpec(
+        files.csv_source_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
     # ---- synthetic source (SURVEY.md §2.1 S5/S6) ----
