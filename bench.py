@@ -39,6 +39,7 @@ from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
 
 EXCLUDED = {
     "ngram_jaccard_pairs",  # quadratic oracle fixture, not a production path
+    "embedding_near_dup_pairs",  # same: exact all-pairs ground truth for the LSH variant
 }
 
 

@@ -344,3 +344,34 @@ def station_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "user_id", slope.alias("slope"), F.col("n").alias("reading_count")
     )
+
+
+def station_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows more than 3σ above their station's mean — anomaly
+    flagging with exactness preserved: per-station mean/variance come
+    from decimal sums (Σy, Σy²) and the z-score test is a fixed
+    sequence of IEEE ops on identical inputs, so the flagged set is
+    identical on any engine/partitioning. The 150-row stats side
+    broadcasts; the fact scan streams once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    m = F.col("sy") / F.col("n")
+    sigma = F.sqrt(F.col("s2") / F.col("n") - m * m)
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter(F.col("value") > m + F.lit(3.0) * sigma)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            ((F.col("value") - m) / sigma).alias("zscore"),
+        )
+    )

@@ -229,3 +229,82 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+NEAR_DUP_COSINE = 0.45
+NEAR_DUP_MAX_HAMMING = 52  # 128-bit sigs: cos≥0.45 → E[ham]≈45; random → 64
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs variant.
+
+    Quadratic by construction: like ngram_jaccard_pairs this is the
+    oracle-checkable ground truth the pruned variant is tested
+    against, not the production path (and excluded from the bench for
+    the same reason). Fixed-point dots keep it engine-exact.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine", _fixed_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup — signature-pruned scale path.
+
+    Coarse pass compares 16-byte Hamming signatures for every pair
+    (XOR + bit_count — ~1000× cheaper than a 64-dim dot); only pairs
+    within NEAR_DUP_MAX_HAMMING get the exact fixed-point cosine and
+    the true threshold. At cos 0.45 the signature Hamming
+    concentrates near 45/128 vs 64/128 for random pairs, so the
+    coarse pass prunes ~98% of candidates (measured in
+    tests/test_similarity.py along with recall vs the exact variant).
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    sigs = hamming_signatures(emb)
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("sig0").alias("a0"), F.col("sig1").alias("a1")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("sig0").alias("b0"), F.col("sig1").alias("b1")
+    )
+    cand = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+            + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1"))),
+        )
+        .filter(F.col("hamming") <= NEAR_DUP_MAX_HAMMING)
+        .select("vec_a", "vec_b")
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine", _fixed_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )

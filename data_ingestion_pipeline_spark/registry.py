@@ -724,6 +724,53 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup.simhash_candidates,
         None,  # xxhash64-derived; recall vs exact Jaccard asserted in tests/test_dedup.py
     ),
+    "station_outliers": QuerySpec(
+        analytics.station_outliers,
+        """
+        WITH s AS (
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+            FROM events GROUP BY user_id
+        )
+        SELECT event_id, e.user_id, ts, value,
+               (value - sy / n) / sqrt(s2 / n - (sy / n) * (sy / n)) AS zscore
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE value > sy / n + 3.0 * sqrt(s2 / n - (sy / n) * (sy / n))
+        """,
+    ),
+    "embedding_near_dup_pairs": QuerySpec(
+        similarity.embedding_near_dup_pairs,
+        """
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id,
+                   SQRT(CAST(SUM(CAST(floor(
+                       (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+            FROM e GROUP BY vec_id
+        ), dots AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(SUM(CAST(floor(
+                       (CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.45
+        """,
+    ),
+    "embedding_near_dup_lsh": QuerySpec(
+        similarity.embedding_near_dup_lsh,
+        None,  # signature-pruned; recall + pruning measured in tests/test_similarity.py
+    ),
     # ---- multimodal binary columns (north-star scope) ----
     "binary_metadata": QuerySpec(
         multimodal.binary_metadata,

@@ -62,3 +62,22 @@ def test_ann_hamming_recall(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for qid, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), qid
+
+
+def test_embedding_near_dup_lsh_recall_and_pruning(spark):
+    """The signature-pruned near-dup variant must recover the exact
+    cosine-threshold pairs while exactly-scoring only a small slice
+    of the pair space."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_pairs(spark, SF_TEST).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_lsh(spark, SF_TEST).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs at the threshold"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f}"
+    # perfect precision: every emitted pair passed the true threshold
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
