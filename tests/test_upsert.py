@@ -63,3 +63,29 @@ def test_upsert_rewrites_only_touched_partitions(spark):
     ).agg(F.sum("value")).first()[0]
     want_updated = updates.agg(F.sum("value")).first()[0]
     assert abs(got_updated - want_updated) < 1e-6
+
+
+def test_written_table_prunes_partitions(spark):
+    """A date predicate on the day-partitioned table must prune at the
+    scan (PartitionFilters), standing in for TimescaleDB chunk
+    exclusion — the read-side payoff of the write layout."""
+    import contextlib
+    import io
+
+    table = scratch_path("t_prune2", "table")
+    shutil.rmtree(table, ignore_errors=True)
+    ev = load_table(spark, SF_TEST, "events").select(*FEED_COLS)
+    write_time_partitioned(ev, table)
+
+    df = spark.read.parquet(table).filter(
+        F.col("p_date") == TOUCHED_DAY
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "p_date" in pf, pf
+    # and the pruned read returns exactly that day's rows
+    assert df.count() == ev.filter(F.to_date("ts") == TOUCHED_DAY).count()
