@@ -332,33 +332,41 @@ def timeseries_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     TimescaleDB's time_bucket_gapfill + locf (the reference's DB
     offers it; its query service never got there).
 
-    Two stages: the hourly aggregate is ordinary exact JVM
-    aggregation; the per-station grid reindex + forward-fill runs as
-    ``applyInPandas`` (grouped Arrow batches, pandas date_range +
-    ffill inside) — the right tool because gap-filling is a per-group
-    sequential transform, not an algebraic aggregate. Filled values
-    are COPIES of exact aggregates, so cross-engine equality is
-    preserved bit-for-bit. Scale: one shuffle on user_id; each
-    group's series (≤ hours-in-range rows) fits a worker comfortably.
+    Pure JVM plan, no Python workers: the hourly aggregate is exact
+    decimal aggregation; the per-station hour grid is
+    ``sequence(min, max, interval 1 hour)`` exploded from the
+    per-station bounds (one tiny row per station before the explode);
+    locf is ``last(avg_value, ignorenulls=True)`` over an ordered
+    per-station window. Filled values are COPIES of exact aggregates,
+    so cross-engine equality is preserved bit-for-bit. Scale: the
+    grid explode fans out from one row per station (not per event),
+    the left join and the fill window share the user_id shuffle key,
+    and everything stays inside whole-stage codegen.
     """
-    import pandas as pd
-
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.col("user_id"), F.date_trunc("hour", "ts").alias("bucket")
     ).agg(dec_avg("value").alias("avg_value"))
 
-    schema = "user_id long, bucket timestamp, avg_value double, filled boolean"
-
-    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket").set_index("bucket")
-        grid = pd.date_range(pdf.index.min(), pdf.index.max(), freq="1h")
-        out = pdf.reindex(grid)
-        out["user_id"] = pdf["user_id"].iloc[0]
-        out["filled"] = out["avg_value"].isna()
-        out["avg_value"] = out["avg_value"].ffill()
-        return out.reset_index(names="bucket")[
-            ["user_id", "bucket", "avg_value", "filled"]
-        ]
-
-    return hourly.groupBy("user_id").applyInPandas(fill, schema)
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left")
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.last("avg_value", ignorenulls=True).over(fill_w).alias("avg_value"),
+        F.col("avg_value").isNull().alias("filled"),
+    )

@@ -112,3 +112,12 @@ def test_parse_time_bound_fail_fast(spark):
         spark.range(1).select(
             queries.parse_time_bound("not-a-time").alias("t")
         ).first()
+
+
+def test_gapfill_is_jvm_only(spark):
+    """Gap-filling must stay inside whole-stage codegen: no Python
+    workers (ArrowEvalPython/FlatMapGroupsInPandas) in the plan."""
+    plan = plan_of(queries.timeseries_1h_gapfill(spark, SF_TEST))
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    # grid explode fans out from one row per station, not per event
+    assert "Generate" in plan and "explode(sequence(" in plan, plan
