@@ -117,20 +117,34 @@ def upsert_into_table(
     merged = updates.unionByName(
         base.join(updates.select(keys).distinct(), on=keys, how="left_anti")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # inside foreachBatch the micro-batch DataFrame belongs to a CLONED
+    # SparkSession with isolated confs — the overwrite-mode conf must be
+    # set on the session that executes the write (merged inherits it
+    # from `updates`), not the outer one the caller passed
+    sess = merged.sparkSession
+    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         # the merge plan reads `path` and the overwrite writes to
-        # `path`; materialize through a staging dir so the rewrite
-        # never overlaps its own input
-        staging = path.rstrip("/") + ".staging"
-        with_partition_col(merged, ts_col).write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
-            PARTITION_COL
-        ).parquet(path)
-        shutil.rmtree(staging, ignore_errors=True)
+        # `path`: localCheckpoint materializes the merged partitions
+        # to executor block storage (cutting the lineage back to the
+        # input files) so the overwrite never overlaps its own input
+        # — ONE parquet write per merge, not a staging double-write.
+        #
+        # Durability note (deliberate non-goal): dynamic partition
+        # overwrite is not transactional — a crash between the delete
+        # and the rewrite of a touched partition loses that
+        # partition's base rows, and checkpoint replay then merges
+        # against the corrupted base. The reference has the same
+        # window only per-row (mid-transaction Postgres aborts roll
+        # back). A table format with atomic commits (Delta/Iceberg)
+        # is the production answer; plain parquet is the environment
+        # constraint here.
+        merged = with_partition_col(merged, ts_col).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+        merged.unpersist()
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def upsert_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
