@@ -22,6 +22,9 @@ Overflow headroom: testdata embeddings are 64-dim with |x| ≤ 0.6, so
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -32,6 +35,7 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_PLANES = 128  # hyperplane signature bits (2 packed longs)
 SHORTLIST = 64  # Hamming-shortlist size per query before exact rerank
 FIXED_SCALE = 1e12  # fixed-point quantum for exact dot products
+EMB_SCALE = 1e6  # fixed-point quantum for signature/band projections
 
 
 def _fixed_dot(a, b) -> F.Column:
@@ -88,74 +92,101 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_weights(n_planes: int, dim: int) -> list[list[int]]:
-    """Deterministic hyperplane weight table, w[d][p] ∈ [-501501,
-    501501]: an md5 draw per (plane, dim) computed ONCE driver-side (a
-    few thousand hashes) — seeded, engine-independent. An earlier
-    in-expression xxhash64 formulation re-evaluated millions of
-    redundant hashes per pass; a cheaper multiplicative-hash table had
+def _plane_weights(n_planes: int, dim: int, salt: str = "") -> np.ndarray:
+    """Deterministic hyperplane weight matrix, shape (dim, n_planes),
+    int64 entries ∈ [-501501, 501501]: an md5 draw per (plane, dim)
+    computed ONCE driver-side (a few thousand hashes) — seeded,
+    engine-independent. A cheaper multiplicative-hash table had
     lattice structure (weights linear in d mod a prime) that
     correlated the planes and halved recall — a real hash is load-
     bearing here. Symmetric range: a sign-biased distribution also
-    correlates the bits.
+    correlates the bits. `salt` yields an independent plane family
+    (the band tables must not reuse the signature planes).
     """
     import hashlib
 
     def draw(p: int, d: int) -> int:
-        h = hashlib.md5(f"plane:{p}:dim:{d}".encode()).digest()
+        h = hashlib.md5(f"plane:{salt}:{p}:dim:{d}".encode()).digest()
         return int.from_bytes(h[:8], "big") % 1000003 - 501501
 
-    return [[draw(p, d) for p in range(n_planes)] for d in range(dim)]
+    return np.array(
+        [[draw(p, d) for p in range(n_planes)] for d in range(dim)], dtype=np.int64
+    )
+
+
+def _project_bits(E: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """Sign bits of the hyperplane projections, EXACTLY and
+    deterministically: the embedding is quantized once
+    (floor(x·1e6) — integer-valued float64), the weights are integers,
+    and every product (≤ 3.1e11) and dot-product partial sum
+    (≤ dim·3.1e11) stays below 2^53 — float64 represents every
+    intermediate exactly, so BLAS GEMM gives the bit-identical answer
+    under any blocking/SIMD/thread order. The guard enforces the
+    headroom rather than assuming it.
+    """
+    Eq = np.floor(E.astype(np.float64) * EMB_SCALE)
+    bound = float(np.abs(Eq).max(initial=0.0)) * float(np.abs(W).max(initial=0.0))
+    if bound * E.shape[1] >= 2.0**53:
+        raise ValueError(
+            f"fixed-point projection would lose exactness: "
+            f"dim={E.shape[1]} max|Eq·w|={bound:.3g}"
+        )
+    return (Eq @ W.astype(np.float64)) > 0.0
+
+
+def _pack_words(bits: np.ndarray) -> list[np.ndarray]:
+    """Pack a (n, nbits) bool matrix into ⌈nbits/64⌉ int64 word
+    columns, bit j of word i = bit 64·i+j (two's complement — bit 63
+    lands in the sign, matching JVM ``shiftleft`` packing)."""
+    words = []
+    for lo in range(0, bits.shape[1], 64):
+        chunk = bits[:, lo : lo + 64]
+        w = np.zeros(len(chunk), dtype=np.uint64)
+        for j in range(chunk.shape[1]):
+            w |= chunk[:, j].astype(np.uint64) << np.uint64(j)
+        words.append(w.view(np.int64))
+    return words
+
+
+def _vector_dim(emb: DataFrame) -> int:
+    # single-row metadata probe (documented scan); the weight table
+    # must be sized driver-side before the distributed pass
+    return emb.select(F.size("embedding")).first()[0]
 
 
 def hamming_signatures(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, sig0, sig1): random-hyperplane signature packed into
+    """(vec_id, sig0..sig{w}): random-hyperplane signature packed into
     ⌈n_planes/64⌉ longs.
 
-    Projections use the same fixed-point long sums as _fixed_dot, so
-    every bit is partition-order independent.
-
-    Shape: posexplode the vector, broadcast-join the tiny per-dim
-    weight table (dim rows), one fixed-point SUM aggregate per plane
-    (map-side combine, one shuffle on vec_id) — the same
-    explode+aggregate formulation that made MinHash 28× faster than
-    nested array lambdas (see operators/dedup.py).
+    Shape: ONE narrow mapInPandas pass — Arrow-batched numpy GEMM of
+    the quantized embeddings against the broadcast-by-closure weight
+    matrix. Signature computation is a dense matrix multiply, which
+    Spark SQL can only express as either an n·dim·planes row explosion
+    or n_planes separate SUM aggregates (the round-2 shape — its 128
+    aggregate columns blew the whole-stage-codegen budget and the
+    plan spent seconds compiling). A vectorized Arrow batch is the
+    canonical engine answer (MLlib does the same via BLAS); exactness
+    and partition-independence are preserved by integer-valued
+    float64 arithmetic (see _project_bits). No shuffle: signatures
+    are computed where the vectors already live.
     """
-    spark = emb.sparkSession
-    dim = emb.select(F.size("embedding")).first()[0]
-    wdf = spark.createDataFrame(
-        [(d, ws) for d, ws in enumerate(_plane_weights(n_planes, dim))],
-        "d int, w array<bigint>",
-    )
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x")).join(
-        F.broadcast(wdf), "d"
-    )
-    sums = [
-        F.sum(
-            F.floor(
-                F.col("x").cast("double")
-                * F.col("w").getItem(p).cast("double")
-                * F.lit(1e6)
-            )
-        ).alias(f"s{p}")
-        for p in range(n_planes)
-    ]
-    per = ex.groupBy("vec_id").agg(*sums)
+    n_words = (n_planes + 63) // 64
+    W = _plane_weights(n_planes, _vector_dim(emb))
+    schema = "vec_id bigint, " + ", ".join(f"sig{i} bigint" for i in range(n_words))
 
-    def pack(lo: int, width: int) -> F.Column:
-        sig = F.lit(0).cast("long")
-        for j in range(width):
-            bit = F.when(F.col(f"s{lo + j}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            sig = sig + F.shiftleft(bit, j)
-        return sig
+    def gen(batches):
+        import pandas as pd
 
-    return per.select(
-        "vec_id",
-        pack(0, 64).alias("sig0"),
-        pack(64, n_planes - 64).alias("sig1"),
-    )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bits = _project_bits(np.stack(pdf["embedding"].to_numpy()), W)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for i, col in enumerate(_pack_words(bits)):
+                out[f"sig{i}"] = col
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
 
 
 def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +264,67 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_COSINE = 0.45
 NEAR_DUP_MAX_HAMMING = 52  # 128-bit sigs: cos≥0.45 → E[ham]≈45; random → 64
+BAND_TARGET_RECALL = 0.95  # per-pair P(threshold pair shares ≥1 band table)
+MAX_BAND_TABLES = 1024  # cost ceiling; recall degrades past it, documented
+
+
+def _lsh_params(n: int, threshold: float) -> tuple[int, int]:
+    """(band_bits, n_tables) for multi-table hyperplane LSH, derived
+    from the corpus size — the classic n^(1+ρ) construction.
+
+    A pair at cosine θ agrees on one hyperplane bit with
+    p₁ = 1 − acos(θ)/π, so it shares a b-bit band with probability
+    p₁^b and survives T independent tables with 1 − (1−p₁^b)^T.
+    Choosing b ≈ log₂n makes the expected random-pair collision count
+    per table ≈ n (linear, not quadratic), and
+    T = ln(1/(1−R))/p₁^b ∝ n^ρ (ρ = ln p₁/ln 0.5) hits per-pair
+    recall R. Total candidate work is then O(T·n) = O(n^(1+ρ)) —
+    sub-quadratic for any threshold > 0, vs the all-pairs O(n²) this
+    replaces. At the aggressive 0.45 threshold ρ ≈ 0.62 and T is
+    large; at realistic near-dup thresholds (0.9+) ρ ≈ 0.2 and a few
+    dozen tables suffice. T is capped at MAX_BAND_TABLES: past the
+    cap recall falls below target rather than cost growing unbounded.
+    """
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    b = min(24, max(6, round(math.log2(max(n, 2)))))
+    t = math.ceil(math.log(1.0 / (1.0 - BAND_TARGET_RECALL)) / (p1**b))
+    return b, min(t, MAX_BAND_TABLES)
+
+
+def _band_keys(emb: DataFrame, n_tables: int, band_bits: int, dim: int) -> DataFrame:
+    """(vec_id, band_table, band_key): for each vector, one packed
+    b-bit hyperplane key per band table, all T·b planes drawn fresh
+    (salted) and projected in the same exact Arrow-batched GEMM as
+    hamming_signatures. Long format (T rows per vector) so candidate
+    generation is a plain equi-join on (band_table, band_key).
+    """
+    W = _plane_weights(n_tables * band_bits, dim, salt="band")
+    schema = "vec_id bigint, band_table int, band_key bigint"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bits = _project_bits(np.stack(pdf["embedding"].to_numpy()), W)
+            n = len(pdf)
+            keys = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                chunk = bits[:, t * band_bits : (t + 1) * band_bits]
+                for j in range(band_bits):
+                    keys[:, t] |= chunk[:, j].astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "band_table": np.tile(
+                        np.arange(n_tables, dtype=np.int32), n
+                    ),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,17 +357,42 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup — signature-pruned scale path.
+    """Embedding-cosine near-dup — banded (sub-quadratic) scale path.
 
-    Coarse pass compares 16-byte Hamming signatures for every pair
-    (XOR + bit_count — ~1000× cheaper than a 64-dim dot); only pairs
-    within NEAR_DUP_MAX_HAMMING get the exact fixed-point cosine and
-    the true threshold. At cos 0.45 the signature Hamming
-    concentrates near 45/128 vs 64/128 for random pairs, so the
-    coarse pass prunes ~98% of candidates (measured in
-    tests/test_similarity.py along with recall vs the exact variant).
+    Three prune stages, each strictly cheaper than the next is
+    expensive:
+    1. CANDIDATES — multi-table hyperplane band bucketing: vectors
+       sharing a b-bit band key in any of T salted tables become a
+       candidate pair via an equi-join on (band_table, band_key).
+       O(n^(1+ρ)) total work (see _lsh_params), never all-pairs — the
+       round-2 shape joined every signature pair (`vec_a < vec_b`, a
+       theta join), which is O(n²) candidate generation no matter how
+       cheap the per-pair test; plan non-cartesianness is asserted in
+       tests/test_plans.py.
+    2. COARSE FILTER — 16-byte signature Hamming ≤ NEAR_DUP_MAX_HAMMING
+       (XOR + bit_count, ~1000× cheaper than a 64-dim dot) on the
+       candidates only.
+    3. EXACT — fixed-point cosine ≥ threshold, so precision is perfect
+       by construction; only recall is approximate (measured floor in
+       tests/test_similarity.py, per-pair target BAND_TARGET_RECALL).
+
+    The corpus-size probe (`count()`) that sizes the band tables is a
+    parquet-metadata count — one cheap job, amortized over the run.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    dim = _vector_dim(emb)
+    band_bits, n_tables = _lsh_params(emb.count(), NEAR_DUP_COSINE)
+    bk = _band_keys(emb, n_tables, band_bits, dim)
+    pairs = (
+        bk.select(F.col("vec_id").alias("vec_a"), "band_table", "band_key")
+        .join(
+            bk.select(F.col("vec_id").alias("vec_b"), "band_table", "band_key"),
+            ["band_table", "band_key"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
     sigs = hamming_signatures(emb)
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), F.col("sig0").alias("a0"), F.col("sig1").alias("a1")
@@ -284,7 +401,8 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("sig0").alias("b0"), F.col("sig1").alias("b1")
     )
     cand = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn(
             "hamming",
             F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))

@@ -78,6 +78,16 @@ def test_simhash_candidates_is_not_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_dup_lsh_is_not_allpairs(spark):
+    """The banded near-dup candidate join must be an equi-join on
+    (band_table, band_key) — the round-2 shape was a theta join over
+    every signature pair (O(n²) candidates regardless of per-pair
+    cost)."""
+    plan = plan_of(similarity.embedding_near_dup_lsh(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     """The exact scorer is a deliberate broadcast cross: the tiny
     query set is broadcast and the candidate table streams once. The

@@ -78,6 +78,8 @@ def test_embedding_near_dup_lsh_recall_and_pruning(spark):
     }
     assert exact, "fixture must contain near-dup pairs at the threshold"
     recall = len(exact & lsh) / len(exact)
-    assert recall >= 0.7, f"recall {recall:.2f}"
+    # deterministic (seeded planes): measured 0.86 at sf0.001, 1.00 at
+    # sf0.01, 0.91 at sf0.1 with BAND_TARGET_RECALL=0.95
+    assert recall >= 0.8, f"recall {recall:.2f}"
     # perfect precision: every emitted pair passed the true threshold
     assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
