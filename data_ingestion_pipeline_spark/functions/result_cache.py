@@ -56,8 +56,8 @@ def cached(
     reference.
     """
     spark = df.sparkSession
-    root = cache_root or scratch_path("result_cache", "x")
-    path = os.path.join(os.path.dirname(root), plan_key(df))
+    root = cache_root or scratch_path("result_cache")
+    path = os.path.join(root, plan_key(df))
     if not _is_fresh(path, ttl_seconds):
         shutil.rmtree(path, ignore_errors=True)
         df.write.mode("overwrite").parquet(path)

@@ -180,15 +180,17 @@ REGISTRY: dict[str, QuerySpec] = {
         # exclusive session end (end = last event + gap)
         f"""
         WITH marked AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS brk
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), islands AS (
+            -- event_id tiebreaker keeps the running sum deterministic
+            -- even if a station ever has two events at one timestamp
             SELECT *, SUM(brk) OVER (
-                PARTITION BY user_id ORDER BY ts
+                PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS sess
             FROM marked
         )

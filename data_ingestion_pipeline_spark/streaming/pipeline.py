@@ -115,6 +115,18 @@ def build_feed(
         fh.write(key)
 
 
+def prewarm_feeds(spark: SparkSession, sf_dir: str) -> None:
+    """Build (or reuse) the stream-source fixture directories for every
+    streaming entry. The feed simulates a Kafka topic's backlog — it is
+    harness setup, not engine work, so the bench builds it untimed the
+    same way testdata generation is untimed."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    build_feed(spark, sf_dir, scratch_path("stream_dedup", sf_name, "feed"))
+    build_feed(
+        spark, sf_dir, scratch_path("stream_ts1h", sf_name, "feed"), with_dups=False
+    )
+
+
 class _ObservedCounter(StreamingQueryListener):
     """Accumulates the `source` observed metric across ALL progress
     events of one query run.

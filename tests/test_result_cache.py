@@ -15,13 +15,14 @@ from tests.conftest import SF_TEST
 def _entry_files(root: str, key: str):
     return {
         p: os.path.getmtime(p)
-        for p in glob.glob(os.path.join(os.path.dirname(root), key, "*"))
+        for p in glob.glob(os.path.join(root, key, "*"))
     }
 
 
 def test_cache_hit_serves_stored_result_and_expires(spark):
-    root = scratch_path("t_cache", "x")
-    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    # cache_root CONTAINS the entries (entry dir = root/<plan_key>)
+    root = scratch_path("t_cache")
+    shutil.rmtree(root, ignore_errors=True)
 
     df = grouped_agg_all_stations(spark, SF_TEST)
     key = plan_key(df)
