@@ -231,6 +231,121 @@ def latest_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def station_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station reading-to-reading change (lag window): the
+    successive-difference primitive behind rate/derivative endpoints
+    the reference's DB offers via LAG but its query service never
+    exposed. One shuffle on user_id; (ts, event_id) ordering makes the
+    frame total even if a station ever records two events in the same
+    microsecond. IEEE double subtraction of identical inputs is
+    correctly rounded, so the deltas are engine-identical with no
+    decimal detour.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def station_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour moving average per station — a RANGE-frame
+    window (frame bounded by time VALUE, not row count), the moving-
+    aggregate shape TimescaleDB serves with window functions over
+    hypertables.
+
+    The frame is defined on unix seconds so the bound is an exact
+    integer range; the windowed average uses decimal sums (exact,
+    associative) over the frame SET, so equal-timestamp peers —
+    included by RANGE in both engines — cannot reorder a float
+    accumulation. One shuffle on user_id, sort by time within.
+    """
+    from data_ingestion_pipeline_spark.functions.exact import SCALE
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (
+            F.sum(F.col("value").cast(f"decimal(38,{SCALE})")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
+def asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event annotated with the most recent
+    click (ts ≤ purchase ts) by the same station — the classic
+    event-attribution / point-in-time-correct lookup (DuckDB spells it
+    ASOF JOIN; the oracle uses exactly that).
+
+    Spark has no asof-join operator; the scalable formulation is the
+    union + last(ignorenulls) pattern: tag both sides, union, and take
+    the running last click over a per-station (ts, kind) ordering —
+    clicks sort BEFORE purchases at equal ts, matching ASOF's
+    inclusive bound. ONE shuffle on user_id and a linear merge —
+    never the range-join explosion (a theta join on ts ≤ ts is O(n·m)
+    per station), and never a driver-side loop. (user_id, ts) is
+    unique in the data, so the ordering is total and the match
+    deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = clicks.unionByName(purchases)
+    return (
+        u.select(
+            "user_id",
+            "ts",
+            "kind",
+            "event_id",
+            "value",
+            F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+            F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+            F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id", "user_id", "ts", "value", "click_id", "click_ts", "click_value"
+        )
+    )
+
+
 def parse_time_bound(bound: str) -> F.Column:
     """Input-boundary predicate (P6): parse an ISO-8601 bound, failing
     fast on garbage instead of silently matching nothing.

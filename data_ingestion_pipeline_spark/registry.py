@@ -306,6 +306,52 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "jsonl_source_roundtrip": QuerySpec(
+        files.jsonl_source_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+    ),
+    # ---- window-function surface (lag / range-frame / as-of) ----
+    "station_deltas": QuerySpec(
+        queries.station_deltas,
+        """
+        SELECT user_id, event_id, ts, value,
+               value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM events
+        """,
+    ),
+    "station_moving_avg_24h": QuerySpec(
+        queries.station_moving_avg_24h,
+        # frame on floor(epoch seconds) — Spark's unix_timestamp
+        # truncates to seconds, so both engines bound the same frame;
+        # decimal window sums keep the average order-independent
+        """
+        SELECT user_id, event_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS avg_24h,
+               COUNT(*) OVER w AS n_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        """,
+    ),
+    "asof_latest_click": QuerySpec(
+        queries.asof_latest_click,
+        # DuckDB's native ASOF JOIN is the independent spelling of the
+        # union+last(ignorenulls) plan; (user_id, ts) is unique so the
+        # match is deterministic in both engines
+        """
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.event_id AS click_id, c.ts AS click_ts,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    ),
     # ---- synthetic source (SURVEY.md §2.1 S5/S6) ----
     "synthetic_weather": QuerySpec(
         generator.synthetic_weather,
@@ -355,6 +401,18 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM feed
         QUALIFY row_number() OVER (
             PARTITION BY user_id, ts ORDER BY event_id) = 1
+        """,
+    ),
+    "stream_first_seen": QuerySpec(
+        streaming.stream_first_seen,
+        # batch argmin — the feed's injected duplicates are verbatim
+        # copies, so they cannot move the minimum
+        """
+        SELECT user_id, event_type, ts AS first_ts,
+               event_id AS first_event_id, value AS first_value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
         """,
     ),
     "stream_timeseries_1h": QuerySpec(
@@ -839,6 +897,11 @@ REGISTRY: dict[str, QuerySpec] = {
 # the previously-green fast batch entries follow, and the slowest
 # (streaming lifecycle) entries close the list.
 _FRONT = [
+    # new in round 3, oracle-backed, never driver-verified
+    "station_deltas",
+    "station_moving_avg_24h",
+    "asof_latest_click",
+    "jsonl_source_roundtrip",
     # never driver-verified, oracle-backed (round 2 gap)
     "docs_exact_dedup",
     "station_outliers",
@@ -856,6 +919,7 @@ _FRONT = [
 ]
 _BACK = [
     # slowest entries: full streaming lifecycles + feed writes
+    "stream_first_seen",
     "stream_timeseries_1h",
     "stream_dedup_upsert",
 ]

@@ -21,6 +21,10 @@ from data_ingestion_pipeline_spark.operators.upsert import scratch_path
 from data_ingestion_pipeline_spark.sources.tables import load_table
 
 CSV_SCHEMA = "event_id long, ts_us long, user_id long, event_type string, value double"
+JSONL_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, "
+    "value double, props string"
+)
 
 
 def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,4 +49,36 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
+    )
+
+
+def jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as JSON-lines (the dominant drop format for LLM
+    training corpora), read back with an explicit schema, reconstruct
+    the timestamp losslessly. Same rules as CSV: no inferSchema,
+    epoch-micros timestamps, doubles via Jackson's shortest
+    round-trip repr. The nested `props` JSON survives as an opaque
+    string column (it is itself JSON — double-encoded on the wire,
+    decoded back to the original text on read). Oracle = identity.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("jsonl_src", sf_name, "t")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(JSONL_SCHEMA).json(path)
+    return back.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
     )

@@ -289,3 +289,118 @@ def stream_timeseries_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return read_table(spark, table).select("bucket", "avg_value", "reading_count")
+
+
+# ---- custom stateful operator: applyInPandasWithState ----
+
+FIRST_SEEN_OUT = (
+    "user_id bigint, event_type string, first_ts timestamp, "
+    "first_event_id bigint, first_value double"
+)
+FIRST_SEEN_STATE = "ts_us bigint, event_id bigint, value double"
+
+
+def _first_seen_fn(key, pdfs, state):
+    """Per-(station, event_type) running minimum over the stream —
+    state is the best (ts, event_id, value) seen so far; each batch
+    the group appears in emits the CURRENT best (update-mode
+    semantics). Pure min-merge: associative and idempotent, so
+    replayed batches and duplicate feed rows cannot change the
+    result.
+    """
+    import pandas as pd
+
+    best = state.get if state.exists else None  # (ts_us, event_id, value)
+    for pdf in pdfs:
+        # normalize to ns first: pandas may hold datetime64[ns] or [us]
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        cand = min(zip(ts_us, pdf["event_id"], pdf["value"]), key=lambda t: t[:2])
+        if best is None or cand[:2] < best[:2]:
+            best = (int(cand[0]), int(cand[1]), float(cand[2]))
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "first_ts": [pd.Timestamp(best[0], unit="us")],
+            "first_event_id": [best[1]],
+            "first_value": [best[2]],
+        }
+    )
+
+
+def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState —
+    the escape hatch for semantics dropDuplicates/window aggs can't
+    express): per (station, event_type), the FIRST event ever seen,
+    maintained incrementally across micro-batches.
+
+    State is one tiny tuple per group (bounded by the key domain, not
+    the stream length). The sink min-merges each batch's emits into a
+    compact result table: read-modify-overwrite of a ~750-row table
+    per batch — the result is dimension-sized, so a full rewrite is
+    cheaper than partition bookkeeping, and min-merge (not
+    last-write-wins) makes the sink idempotent under at-least-once
+    batch replay WITHOUT relying on emit order.
+
+    Oracle: batch argmin — row_number over (user_id, event_type ORDER
+    BY ts, event_id) = 1 on the same feed's underlying events; the
+    injected feed duplicates are verbatim copies, so they cannot move
+    the minimum.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_dedup", sf_name, "feed")  # shared fixture
+    table = scratch_path("stream_first_seen", sf_name, "table")
+    ckpt = scratch_path("stream_first_seen", sf_name, "ckpt")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    build_feed(spark, sf_dir, feed)
+
+    stream = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=FIRST_SEEN_OUT,
+            stateStructType=FIRST_SEEN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        sess = bdf.sparkSession
+        if os.path.isdir(table):
+            base = sess.read.parquet(table)
+            merged = base.unionByName(bdf)
+        else:
+            merged = bdf
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id", "event_type").orderBy(
+            "first_ts", "first_event_id"
+        )
+        out = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        out.write.mode("overwrite").parquet(table)
+        out.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(table).select(
+        "user_id", "event_type", "first_ts", "first_event_id", "first_value"
+    )

@@ -88,6 +88,15 @@ def test_embedding_near_dup_lsh_is_not_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_has_no_join(spark):
+    """The as-of lookup must compile to union + window (one shuffle on
+    user_id, linear merge) — not a range join, whose ts <= ts theta
+    condition explodes to O(n·m) comparisons per station."""
+    plan = plan_of(queries.asof_latest_click(spark, SF_TEST))
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "Window" in plan
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     """The exact scorer is a deliberate broadcast cross: the tiny
     query set is broadcast and the candidate table streams once. The
