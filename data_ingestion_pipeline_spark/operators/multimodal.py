@@ -110,15 +110,20 @@ def byte_histogram_features(
 
 
 def binary_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: histogram features for every document payload.
-
-    No SQL oracle (Pandas-UDF output); verified against a direct
-    numpy computation in tests/test_multimodal.py.
+    """Registry entry: histogram features for every document payload,
+    exploded to one row per (doc_id, bin) so the result is flat
+    (sortable, hashable) and DuckDB-oracle-checkable — the oracle
+    recomputes the same nibble counts from hex(payload) in SQL.
+    numpy parity for the underlying feature extractor is pinned in
+    tests/test_multimodal.py.
     """
     docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    return byte_histogram_features(docs)
+    feats = byte_histogram_features(docs)
+    return feats.select(
+        "doc_id", F.posexplode("hist").alias("bin", "frac")
+    )
 
 
 # ---- codec stub -----------------------------------------------------------

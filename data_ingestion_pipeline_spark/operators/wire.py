@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_ingestion_pipeline_spark.sources.tables import load_table
+from data_ingestion_pipeline_spark.sources.tables import load_table, to_micros
 
 CORRUPT_EVERY = 97
 CORRUPT_PREFIX = "CORRUPT<"
@@ -58,7 +58,7 @@ def wire_feed(ev: DataFrame) -> DataFrame:
     enc = F.format_string(
         _WIRE_FMT,
         F.col("event_id"),
-        F.unix_micros(F.col("ts")),
+        to_micros(ev, "ts"),
         F.col("user_id"),
         F.col("event_type"),
         F.col("value"),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.operators.upsert import scratch_path
-from data_ingestion_pipeline_spark.sources.tables import load_table
+from data_ingestion_pipeline_spark.sources.tables import load_table, to_micros
 
 CSV_SCHEMA = "event_id long, ts_us long, user_id long, event_type string, value double"
 JSONL_SCHEMA = (
@@ -34,9 +34,10 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     path = scratch_path("csv_src", sf_name, "t")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    src = load_table(spark, sf_dir, "events")
+    ev = src.select(
         "event_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        to_micros(src, "ts").alias("ts_us"),
         "user_id",
         "event_type",
         "value",
@@ -64,9 +65,10 @@ def jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     path = scratch_path("jsonl_src", sf_name, "t")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    src = load_table(spark, sf_dir, "events")
+    ev = src.select(
         "event_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        to_micros(src, "ts").alias("ts_us"),
         "user_id",
         "event_type",
         "value",

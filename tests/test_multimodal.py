@@ -33,9 +33,12 @@ def test_byte_histogram_matches_numpy(spark):
         r.doc_id: r.text
         for r in load_table(spark, SF_TEST, "documents").select("doc_id", "text").collect()
     }
+    docs = multimodal.with_binary_payload(
+        load_table(spark, SF_TEST, "documents")
+    ).select("doc_id", "payload")
     hists = {
         r.doc_id: (r.n_bytes, r.hist)
-        for r in multimodal.binary_byte_histogram(spark, SF_TEST).collect()
+        for r in multimodal.byte_histogram_features(docs).collect()
     }
     assert set(hists) == set(texts)
     for doc_id in list(texts)[:25]:
@@ -46,6 +49,19 @@ def test_byte_histogram_matches_numpy(spark):
         assert len(hist) == multimodal.N_BINS
         assert np.allclose(hist, expected)
         assert abs(sum(hist) - 1.0) < 1e-9
+
+
+def test_byte_histogram_registry_entry_is_flat(spark):
+    # The registry entry explodes to (doc_id, bin, frac): 16 rows per
+    # doc, fracs exactly the array entries (no type drift in explode).
+    rows = multimodal.binary_byte_histogram(spark, SF_TEST).collect()
+    n_docs = load_table(spark, SF_TEST, "documents").count()
+    assert len(rows) == n_docs * multimodal.N_BINS
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        assert 0 <= r.bin < multimodal.N_BINS
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0.0) + r.frac
+    assert all(abs(s - 1.0) < 1e-9 for s in by_doc.values())
 
 
 def test_decode_image_stub_contract(spark):
