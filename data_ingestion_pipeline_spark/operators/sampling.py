@@ -1,0 +1,95 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus is never trained on raw: over-represented strata
+(dominant languages, crawl-heavy sources) are downsampled to a target
+mix. The reference has no sampling surface (SURVEY.md §2.9); this is
+north-star scope alongside dedup/similarity.
+
+Design rules:
+
+- **Hash-gated, not rand().** ``sample()``/``rand()`` draws depend on
+  partitioning and re-execution (a retried task would re-draw) —
+  unacceptable for reproducible corpus construction. The gate here is
+  a pure function of the row key: md5("salt:" + key) compared against
+  a per-stratum threshold. Same row → same verdict on any cluster, any
+  retry, any engine (the DuckDB oracle evaluates the identical
+  expression).
+- **Threshold as hex-string compare.** The first 8 hex chars of the
+  digest are a uniform 32-bit draw; comparing them lexicographically
+  against ``floor(rate · 16^8)`` rendered as 8 lowercase hex digits is
+  a numeric compare (fixed width, same alphabet) that needs no
+  hex→int conversion — portable across engines that disagree on
+  integer-parsing builtins.
+- **Map-only plan.** The filter is a per-row predicate on a scan: no
+  shuffle, no state, perfectly parallel, and Catalyst still prunes
+  columns/partitions beneath it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+# Per-language keep rates: downsample dominant English, keep half of
+# the tail languages (a classic rebalancing mix). Single source of
+# truth — the registry builds the DuckDB oracle CASE from this dict.
+SAMPLE_RATES: dict[str, float] = {"en": 0.125}
+SAMPLE_DEFAULT_RATE = 0.5
+SAMPLE_SALT = "docsample"
+
+
+def rate_to_hex(rate: float) -> str:
+    """floor(rate · 16^8) as 8 lowercase hex digits (rate ∈ [0, 1))."""
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"rate must be in [0, 1): {rate}")
+    return format(int(rate * 16**8), "08x")
+
+
+def hash_gate(key: F.Column, rate_hex: F.Column, salt: str = SAMPLE_SALT) -> F.Column:
+    """Deterministic Bernoulli gate: keep iff the row's 32-bit md5
+    draw falls below the stratum threshold."""
+    draw = F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
+    return draw < rate_hex
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Per-stratum deterministic downsample of ``df``."""
+    thr = F.lit(rate_to_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(rate_to_hex(rate))).otherwise(
+            thr
+        )
+    return df.filter(hash_gate(F.col(key_col), thr, salt))
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: language-rebalanced document sample (en ↓ to
+    12.5%, other languages 50%), reproducible row-for-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def stratified_sample_oracle_sql() -> str:
+    """DuckDB twin of stratified_sample_docs, built from the same
+    rate table so the two can never drift."""
+    cases = " ".join(
+        f"WHEN lang = '{stratum}' THEN '{rate_to_hex(rate)}'"
+        for stratum, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE {cases} ELSE '{rate_to_hex(SAMPLE_DEFAULT_RATE)}' END
+    """

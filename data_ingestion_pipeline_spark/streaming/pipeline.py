@@ -48,6 +48,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -127,6 +128,32 @@ def prewarm_feeds(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
+# Stateful-stream shuffle/state partition count. The state store
+# creates one provider (and its per-batch delta/snapshot files) per
+# shuffle partition, fixed at first checkpoint; our streaming state is
+# dimension-sized (≤ a few thousand groups), so inheriting the
+# relational shuffle width (32 locally, 200 on a vanilla session)
+# multiplies per-batch fixed costs — state files, Python workers for
+# applyInPandasWithState — by 4-25× for zero parallelism gain
+# (measured: 19.5 s → ~6 s for the first-seen drain at sf0.1). On a
+# real cluster with high-cardinality keys, size this to the executor
+# count instead; it is a parameter, not a constant of the design.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming
+    drain (AQE is disabled in stateful workloads, so the static value
+    is what the state store and every foreachBatch job get)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 class _ObservedCounter(StreamingQueryListener):
     """Accumulates the `source` observed metric across ALL progress
     events of one query run.
@@ -199,14 +226,15 @@ def run_dedup_ingest(
     counter = _ObservedCounter()
     spark.streams.addListener(counter)
     try:
-        query = (
-            stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        counter.run_id = str(query.runId)
-        query.awaitTermination()
+        with _stream_shuffle(spark):
+            query = (
+                stream.writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            counter.run_id = str(query.runId)
+            query.awaitTermination()
         counter.terminated.wait(timeout=60)
     finally:
         spark.streams.removeListener(counter)
@@ -280,14 +308,15 @@ def stream_timeseries_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         upsert_into_table(spark, table, bdf, ["bucket"], ts_col="bucket")
 
-    query = (
-        agg.writeStream.foreachBatch(_sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return read_table(spark, table).select("bucket", "avg_value", "reading_count")
 
 
@@ -302,31 +331,41 @@ FIRST_SEEN_STATE = "ts_us bigint, event_id bigint, value double"
 
 def _first_seen_fn(key, pdfs, state):
     """Per-(station, event_type) running minimum over the stream —
-    state is the best (ts, event_id, value) seen so far; each batch
-    the group appears in emits the CURRENT best (update-mode
-    semantics). Pure min-merge: associative and idempotent, so
-    replayed batches and duplicate feed rows cannot change the
-    result.
+    state is the best (ts, event_id, value) seen so far. Emits ONLY
+    when this batch improved the group's state (update-mode delta):
+    the function runs once per group per batch it appears in, and
+    with dimension-sized key domains the per-group emit cost — not
+    the data volume — dominates the drain, so a batch of pure
+    duplicates emits nothing at all. Min-merge is associative and
+    idempotent, so replayed batches, duplicate feed rows, and
+    suppressed no-change emits cannot change the drained result (the
+    sink min-merges whatever subset of groups each batch emits).
     """
+    import numpy as np
     import pandas as pd
 
-    best = state.get if state.exists else None  # (ts_us, event_id, value)
+    best = tuple(state.get) if state.exists else None  # (ts_us, event_id, value)
+    improved = False
     for pdf in pdfs:
         # normalize to ns first: pandas may hold datetime64[ns] or [us]
-        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-        cand = min(zip(ts_us, pdf["event_id"], pdf["value"]), key=lambda t: t[:2])
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        eid = pdf["event_id"].to_numpy()
+        i = np.lexsort((eid, ts_us))[0]
+        cand = (int(ts_us[i]), int(eid[i]), float(pdf["value"].iloc[i]))
         if best is None or cand[:2] < best[:2]:
-            best = (int(cand[0]), int(cand[1]), float(cand[2]))
-    state.update(best)
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "event_type": [key[1]],
-            "first_ts": [pd.Timestamp(best[0], unit="us")],
-            "first_event_id": [best[1]],
-            "first_value": [best[2]],
-        }
-    )
+            best = cand
+            improved = True
+    if improved:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": np.array([key[0]], dtype=np.int64),
+                "event_type": [key[1]],
+                "first_ts": np.array([best[0]], dtype="datetime64[us]"),
+                "first_event_id": np.array([best[1]], dtype=np.int64),
+                "first_value": np.array([best[2]], dtype=np.float64),
+            }
+        )
 
 
 def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,9 +397,14 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     build_feed(spark, sf_dir, feed)
 
+    # 3 files/trigger → a 2-batch drain. The dominant cost of a Python
+    # stateful operator is per-(group × batch) invocation overhead —
+    # every extra micro-batch re-touches every group — so the batch
+    # count is kept at the minimum that still exercises cross-batch
+    # state (batch 2 carries original file 4 + both duplicate files).
     stream = (
         spark.readStream.schema(FEED_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 3)
         .parquet(feed)
         .groupBy("user_id", "event_type")
         .applyInPandasWithState(
@@ -393,14 +437,15 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.write.mode("overwrite").parquet(table)
         out.unpersist()
 
-    query = (
-        stream.writeStream.foreachBatch(_sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.read.parquet(table).select(
         "user_id", "event_type", "first_ts", "first_event_id", "first_value"
     )
