@@ -346,6 +346,95 @@ def asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station cumulative sum (ROWS UNBOUNDED PRECEDING frame) —
+    the running-meter/odometer shape. The accumulation is a decimal
+    sum over a totally-ordered frame ((ts, event_id) is a total
+    order), so the value is exact and engine-identical at every row —
+    a float running sum would disagree with any engine that
+    accumulates in a different association. One shuffle on user_id.
+    """
+    from data_ingestion_pipeline_spark.functions.exact import SCALE
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast(f"decimal(38,{SCALE})"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+CTX_WINDOW_SEC = 900  # 15-minute trailing context window
+
+
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join with NO equi-key: every error event annotated
+    with the count/sum of ALL events (any station) in its trailing
+    15-minute window (err_ts−15m, err_ts].
+
+    A naive formulation is a pure inequality (theta) join — Spark
+    plans it as BroadcastNestedLoop/cartesian, O(n·m) comparisons at
+    any scale. The scale-safe shape implemented here is BUCKETED
+    range join: both sides bucket ts to the window width; a context
+    row in bucket b can only serve errors in buckets {b, b+1}, so
+    exploding the context side to those two keys turns the range join
+    into an equi-join on bucket (shuffle hash join, each row compared
+    only against its two neighboring buckets) followed by the exact
+    range predicate. Cost O(n·d) where d = events per window — linear
+    at fixed density, vs O(n²); the same construction is how
+    interval-join engines (Flink interval join, range-partitioned
+    merge joins) bound work. Plan non-cartesianness is asserted in
+    tests/test_plans.py.
+
+    The error row itself falls inside its own window (ts ≤ ts) and is
+    counted — documented, matches the oracle.
+    """
+    from data_ingestion_pipeline_spark.functions.exact import SCALE
+
+    ev = load_table(spark, sf_dir, "events")
+    bkt = F.floor(F.unix_timestamp(F.col("ts")) / CTX_WINDOW_SEC)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        bkt.alias("bucket"),
+    )
+    ctx = ev.select(
+        F.col("ts").alias("ctx_ts"),
+        F.col("value").alias("ctx_value"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bucket"),
+    )
+    return (
+        err.join(ctx, "bucket")
+        .filter(
+            (F.col("ctx_ts") > F.col("err_ts") - F.expr(f"INTERVAL {CTX_WINDOW_SEC} SECONDS"))
+            & (F.col("ctx_ts") <= F.col("err_ts"))
+        )
+        .groupBy("err_id", "err_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_ctx"),
+            F.sum(F.col("ctx_value").cast(f"decimal(38,{SCALE})"))
+            .cast("double")
+            .alias("sum_ctx_value"),
+        )
+        .select(
+            F.col("err_id").alias("event_id"),
+            F.col("err_ts").alias("ts"),
+            "n_ctx",
+            "sum_ctx_value",
+        )
+    )
+
+
 def parse_time_bound(bound: str) -> F.Column:
     """Input-boundary predicate (P6): parse an ISO-8601 bound, failing
     fast on garbage instead of silently matching nothing.

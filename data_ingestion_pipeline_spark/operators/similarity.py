@@ -233,7 +233,139 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hrank") <= SHORTLIST)
         .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(emb, shortlist)
 
+
+# ---- IVF (inverted-file) ANN: the partition-pruned scale path ------
+
+IVF_TRAIN_MAX = 2048  # driver-side k-means training sample (bounded)
+IVF_ITERS = 8
+
+
+def _unit_quantized(C: np.ndarray) -> np.ndarray:
+    """Row-normalize then quantize to int64 at EMB_SCALE resolution —
+    the exact-integer centroid form used for all assignments."""
+    norms = np.sqrt((C * C).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return np.floor((C / norms) * EMB_SCALE).astype(np.int64)
+
+
+def _ivf_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    BOUNDED deterministic sample (first IVF_TRAIN_MAX candidates by
+    vec_id — a TakeOrdered job, not a full collect; at 100 TB the
+    training set is still ≤2048 rows). Assignment during training uses
+    the same exact integer GEMM as the distributed pass (quantized
+    embeddings × quantized unit centroids, every intermediate an
+    integer-valued float64 < 2^53), so centroid training is
+    bit-reproducible across machines/BLAS — the model artifact is a
+    pure function of the data.
+    """
+    rows = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_MAX)
+        .collect()
+    )
+    Eq = np.floor(
+        np.stack([r.embedding for r in rows]).astype(np.float64) * EMB_SCALE
+    )
+    # deterministic init: evenly spaced rows of the vec_id-sorted sample
+    init = np.linspace(0, len(Eq) - 1, n_cells).round().astype(int)
+    C = Eq[init].astype(np.float64)
+    for _ in range(IVF_ITERS):
+        scores = Eq @ _unit_quantized(C).T.astype(np.float64)  # exact ints
+        assign = scores.argmax(axis=1)  # ties → lowest cell id
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, Eq)  # exact: integer-valued, < 2^53
+        counts = np.bincount(assign, minlength=n_cells).astype(np.float64)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return _unit_quantized(C)
+
+
+def _ivf_assign(emb: DataFrame, Cq: np.ndarray, nprobe: int) -> DataFrame:
+    """(vec_id, cell) for each vector: its nprobe best cells by exact
+    integer dot with the quantized unit centroids. One Arrow-batched
+    mapInPandas GEMM pass, centroids broadcast by closure; no shuffle
+    — assignment happens where the vectors live. Ties break to the
+    lowest cell id (stable argsort on exact integers)."""
+    schema = "vec_id bigint, cell int"
+    Cf = Cq.T.astype(np.float64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Eq = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * EMB_SCALE
+            )
+            bound = float(np.abs(Eq).max(initial=0.0)) * float(np.abs(Cq).max(initial=0.0))
+            if bound * Eq.shape[1] >= 2.0**53:
+                raise ValueError("ivf assignment would lose integer exactness")
+            scores = Eq @ Cf  # exact integer-valued float64
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cell": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    partition-pruning ANN construction (FAISS IVFFlat's layout,
+    re-expressed relationally):
+
+    1. TRAIN — spherical k-means on a bounded driver-side sample
+       gives √n coarse centroids (the "cells").
+    2. ASSIGN — every candidate vector gets its single nearest cell;
+       at rest this is the table's partition/bucket key, so a 100 TB
+       corpus is physically clustered by cell and a probe reads only
+       the touched partitions (partition pruning does the work of an
+       inverted index).
+    3. PROBE — each query scores all √n centroids (cheap) and takes
+       its nprobe best cells; candidates = equi-join on cell — never
+       an all-pairs scan. Expected work per query: nprobe/√n of the
+       corpus (~25% here; tunable recall/cost dial).
+    4. RERANK — exact fixed-point cosine on the probed candidates
+       only, top-k with deterministic tie-breaks.
+
+    vs ann_hamming_topk: Hamming shortlisting still SCANS every
+    signature (cheap compare, full pass); IVF prunes the scan itself
+    — the difference between a column of XORs and not reading the
+    partition at all. Recall vs exact cosine_topk is asserted in
+    tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES)
+    n = cands.count()  # metadata-only count
+    n_cells = max(4, int(round(math.sqrt(n))))
+    nprobe = max(2, n_cells // 4)
+    Cq = _ivf_centroids(emb, n_cells)
+
+    cand_cells = _ivf_assign(cands, Cq, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    query_cells = _ivf_assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), Cq, nprobe=nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    shortlist = query_cells.join(cand_cells, "cell").select(
+        "query_id", "neighbor_id"
+    )
+    return _exact_rerank(emb, shortlist)
+
+
+def _exact_rerank(emb: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Exact fixed-point cosine top-k over (query_id, neighbor_id)
+    shortlist pairs — the shared final stage of both ANN variants."""
     embn = _with_norm(emb)
     qv = embn.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -26,6 +26,7 @@ from data_ingestion_pipeline_spark.operators import (
     ingest,
     multimodal,
     queries,
+    sampling,
     similarity,
     text,
     upsert,
@@ -924,6 +925,40 @@ REGISTRY: dict[str, QuerySpec] = {
         similarity.ann_hamming_topk,
         None,  # approximate by construction; recall vs exact cosine_topk
         ground_truth="tests/test_similarity.py::test_ann_hamming_recall",
+    ),
+    "ann_ivf_topk": QuerySpec(
+        similarity.ann_ivf_topk,
+        None,  # approximate by construction; recall vs exact cosine_topk
+        ground_truth="tests/test_similarity.py::test_ann_ivf_recall",
+    ),
+    # ---- round-4 additions: window/range-join/sampling surface ----
+    "user_running_total": QuerySpec(
+        queries.user_running_total,
+        """
+        SELECT user_id, event_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_value
+        FROM events
+        """,
+    ),
+    "range_join_error_context": QuerySpec(
+        queries.range_join_error_context,
+        f"""
+        SELECT e.event_id, e.ts,
+               COUNT(*) AS n_ctx,
+               CAST(SUM(CAST(c.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_ctx_value
+        FROM events e JOIN events c
+          ON c.ts > e.ts - INTERVAL {queries.CTX_WINDOW_SEC} SECOND
+         AND c.ts <= e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id, e.ts
+        """,
+    ),
+    "stratified_sample_docs": QuerySpec(
+        sampling.stratified_sample_docs,
+        sampling.stratified_sample_oracle_sql(),
     ),
 }
 

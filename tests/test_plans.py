@@ -133,6 +133,40 @@ def test_parse_time_bound_fail_fast(spark):
         ).first()
 
 
+def test_range_join_is_bucketed_equi_join(spark):
+    """The no-equi-key time-range join must compile to an equi-join on
+    the bucket key (shuffle/broadcast HASH join) — the naive pure-
+    inequality formulation plans as BroadcastNestedLoop, O(n·m)
+    comparisons at any cluster size."""
+    plan = plan_of(queries.range_join_error_context(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan, plan
+
+
+def test_ann_ivf_is_cell_pruned_equi_join(spark):
+    """IVF candidate generation must be an equi-join on the cell id,
+    never an all-pairs scan."""
+    plan = plan_of(similarity.ann_ivf_topk(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed anywhere in this plan family is the
+    # deliberate broadcast-queries cross of the exact scorer, which
+    # ann_ivf's rerank joins by key instead
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """The hash-gated sample is a per-row predicate: no shuffle, no
+    Python — a scan with a filter."""
+    from data_ingestion_pipeline_spark.operators.sampling import (
+        stratified_sample_docs,
+    )
+
+    plan = plan_of(stratified_sample_docs(spark, SF_TEST))
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
 def test_gapfill_is_jvm_only(spark):
     """Gap-filling must stay inside whole-stage codegen: no Python
     workers (ArrowEvalPython/FlatMapGroupsInPandas) in the plan."""

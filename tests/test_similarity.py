@@ -64,6 +64,53 @@ def test_ann_hamming_recall(spark):
         assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), qid
 
 
+def test_ann_ivf_recall(spark):
+    """The IVF (cell-pruned) ANN must recover ≥60% of the true top-5
+    while probing ~nprobe/√n of the corpus (measured recall: 0.82 at
+    sf0.001, 0.62 at sf0.01 with nprobe = n_cells/4 ≈ 25% probe
+    fraction — the testdata embeddings are near-random, so cells carry
+    weak neighbor structure; real corpora cluster and do better)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, SF_TEST).collect()
+    }
+    ivf_rows = similarity.ann_ivf_topk(spark, SF_TEST).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    per_q = {}
+    for r in ivf_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), qid
+
+
+def test_ann_ivf_prunes_candidates(spark):
+    """The probed candidate set must be a strict subset of the corpus
+    (the whole point of IVF): expected work ≈ nprobe/n_cells ≈ 25%,
+    assert < 60% to be robust to cell-size skew."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    cands = emb.filter(F.col("vec_id") >= similarity.N_QUERIES)
+    n = cands.count()
+    n_cells = max(4, int(round(math.sqrt(n))))
+    nprobe = max(2, n_cells // 4)
+    Cq = similarity._ivf_centroids(emb, n_cells)
+    cand_cells = similarity._ivf_assign(cands, Cq, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    query_cells = similarity._ivf_assign(
+        emb.filter(F.col("vec_id") < similarity.N_QUERIES), Cq, nprobe=nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    probed = query_cells.join(cand_cells, "cell").count()
+    assert probed < 0.6 * similarity.N_QUERIES * n, (
+        f"probed {probed} of {similarity.N_QUERIES * n} pairs"
+    )
+
+
 def test_embedding_near_dup_lsh_recall_and_pruning(spark):
     """The signature-pruned near-dup variant must recover the exact
     cosine-threshold pairs while exactly-scoring only a small slice
