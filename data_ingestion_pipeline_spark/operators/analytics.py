@@ -375,3 +375,61 @@ def station_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") - m) / sigma).alias("zscore"),
         )
     )
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles of value per event type (p25/p50/p75/p95).
+
+    Spark's `percentile` aggregate with an array argument sorts each
+    group ONCE and interpolates all requested quantiles from it; the
+    linear-interpolation definition (lower + (upper−lower)·frac on the
+    sorted group) is the same correctly-rounded IEEE sequence DuckDB's
+    quantile_cont runs, so the results are bit-identical across
+    engines (verified empirically at sf0.01 before this oracle was
+    pinned). Exact percentile is a per-group sort — fine when groups
+    are few and fit (5 types here); for high-cardinality groups at
+    100 TB use approx_percentile (see
+    tests/test_analytics.py::test_approx_percentile_within_bound).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = F.percentile("value", F.array(*[F.lit(q) for q in QUANTILES]))
+    return (
+        ev.groupBy("event_type")
+        .agg(p.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+            F.col("p")[3].alias("p95"),
+        )
+    )
+
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-station average value, one column per event type —
+    the wide-format report shape. The pivot values are EXPLICIT
+    (PIVOT_TYPES): with an implicit pivot Spark first runs a distinct
+    job over the key column to discover columns — a full extra scan at
+    100 TB and a nondeterministic column set; with explicit values the
+    pivot is a single pass compiling to one aggregate with conditional
+    branches (exactly the CASE-aggregation the oracle spells out).
+    Stations missing a type get NULL on both engines (empty decimal
+    sum / zero count).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(dec_avg("value"))
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"{t}_avg") for t in PIVOT_TYPES],
+        )
+    )

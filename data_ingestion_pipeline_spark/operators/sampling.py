@@ -27,7 +27,7 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.sources.tables import load_table
@@ -78,6 +78,55 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+N_SHARDS = 16
+SHARD_SALT = "shard"
+_HEX = "0123456789abcdef"
+
+
+def shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the write-side of a
+    training-data pipeline: every document gets a pseudorandom but
+    reproducible (shard, pos) so shards are balanced, intra-shard
+    order is decorrelated from ingest order, and a re-run (or a
+    different engine) produces the identical layout.
+
+    Shard = first hex nibble of md5(salt:doc_id) → 16 shards, each a
+    uniform 1/16 slice; pos = rank of the full digest within the
+    shard. The shard map is a per-row projection (no shuffle); the
+    within-shard ordering is ONE row_number window partitioned by
+    shard — at 100 TB that is a range-partitioned sort per shard,
+    which is precisely the physical plan a sharded-shuffle writer
+    needs anyway (`.repartition("shard").sortWithinPartitions(...)`
+    followed by a partitioned write reuses this exact ordering).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit(SHARD_SALT + ":"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", skey.alias("skey")).withColumn(
+        "shard",
+        (F.expr(f"locate(substring(skey, 1, 1), '{_HEX}')") - 1).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+def shuffle_shard_oracle_sql() -> str:
+    return f"""
+        WITH k AS (
+            SELECT doc_id,
+                   md5('{SHARD_SALT}:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(strpos('{_HEX}', substr(skey, 1, 1)) - 1 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY strpos('{_HEX}', substr(skey, 1, 1))
+                   ORDER BY skey, doc_id) AS INTEGER) AS pos
+        FROM k
+    """
 
 
 def stratified_sample_oracle_sql() -> str:

@@ -960,6 +960,38 @@ REGISTRY: dict[str, QuerySpec] = {
         sampling.stratified_sample_docs,
         sampling.stratified_sample_oracle_sql(),
     ),
+    "shuffle_shard_docs": QuerySpec(
+        sampling.shuffle_shard_docs,
+        sampling.shuffle_shard_oracle_sql(),
+    ),
+    "value_quantiles_by_type": QuerySpec(
+        analytics.value_quantiles_by_type,
+        """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "event_type_pivot": QuerySpec(
+        analytics.event_type_pivot,
+        """
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'click') AS DOUBLE)
+                   / COUNT(value) FILTER (WHERE event_type = 'click') AS click_avg,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'view') AS DOUBLE)
+                   / COUNT(value) FILTER (WHERE event_type = 'view') AS view_avg,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                   / COUNT(value) FILTER (WHERE event_type = 'purchase') AS purchase_avg,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE)
+                   / COUNT(value) FILTER (WHERE event_type = 'signup') AS signup_avg,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'error') AS DOUBLE)
+                   / COUNT(value) FILTER (WHERE event_type = 'error') AS error_avg
+        FROM events GROUP BY user_id
+        """,
+    ),
 }
 
 

@@ -22,3 +22,43 @@ def test_approx_distinct_within_rsd(spark):
     for t in exact:
         rel = abs(approx[t] - exact[t]) / exact[t]
         assert rel <= 0.15, (t, exact[t], approx[t])
+
+
+def test_approx_percentile_within_bound(spark):
+    """approx_percentile (Greenwald-Khanna sketch, accuracy=10000)
+    returns an actual data point whose RANK must be within
+    1/accuracy (+ one discrete step for small groups) of the target
+    quantile — the correct error model for a rank-sketch; a value-
+    space bound would be wrong because the sketch never interpolates.
+    This is the scale path for high-cardinality groups where
+    value_quantiles_by_type's exact per-group sort is too expensive."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_TEST, "events")
+    qs = list(analytics.QUANTILES)
+    approx = {
+        r.event_type: list(r.ap)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile(
+                "value", F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+            ).alias("ap")
+        )
+        .collect()
+    }
+    values = {}
+    for r in ev.select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(values)
+    for t, vs in values.items():
+        vs.sort()
+        n = len(vs)
+        for q, a in zip(qs, approx[t]):
+            lo = bisect.bisect_left(vs, a) / n
+            hi = bisect.bisect_right(vs, a) / n
+            err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+            assert err <= 1 / 10000 + 1 / n, (t, q, a, err)
