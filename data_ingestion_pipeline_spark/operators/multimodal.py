@@ -126,24 +126,134 @@ def binary_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- codec stub -----------------------------------------------------------
+# ---- image pipeline: decode → resize → features ---------------------------
 
 DECODED_IMAGE_SCHEMA = (
     "doc_id long, width int, height int, channels int, pixels binary"
 )
+IMAGE_CHANNELS = 3
+RESIZE_W = 8
+RESIZE_H = 8
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode image payloads to raw pixel buffers.
+    """Decode image payloads with a REAL codec (Pillow/OpenCV).
 
-    NOT IMPLEMENTED in this environment: no image codec library
-    (Pillow/OpenCV) is installed in the container. The production
-    implementation is a ``mapInPandas`` UDF with output schema
-    DECODED_IMAGE_SCHEMA, batch-decoding payloads exactly like
-    byte_histogram_features does for histograms.
+    NOT IMPLEMENTED in this environment: no image codec library is
+    installed in the container. The production implementation is
+    ``decode_image_fake`` with ``Image.open(io.BytesIO(payload))`` in
+    place of the byte-tiling — signature, output schema, batching, and
+    every downstream stage (``image_resize``, ``decoded_image_stats``)
+    are identical and are exercised end-to-end by the fake codec.
     """
     raise NotImplementedError(
         "image decode requires a codec library not present in this "
-        "environment; see byte_histogram_features for the production "
-        "mapInPandas shape this would use"
+        "environment; decode_image_fake runs the identical pipeline "
+        "with a deterministic stand-in codec"
     )
+
+
+def decode_image_fake(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in codec: 'decodes' any payload into an
+    HxWx3 pixel buffer (dimensions 16-31 derived from the leading
+    bytes, pixels = payload tiled to size). A pure function of the
+    bytes — same image on any engine, any retry — so the downstream
+    stages are testable without codec libraries while keeping the
+    production shape: Arrow-batched ``mapInPandas``, opaque binary in,
+    (metadata, binary) out, one Python worker per partition."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                   "channels": [], "pixels": []}
+            for payload in pdf[payload_col]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                w = 16 + (int(b[0]) % 16 if len(b) > 0 else 0)
+                h = 16 + (int(b[1]) % 16 if len(b) > 1 else 0)
+                need = w * h * IMAGE_CHANNELS
+                if len(b):
+                    px = np.tile(b, -(-need // len(b)))[:need]
+                else:
+                    px = np.zeros(need, dtype=np.uint8)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(IMAGE_CHANNELS)
+                out["pixels"].append(px.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(dec, DECODED_IMAGE_SCHEMA)
+
+
+def image_resize(
+    df: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers to a fixed
+    grid — the normalization step before any embedding model. Real
+    resample math (floor-index grid sampling, the standard NN kernel)
+    over Arrow batches; output buffers are fixed-size, so downstream
+    batches are uniform."""
+    import numpy as np
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for w, h, c, buf in zip(
+                pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                pixels.append(img[yi][:, xi].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": pdf["channels"],
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(rs, DECODED_IMAGE_SCHEMA)
+
+
+def decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the full image pipeline — synthesize payloads,
+    (fake-)decode, resize to 8×8, per-channel mean features. Three
+    chained mapInPandas stages, which is exactly how a real
+    decode → preprocess → embed pipeline lays out (each stage keeps
+    columnar Arrow batches; nothing collects). No SQL oracle (binary
+    pipelines aren't SQL-expressible); ground truth is a pure-python
+    replica in tests/test_multimodal.py.
+    """
+    import numpy as np
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    resized = image_resize(decode_image_fake(docs))
+    schema = "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = np.stack(
+                [
+                    np.frombuffer(buf, dtype=np.uint8)
+                    .reshape(-1, IMAGE_CHANNELS)
+                    .mean(axis=0)
+                    for buf in pdf["pixels"]
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                }
+            )
+
+    return resized.mapInPandas(stats, schema)

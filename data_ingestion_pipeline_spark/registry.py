@@ -975,6 +975,11 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY event_type
         """,
     ),
+    "decoded_image_stats": QuerySpec(
+        multimodal.decoded_image_stats,
+        None,  # binary pipeline (decode→resize→features), not SQL-expressible
+        ground_truth="tests/test_multimodal.py::test_image_pipeline_matches_python",
+    ),
     "event_type_pivot": QuerySpec(
         analytics.event_type_pivot,
         """

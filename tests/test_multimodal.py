@@ -70,3 +70,48 @@ def test_decode_image_stub_contract(spark):
     )
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(docs)
+
+
+def _python_image_stats(text: str):
+    """Pure-python replica of decode_image_fake → image_resize →
+    per-channel means, independent of the Spark pipeline."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    w = 16 + (int(b[0]) % 16 if len(b) > 0 else 0)
+    h = 16 + (int(b[1]) % 16 if len(b) > 1 else 0)
+    c = multimodal.IMAGE_CHANNELS
+    need = w * h * c
+    px = np.tile(b, -(-need // len(b)))[:need] if len(b) else np.zeros(need, np.uint8)
+    img = px.reshape(h, w, c)
+    yi = (np.arange(multimodal.RESIZE_H) * h) // multimodal.RESIZE_H
+    xi = (np.arange(multimodal.RESIZE_W) * w) // multimodal.RESIZE_W
+    small = img[yi][:, xi].reshape(-1, c).astype(np.float64)
+    return small.mean(axis=0)
+
+
+def test_image_pipeline_matches_python(spark):
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    }
+    got = {r.doc_id: r for r in multimodal.decoded_image_stats(spark, SF_TEST).collect()}
+    assert set(got) == set(texts)
+    for doc_id in list(texts)[:25]:
+        exp = _python_image_stats(texts[doc_id])
+        r = got[doc_id]
+        assert (r.width, r.height) == (multimodal.RESIZE_W, multimodal.RESIZE_H)
+        # integer pixel sums / fixed count: bit-exact, not approximate
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(exp), doc_id
+
+
+def test_image_resize_shapes(spark):
+    docs = multimodal.with_binary_payload(
+        load_table(spark, SF_TEST, "documents")
+    ).select("doc_id", "payload")
+    decoded = multimodal.decode_image_fake(docs)
+    row = decoded.first()
+    assert 16 <= row.width < 32 and 16 <= row.height < 32
+    assert len(row.pixels) == row.width * row.height * row.channels
+    resized = multimodal.image_resize(decoded).first()
+    assert len(resized.pixels) == (
+        multimodal.RESIZE_W * multimodal.RESIZE_H * multimodal.IMAGE_CHANNELS
+    )
