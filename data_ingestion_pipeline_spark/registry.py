@@ -58,6 +58,34 @@ _DEC_AVG_VALUE = (
     "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)"
 )
 
+# Gaps-and-islands sessionization (break on gap >= 30 min, session end
+# exclusive = last event + gap). Shared verbatim by the batch operator
+# and its streaming twin: streamed-then-drained must equal batch,
+# hash-for-hash.
+_SESSION_SQL = f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        -- event_id tiebreaker keeps the running sum deterministic
+        -- even if a station ever has two events at one timestamp
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS event_count,
+           {_DEC_AVG_VALUE} AS avg_value
+    FROM islands GROUP BY user_id, sess
+"""
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---- reference query surface (SURVEY.md §2.3-§2.6) ----
     "raw_filter_sort": QuerySpec(
@@ -182,31 +210,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "session_windows_30m": QuerySpec(
         queries.session_windows_30m,
-        # gaps-and-islands; break on gap >= 30 min to match Spark's
-        # exclusive session end (end = last event + gap)
-        f"""
-        WITH marked AS (
-            SELECT user_id, ts, event_id, value,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                        THEN 1 ELSE 0 END AS brk
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), islands AS (
-            -- event_id tiebreaker keeps the running sum deterministic
-            -- even if a station ever has two events at one timestamp
-            SELECT *, SUM(brk) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS UNBOUNDED PRECEDING) AS sess
-            FROM marked
-        )
-        SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL '30 minutes' AS session_end,
-               COUNT(*) AS event_count,
-               {_DEC_AVG_VALUE} AS avg_value
-        FROM islands GROUP BY user_id, sess
-        """,
+        _SESSION_SQL,
     ),
     "rollup_multires_1d": QuerySpec(
         queries.rollup_multires_1d,
@@ -420,6 +424,13 @@ REGISTRY: dict[str, QuerySpec] = {
         QUALIFY row_number() OVER (
             PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
         """,
+    ),
+    "stream_session_windows": QuerySpec(
+        streaming.stream_session_windows,
+        # identical SQL to the batch twin session_windows_30m: the
+        # incremental interval-merge drain must equal batch
+        # sessionization under any batching/disorder
+        _SESSION_SQL,
     ),
     "stream_timeseries_1h": QuerySpec(
         streaming.stream_timeseries_1h,

@@ -368,6 +368,146 @@ def _first_seen_fn(key, pdfs, state):
         )
 
 
+# ---- custom stateful operator #2: incremental sessionization ----
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+SESSION_OUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "event_count bigint, avg_value double"
+)
+SESSION_STATE = "sessions string"  # JSON [[start_us, last_us, n, cents], ...]
+
+
+def merge_sessions(sess: list, points: list) -> list:
+    """Fold session summaries + new point-events into the canonical
+    merged session list ([start_us, last_us, n, cents] each).
+    Associative: any batching of the same points yields the same list
+    (tests/test_streaming.py::test_session_merge_is_associative)."""
+    merged: list[list[int]] = []
+    for s in sorted(sess + points):
+        if merged and s[0] < merged[-1][1] + SESSION_GAP_US:
+            m = merged[-1]
+            m[1] = max(m[1], s[1])
+            m[2] += s[2]
+            m[3] += s[3]
+        else:
+            merged.append(list(s))
+    return merged
+
+
+def _session_merge_fn(key, pdfs, state):
+    """Per-station incremental sessionization: state is the open
+    interval-merge of everything seen so far, as
+    [start_us, last_event_us, n, value_cents] summaries.
+
+    Correctness rests on sessionization being ASSOCIATIVE under
+    interval merge: a session summary retains its boundary events, so
+    folding batches in any order and merging summaries whose gap is
+    < SESSION_GAP_US yields exactly the sessions of the union of
+    events — the drained result equals batch sessionization no matter
+    how the replay was batched or (dis)ordered. Count/sum merge
+    additively; the sum is held in exact integer cents (the feed's
+    values are 2-decimal by construction), so the final
+    (cents/100)/n average bit-matches the batch dec_avg.
+
+    Emits the group's FULL current session list whenever a batch
+    touches it; the sink replaces that station's rows wholesale, so
+    the last emission per station is the complete answer (idempotent
+    under batch replay). No timeout: the replay fixture is
+    adversarially unordered (random file split), so no event-time
+    horizon short of the whole feed can finalize a session early —
+    matching the reference's accept-arbitrarily-late policy
+    (SURVEY.md §2.7). A production deployment on a mostly-ordered
+    stream would add EventTimeTimeout at its real disorder horizon to
+    evict closed sessions and bound state.
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    sess = json.loads(state.get[0]) if state.exists else []
+    new_rows = []
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+        new_rows += [[int(t), int(t), 1, int(c)] for t, c in zip(ts_us, cents)]
+    if not new_rows:
+        return
+    merged = merge_sessions(sess, new_rows)
+    state.update((json.dumps(merged),))
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(merged), key[0], dtype=np.int64),
+            "session_start": np.array([m[0] for m in merged], dtype="datetime64[us]"),
+            "session_end": np.array(
+                [m[1] + SESSION_GAP_US for m in merged], dtype="datetime64[us]"
+            ),
+            "event_count": np.array([m[2] for m in merged], dtype=np.int64),
+            "avg_value": np.array([(m[3] / 100.0) / m[2] for m in merged]),
+        }
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator #2: session windows with a
+    30-minute inactivity gap, maintained incrementally across
+    micro-batches (Spark's built-in ``session_window`` streaming agg
+    cannot emit exact decimal averages nor tolerate this fixture's
+    unbounded disorder without dropping rows — the escape hatch is
+    warranted). Oracle: identical gaps-and-islands SQL as the batch
+    twin session_windows_30m — streamed and batch results must match
+    hash-for-hash.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_ts1h", sf_name, "feed")  # dup-free fixture
+    table = scratch_path("stream_sessions", sf_name, "table")
+    ckpt = scratch_path("stream_sessions", sf_name, "ckpt")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    build_feed(spark, sf_dir, feed, with_dups=False)
+
+    stream = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_merge_fn,
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        sess = bdf.sparkSession
+        bdf = bdf.localCheckpoint(eager=True)
+        if os.path.isdir(table):
+            base = sess.read.parquet(table)
+            keep = base.join(bdf.select("user_id").distinct(), "user_id", "left_anti")
+            out = keep.unionByName(bdf).localCheckpoint(eager=True)
+        else:
+            out = bdf
+        out.write.mode("overwrite").parquet(table)
+
+    with _stream_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(table).select(
+        "user_id", "session_start", "session_end", "event_count", "avg_value"
+    )
+
+
 def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator (applyInPandasWithState —
     the escape hatch for semantics dropDuplicates/window aggs can't

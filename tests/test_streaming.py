@@ -112,3 +112,29 @@ def test_late_data_accepted_and_upsert_collapses(spark):
     # duplicates collapsed by the sink
     assert got.count() == n_recent + n_old
     assert got.select("user_id", "ts").distinct().count() == n_recent + n_old
+
+
+def test_session_merge_is_associative():
+    """The incremental sessionization (stream_session_windows) is
+    correct under ANY batching iff summary interval-merge is
+    associative; fold random event splits in random orders and
+    require the identical session list each time."""
+    import json
+    import random
+
+    from data_ingestion_pipeline_spark.streaming.pipeline import merge_sessions as merge
+
+    rng = random.Random(42)
+    for trial in range(50):
+        n = rng.randint(1, 40)
+        ts = sorted(rng.randrange(0, 6 * 3600 * 1_000_000) for _ in range(n))
+        pts = [[t, t, 1, rng.randrange(0, 10000)] for t in ts]
+        expected = merge([], [list(p) for p in pts])
+        shuffled = [list(p) for p in pts]
+        rng.shuffle(shuffled)
+        state = []
+        while shuffled:
+            k = rng.randint(1, len(shuffled))
+            state = merge(state, shuffled[:k])
+            shuffled = shuffled[k:]
+        assert json.dumps(state) == json.dumps(expected), trial
