@@ -111,7 +111,7 @@ def _plane_weights(n_planes: int, dim: int, salt: str = "") -> np.ndarray:
 
     return np.array(
         [[draw(p, d) for p in range(n_planes)] for d in range(dim)], dtype=np.int64
-    )
+    ).reshape(dim, n_planes)
 
 
 def _project_bits(E: np.ndarray, W: np.ndarray) -> np.ndarray:
@@ -150,8 +150,11 @@ def _pack_words(bits: np.ndarray) -> list[np.ndarray]:
 
 def _vector_dim(emb: DataFrame) -> int:
     # single-row metadata probe (documented scan); the weight table
-    # must be sized driver-side before the distributed pass
-    return emb.select(F.size("embedding")).first()[0]
+    # must be sized driver-side before the distributed pass. Empty
+    # input → dim 0: downstream mapInPandas passes see no batches, so
+    # the zero-width weight table is never applied.
+    row = emb.select(F.size("embedding")).first()
+    return int(row[0]) if row else 0
 
 
 def hamming_signatures(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
@@ -268,6 +271,8 @@ def _ivf_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
         .limit(IVF_TRAIN_MAX)
         .collect()
     )
+    if not rows:  # empty corpus: placeholder centroids, never applied
+        return np.zeros((n_cells, 1), dtype=np.int64)
     Eq = np.floor(
         np.stack([r.embedding for r in rows]).astype(np.float64) * EMB_SCALE
     )

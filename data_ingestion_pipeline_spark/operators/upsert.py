@@ -64,9 +64,16 @@ def write_time_partitioned(
     spark.sql.files.maxPartitionBytes on read and AQE coalescing on
     write.
     """
-    with_partition_col(df, ts_col).write.mode(mode).partitionBy(PARTITION_COL).parquet(
-        path
-    )
+    wp = with_partition_col(df, ts_col)
+    if df.isEmpty():
+        # a partitionBy write of ZERO rows emits no data files (only
+        # _SUCCESS), leaving an unreadable table; a plain write of the
+        # same empty frame persists the schema, so readers get a valid
+        # empty table with the identical logical schema. The isEmpty
+        # probe reads at most one row.
+        wp.write.mode(mode).parquet(path)
+        return
+    wp.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

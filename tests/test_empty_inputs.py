@@ -1,0 +1,40 @@
+"""Degenerate-input sweep: every registry entry must run on EMPTY
+tables (0 rows, full schema) and produce an empty result.
+
+Why this matters operationally: at 100 TB a partition-pruned scan, a
+fresh tenant, or a filtered replay routinely hands an operator zero
+rows — an operator that crashes on empty input (a `.first()[0]` sizing
+probe, an unguarded np.stack) takes down a whole pipeline run. The
+synthetic-source entries are exempt from the zero-rows assertion (they
+generate rows by design) but must still execute.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_pipeline_spark.registry import REGISTRY
+from data_ingestion_pipeline_spark.schemas import TESTDATA_TABLES
+from data_ingestion_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_TEST
+
+# sources: generate rows regardless of input tables
+_GENERATES_ROWS = {"synthetic_weather", "synthetic_weather_feed"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_TEST, t).limit(0).write.mode("overwrite").parquet(
+            f"{d}/{t}.parquet"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_entry_runs_on_empty_input(spark, empty_sf_dir, name):
+    df = REGISTRY[name].fn(spark, empty_sf_dir)
+    n = df.count()
+    if name not in _GENERATES_ROWS:
+        assert n == 0, f"{name} returned {n} rows from empty input"
