@@ -433,3 +433,47 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(t).alias(f"{t}_avg") for t in PIVOT_TYPES],
         )
     )
+
+
+def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: every customer and every order-aggregate row
+    survives — the reconciliation shape (find customers with no
+    orders AND orders whose customer is missing) that inner/left
+    semantics silently drop. Spark plans a shuffled full-outer hash
+    join on the key; the aggregate side is pre-reduced so the join
+    carries one row per customer key, not one per order.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dec_sum("o_totalprice").alias("total_spend"),
+        )
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_name",
+            "c_acctbal",
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+def inactive_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): stations that emitted events but never
+    a purchase — completes the set-operation surface (INTERSECT is
+    power_users_intersect, UNION is throughout). ``subtract`` is EXCEPT
+    DISTINCT; Spark compiles it to a left-anti join over distinct rows
+    — one shuffle per side at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    all_users = ev.select("user_id")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return all_users.subtract(purchasers)

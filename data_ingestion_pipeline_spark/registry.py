@@ -986,6 +986,32 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY event_type
         """,
     ),
+    "customer_order_reconciliation": QuerySpec(
+        analytics.customer_order_reconciliation,
+        """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   COUNT(*) AS order_count,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total_spend
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT COALESCE(c.c_custkey, p.o_custkey) AS custkey,
+               c.c_name, c.c_acctbal,
+               CAST(COALESCE(p.order_count, 0) AS BIGINT) AS order_count,
+               COALESCE(p.total_spend, 0.0) AS total_spend
+        FROM customer c FULL OUTER JOIN per_cust p
+          ON c.c_custkey = p.o_custkey
+        """,
+    ),
+    "inactive_users_except": QuerySpec(
+        analytics.inactive_users_except,
+        """
+        SELECT DISTINCT user_id FROM events
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+    ),
     "decoded_image_stats": QuerySpec(
         multimodal.decoded_image_stats,
         None,  # binary pipeline (decode→resize→features), not SQL-expressible
