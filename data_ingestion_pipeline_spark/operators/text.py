@@ -157,3 +157,89 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return docs.select("doc_id", h.alias("rolling_hash"))
+
+
+VOCAB_TOP_K = 100
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the VOCAB_TOP_K most frequent tokens with
+    term and document frequency — the input a BPE/vocab trainer reads.
+
+    explode → two-level aggregate: tf = COUNT(*), df = COUNT(DISTINCT
+    doc_id) per token, both map-side-combinable; top-k ranked with a
+    deterministic (count DESC, token) tie-break so the cut is stable
+    under any partitioning. At 100 TB the shuffle carries one row per
+    (partition, token) after partial aggregation — vocabulary-sized,
+    not corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("rank", "token", "tf", "df")
+    )
+
+
+LEN_BUCKET = 50  # tokens per histogram bucket
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: document count and token mass per
+    LEN_BUCKET-token bucket — the telemetry a curation pass reads
+    before choosing quality-filter thresholds. One scan, one
+    vocabulary-of-buckets-sized aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens()).cast("bigint")
+    return (
+        docs.select((F.floor(n / LEN_BUCKET) * LEN_BUCKET).alias("len_bucket"), n.alias("n"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("n").alias("token_count"),
+        )
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinctive tokens scored by tf/df — the
+    rarity-weighted variant of tf-idf chosen deliberately for
+    cross-engine exactness: tf and df are exact integers and one IEEE
+    division is correctly rounded everywhere, whereas tf·ln(N/df)
+    hangs the result on libm's last bit (ln is not required to be
+    correctly rounded, so JVM and DuckDB may disagree). Ranking is
+    identical to classic tf-idf whenever tf ties break by rarity.
+
+    Shape: token explode → per-(doc, token) tf → broadcast-joined
+    corpus df (vocabulary-sized) → per-doc top-k window with
+    deterministic (score DESC, token) tie-break.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+        F.col("token"),
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn("score", F.col("tf").cast("double") / F.col("df").cast("double"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+    )

@@ -986,6 +986,62 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY event_type
         """,
     ),
+    "vocab_top_tokens": QuerySpec(
+        text.vocab_top_tokens,
+        """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok WHERE token <> '' GROUP BY token
+        )
+        SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rank,
+               token, tf, df
+        FROM freq
+        QUALIFY rank <= 100
+        """,
+    ),
+    "doc_length_histogram": QuerySpec(
+        text.doc_length_histogram,
+        """
+        WITH lens AS (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        )
+        SELECT (n // 50) * 50 AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(n) AS BIGINT) AS token_count
+        FROM lens GROUP BY 1
+        """,
+    ),
+    "doc_tfidf_topk": QuerySpec(
+        text.doc_tfidf_topk,
+        """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), clean AS (
+            SELECT * FROM tok WHERE token <> ''
+        ), tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM clean GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM clean GROUP BY token
+        )
+        SELECT t.doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC,
+                            t.token) AS INTEGER) AS rank,
+               t.token, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+        FROM tf t JOIN df d USING (token)
+        QUALIFY rank <= 3
+        """,
+    ),
     "customer_order_reconciliation": QuerySpec(
         analytics.customer_order_reconciliation,
         """
