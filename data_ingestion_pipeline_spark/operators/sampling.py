@@ -80,6 +80,62 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+WEIGHTED_SALT = "wsample"
+WEIGHTED_BASE_RATE = 0.5
+WEIGHTED_CHAR_CAP = 2000  # weight = min(n_chars, cap)/cap
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample: each
+    document kept with probability base_rate · min(n_chars, cap)/cap —
+    the upweight-longer/higher-quality-docs curation sampler (the
+    third of the family: uniform stratified, PPS weighted, shuffle
+    shard).
+
+    The per-row threshold is no longer a constant, so the gate
+    compares the NUMERIC 32-bit draw against floor(p_i · 2^32). Every
+    step is engine-exact: the draw is an integer parse of 8 md5 hex
+    digits, and the threshold is integer n_chars → one correctly-
+    rounded double product chain → floor (IEEE-defined). Still
+    map-only: no shuffle, no state, prunable scan underneath.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(WEIGHTED_SALT + ":"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.least(F.col("n_chars"), F.lit(WEIGHTED_CHAR_CAP)).cast("double") / F.lit(
+        float(WEIGHTED_CHAR_CAP)
+    )
+    thr = F.floor(F.lit(WEIGHTED_BASE_RATE) * w * F.lit(float(2**32)))
+    return docs.filter(draw < thr).select("doc_id", "lang", "source", "n_chars")
+
+
+def weighted_sample_oracle_sql() -> str:
+    """DuckDB twin: the 32-bit draw is reassembled nibble-by-nibble
+    (DuckDB has no hex→int builtin); the threshold math mirrors the
+    Spark expression term-for-term."""
+    digest = f"md5('{WEIGHTED_SALT}:' || CAST(doc_id AS VARCHAR))"
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr({digest}, {k + 1}, 1)) - 1) "
+        f"* {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE ({nibbles}) <
+              FLOOR({WEIGHTED_BASE_RATE} *
+                    (CAST(LEAST(n_chars, {WEIGHTED_CHAR_CAP}) AS DOUBLE)
+                     / {float(WEIGHTED_CHAR_CAP)}) * {float(2**32)})
+    """
+
+
 N_SHARDS = 16
 SHARD_SALT = "shard"
 _HEX = "0123456789abcdef"

@@ -975,6 +975,10 @@ REGISTRY: dict[str, QuerySpec] = {
         sampling.shuffle_shard_docs,
         sampling.shuffle_shard_oracle_sql(),
     ),
+    "weighted_sample_docs": QuerySpec(
+        sampling.weighted_sample_docs,
+        sampling.weighted_sample_oracle_sql(),
+    ),
     "value_quantiles_by_type": QuerySpec(
         analytics.value_quantiles_by_type,
         """

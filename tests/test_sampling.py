@@ -37,3 +37,25 @@ def test_stratified_sample_rates_and_determinism(spark):
             kept.get(lang, 0),
             n * rate,
         )
+
+
+def test_weighted_sample_tracks_weights(spark):
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "n_chars").collect()
+    kept = {r.doc_id for r in sampling.weighted_sample_docs(spark, SF_TEST).collect()}
+    # expected keep count = sum of per-doc probabilities
+    probs = {
+        r.doc_id: sampling.WEIGHTED_BASE_RATE
+        * min(r.n_chars, sampling.WEIGHTED_CHAR_CAP)
+        / sampling.WEIGHTED_CHAR_CAP
+        for r in docs
+    }
+    mu = sum(probs.values())
+    sigma = (sum(p * (1 - p) for p in probs.values())) ** 0.5
+    assert abs(len(kept) - mu) <= 4 * sigma + 1, (len(kept), mu)
+    # long docs must be kept at a visibly higher rate than short docs
+    long_ids = [d for d, p in probs.items() if p >= 0.4]
+    short_ids = [d for d, p in probs.items() if p <= 0.2]
+    if long_ids and short_ids:
+        long_rate = sum(d in kept for d in long_ids) / len(long_ids)
+        short_rate = sum(d in kept for d in short_ids) / len(short_ids)
+        assert long_rate > short_rate, (long_rate, short_rate)
