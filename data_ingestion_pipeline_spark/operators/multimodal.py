@@ -237,6 +237,8 @@ def decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             means = np.stack(
                 [
                     np.frombuffer(buf, dtype=np.uint8)

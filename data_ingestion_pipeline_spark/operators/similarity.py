@@ -253,26 +253,41 @@ def _unit_quantized(C: np.ndarray) -> np.ndarray:
     return np.floor((C / norms) * EMB_SCALE).astype(np.int64)
 
 
-def _ivf_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
-    """Spherical k-means coarse quantizer, trained driver-side on a
-    BOUNDED deterministic sample (first IVF_TRAIN_MAX candidates by
-    vec_id — a TakeOrdered job, not a full collect; at 100 TB the
-    training set is still ≤2048 rows). Assignment during training uses
-    the same exact integer GEMM as the distributed pass (quantized
-    embeddings × quantized unit centroids, every intermediate an
-    integer-valued float64 < 2^53), so centroid training is
-    bit-reproducible across machines/BLAS — the model artifact is a
-    pure function of the data.
-    """
-    rows = (
+def _ivf_params(n: int) -> tuple[int, int]:
+    """(n_cells, nprobe) from the candidate count — √n cells, probe a
+    quarter of them. Shared by the operator and its tests so the test
+    always measures the production configuration."""
+    n_cells = max(4, int(round(math.sqrt(max(n, 0)))))
+    return n_cells, max(2, n_cells // 4)
+
+
+def _ivf_train_sample(emb: DataFrame) -> list:
+    """Bounded deterministic training sample: first IVF_TRAIN_MAX
+    candidates by vec_id — a TakeOrdered job, not a full collect; at
+    100 TB the driver still holds ≤2048 rows."""
+    return (
         emb.filter(F.col("vec_id") >= N_QUERIES)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(IVF_TRAIN_MAX)
         .collect()
     )
-    if not rows:  # empty corpus: placeholder centroids, never applied
-        return np.zeros((n_cells, 1), dtype=np.int64)
+
+
+def _ivf_centroids(emb: DataFrame, rows: list, n_cells: int) -> np.ndarray:
+    """Spherical k-means coarse quantizer over the collected training
+    sample. Assignment during training uses the same exact integer
+    GEMM as the distributed pass (quantized embeddings × quantized
+    unit centroids, every intermediate an integer-valued
+    float64 < 2^53), so centroid training is bit-reproducible across
+    machines/BLAS — the model artifact is a pure function of the data.
+    """
+    if not rows:
+        # empty candidate corpus: zero centroids shaped to the table's
+        # vector dim so query-side assignment still GEMMs cleanly (all
+        # scores 0 → stable cell order); dim falls back to 1 only when
+        # the whole table is empty, where no batches flow at all
+        return np.zeros((n_cells, max(_vector_dim(emb), 1)), dtype=np.int64)
     Eq = np.floor(
         np.stack([r.embedding for r in rows]).astype(np.float64) * EMB_SCALE
     )
@@ -350,10 +365,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cands = emb.filter(F.col("vec_id") >= N_QUERIES)
-    n = cands.count()  # metadata-only count
-    n_cells = max(4, int(round(math.sqrt(n))))
-    nprobe = max(2, n_cells // 4)
-    Cq = _ivf_centroids(emb, n_cells)
+    rows = _ivf_train_sample(emb)
+    # candidate count sizes the cell grid: free when the bounded
+    # sample already saw every candidate; otherwise one real count
+    # job (a vec_id-column scan, not metadata — the honest price of
+    # sizing from data)
+    n = len(rows) if len(rows) < IVF_TRAIN_MAX else cands.count()
+    n_cells, nprobe = _ivf_params(n)
+    Cq = _ivf_centroids(emb, rows, n_cells)
 
     cand_cells = _ivf_assign(cands, Cq, nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"

@@ -103,6 +103,15 @@ def upsert_into_table(
     ):
         write_time_partitioned(updates, path, ts_col)
         return
+    if not any(f.startswith(PARTITION_COL + "=") for f in os.listdir(path)):
+        # the table exists only as the empty-placeholder layout (plain
+        # write, no partition dirs — see write_time_partitioned): a
+        # dynamic partition overwrite would ADD p_date=... dirs while
+        # leaving the root-level placeholder file, and mixed directory
+        # depths break partition discovery on the next read. The base
+        # is empty by construction, so re-create instead of merging.
+        write_time_partitioned(updates, path, ts_col)
+        return
     # touched-day list: partition METADATA (bounded by day count), not
     # data — the one acceptable collect in this module; it becomes the
     # IN-list that prunes the base scan to touched partitions only.

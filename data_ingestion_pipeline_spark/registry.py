@@ -1143,10 +1143,32 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
     return {n: (v[0], v[1]) for n, v in out.items()}
 
 
+# Entries whose IMPLEMENTATION was rewritten this round: a historical
+# clean verdict no longer vouches for the current code, so the
+# rotation treats them as never-verified. Staleness-by-name cannot see
+# code changes — this list is the explicit signal; prune it once the
+# next CORRECTNESS file contains fresh verdicts for these names.
+_REVERIFY = {
+    "simhash_buckets",  # r4: 32→64-bit fingerprints, 16-bit bands
+    "simhash_candidates",  # r4: same rewrite
+    "stream_first_seen",  # r4: state keyed by station, dict state
+    "stream_dedup_upsert",  # r4: stream shuffle pinning + empty-layout fix
+    "stream_timeseries_1h",  # r4: stream shuffle pinning
+    "upsert_table_roundtrip",  # r4: empty-placeholder re-create path
+    "binary_byte_histogram",  # r4: exploded shape + new oracle
+}
+
+
 def _verification_order(names: list[str]) -> list[str]:
     evidence = _last_clean_round(names)
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (*evidence[n], pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            *((0, 0) if n in _REVERIFY else evidence[n]),
+            pos[n],
+        ),
+    )
 
 
 REGISTRY = {n: REGISTRY[n] for n in _verification_order(list(REGISTRY))}

@@ -5,6 +5,7 @@ computation, and the approximate path's recall against the baseline.
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.operators import similarity
 from data_ingestion_pipeline_spark.sources.tables import load_table
@@ -89,16 +90,14 @@ def test_ann_ivf_prunes_candidates(spark):
     """The probed candidate set must be a strict subset of the corpus
     (the whole point of IVF): expected work ≈ nprobe/n_cells ≈ 25%,
     assert < 60% to be robust to cell-size skew."""
-    import math
-
     from pyspark.sql import functions as F
 
     emb = load_table(spark, SF_TEST, "embeddings")
     cands = emb.filter(F.col("vec_id") >= similarity.N_QUERIES)
     n = cands.count()
-    n_cells = max(4, int(round(math.sqrt(n))))
-    nprobe = max(2, n_cells // 4)
-    Cq = similarity._ivf_centroids(emb, n_cells)
+    n_cells, nprobe = similarity._ivf_params(n)
+    rows = similarity._ivf_train_sample(emb)
+    Cq = similarity._ivf_centroids(emb, rows, n_cells)
     cand_cells = similarity._ivf_assign(cands, Cq, nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
@@ -130,3 +129,16 @@ def test_embedding_near_dup_lsh_recall_and_pruning(spark):
     assert recall >= 0.8, f"recall {recall:.2f}"
     # perfect precision: every emitted pair passed the true threshold
     assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+
+
+def test_ann_ivf_queries_only_slice(spark, tmp_path):
+    """A degenerate slice holding ONLY query vectors (candidate set
+    empty) must return an empty result, not crash in the placeholder-
+    centroid GEMM."""
+    from data_ingestion_pipeline_spark.sources.tables import load_table as lt
+
+    sf = str(tmp_path)
+    lt(spark, SF_TEST, "embeddings").filter(
+        F.col("vec_id") < similarity.N_QUERIES
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    assert similarity.ann_ivf_topk(spark, sf).count() == 0

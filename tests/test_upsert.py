@@ -89,3 +89,29 @@ def test_written_table_prunes_partitions(spark):
     assert "p_date" in pf, pf
     # and the pruned read returns exactly that day's rows
     assert df.count() == ev.filter(F.to_date("ts") == TOUCHED_DAY).count()
+
+
+def test_upsert_after_empty_create_heals_layout(spark, tmp_path):
+    """An empty first batch creates the plain-layout placeholder (no
+    partition dirs); a later non-empty upsert must RE-CREATE the
+    table partitioned rather than dynamic-overwriting on top of it —
+    mixing root-level files with partition dirs breaks partition
+    discovery on read."""
+    from data_ingestion_pipeline_spark.operators.upsert import (
+        read_table,
+        upsert_into_table,
+    )
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_TEST
+
+    path = str(tmp_path / "t")
+    ev = load_table(spark, SF_TEST, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upsert_into_table(spark, path, ev.limit(0), ["user_id", "ts"])  # empty create
+    assert read_table(spark, path).count() == 0
+    rows = ev.limit(200)
+    upsert_into_table(spark, path, rows, ["user_id", "ts"])  # must heal
+    got = read_table(spark, path)
+    assert got.count() == 200
+    assert set(got.columns) == {"event_id", "ts", "user_id", "event_type", "value"}
