@@ -2,8 +2,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
 
 Prints EXACTLY ONE JSON line on stdout:
-  {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1, "cpus": 32}
+  {"queries": {"q1_pricing_summary": sec, ...},
+   "metric": "total_wall_sec", "value": N, "unit": "sec",
+   "sf": 0.1, "cpus": 32}
+sized to fit the driver's ~2000-char stdout capture (fastest entries
+roll up into "rest" if the registry outgrows the window; key order
+puts the scalar fields last so a tail capture always retains them).
+The COMPLETE per-query map (cold + warm) is additionally written to
+BENCH_SELF.json, committed each round.
 
 Each query is materialized through the `noop` sink — full execution of
 the physical plan (scan, shuffles, codegen) with no driver-side
@@ -78,21 +84,63 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        cold[name] = round(runs[0], 3)
-        warm[name] = round(min(runs), 3)
+        cold[name] = round(runs[0], 2)
+        warm[name] = round(min(runs), 2)
 
-    out = {
+    # Complete evidence (all per-query timings, cold + warm) goes to a
+    # repo file committed per round — the stdout line below is
+    # capacity-limited by the driver's capture window and may roll up
+    # the fastest entries.
+    full = {
         "metric": "total_wall_sec",
-        "value": round(sum(cold.values()), 3),
+        "value": round(sum(cold.values()), 2),
         "unit": "sec",
         "queries": cold,
         "sf": sf,
         "cpus": cpus,
     }
     if repeat > 1:
-        out["warm"] = warm
-        out["warm_total"] = round(sum(warm.values()), 3)
-    print(json.dumps(out))
+        full["warm"] = warm
+        full["warm_total"] = round(sum(warm.values()), 2)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SELF.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # The driver records the LAST ~2000 chars of stdout (BENCH_r04's
+    # capture cut the first ~11 timings — exactly the slowest entries,
+    # which the verification order had put first). Keep the whole line
+    # under that window so it parses: compact separators, 2-decimal
+    # timings, and if the registry outgrows the budget, roll the
+    # FASTEST entries into a "rest" aggregate (the slow entries are
+    # the evidence that matters). The queries map is ordered
+    # fastest→slowest with the scalar fields last, so even a future
+    # overflow (head-cut) loses only the cheapest timings.
+    MAX_LINE = 1900
+    asc = sorted(cold, key=cold.get)
+
+    def line_for(k_drop: int) -> str:
+        kept = asc[k_drop:]
+        out = {"queries": {n: cold[n] for n in kept}}
+        if k_drop:
+            out["rest"] = {
+                "n": k_drop,
+                "sec": round(sum(cold[n] for n in asc[:k_drop]), 2),
+            }
+        out.update(
+            metric="total_wall_sec",
+            value=full["value"],
+            unit="sec",
+            sf=sf,
+            cpus=cpus,
+        )
+        if repeat > 1:
+            out["warm_total"] = full["warm_total"]
+        return json.dumps(out, separators=(",", ":"))
+
+    k = 0
+    while len(line_for(k)) > MAX_LINE and k < len(asc):
+        k += 1
+    print(line_for(k))
     spark.stop()
 
 

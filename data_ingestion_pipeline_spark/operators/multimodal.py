@@ -218,6 +218,19 @@ def image_resize(
     return df.mapInPandas(rs, DECODED_IMAGE_SCHEMA)
 
 
+def decoded_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the decode stage's scalar metadata (decoded
+    width/height per document). The stand-in codec derives dimensions
+    from the two leading payload bytes (decode_image_fake), which ARE
+    SQL-expressible — DuckDB recomputes them from hex(encode(text)) —
+    so this entry hash-checks the decode boundary that the full pixel
+    pipeline (decoded_image_stats, rows-only) builds on."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return decode_image_fake(docs).select("doc_id", "width", "height")
+
+
 def decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the full image pipeline — synthesize payloads,
     (fake-)decode, resize to 8×8, per-channel mean features. Three

@@ -263,15 +263,26 @@ def _ivf_params(n: int) -> tuple[int, int]:
 
 def _ivf_train_sample(emb: DataFrame) -> list:
     """Bounded deterministic training sample: first IVF_TRAIN_MAX
-    candidates by vec_id — a TakeOrdered job, not a full collect; at
-    100 TB the driver still holds ≤2048 rows."""
-    return (
+    candidates ordered by md5(vec_id) — a TakeOrdered job, not a full
+    collect; at 100 TB the driver still holds ≤2048 rows. The hash
+    ordering (same gate pattern as operators/sampling.py) makes the
+    sample a uniform draw even when vec_id correlates with ingest
+    time or content — ordering by raw vec_id would train centroids on
+    the head of the corpus only — while staying fully reproducible:
+    md5 is seedless and portable, so the sample is a pure function of
+    the data. The collected sample is then re-sorted by vec_id: the
+    hash governs only SELECTION (which rows enter the bounded sample);
+    training init consumes a canonically-ordered list, so when the
+    corpus fits entirely inside IVF_TRAIN_MAX the sample — and hence
+    the trained centroids — are identical regardless of hash values."""
+    rows = (
         emb.filter(F.col("vec_id") >= N_QUERIES)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(IVF_TRAIN_MAX)
         .collect()
     )
+    return sorted(rows, key=lambda r: r.vec_id)
 
 
 def _ivf_centroids(emb: DataFrame, rows: list, n_cells: int) -> np.ndarray:

@@ -70,7 +70,13 @@ def write_time_partitioned(
         # _SUCCESS), leaving an unreadable table; a plain write of the
         # same empty frame persists the schema, so readers get a valid
         # empty table with the identical logical schema. The isEmpty
-        # probe reads at most one row.
+        # probe reads at most one row. Restricted to overwrite: an
+        # empty APPEND against an existing partitioned table would
+        # drop a root-level file next to p_date=... dirs — the exact
+        # mixed-depth layout upsert_into_table's healing path guards
+        # against — and an empty append is a no-op anyway.
+        if mode != "overwrite":
+            return
         wp.write.mode(mode).parquet(path)
         return
     wp.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)

@@ -432,6 +432,14 @@ REGISTRY: dict[str, QuerySpec] = {
         # sessionization under any batching/disorder
         _SESSION_SQL,
     ),
+    "stream_session_windows_bounded": QuerySpec(
+        streaming.stream_session_windows_bounded,
+        # deployment mode: watermark + EventTimeTimeout eviction at a
+        # 1-hour disorder horizon over a time-ordered replay. Same
+        # oracle — with the horizon covering the feed's disorder,
+        # bounded state changes the footprint, never the answer.
+        _SESSION_SQL,
+    ),
     "stream_timeseries_1h": QuerySpec(
         streaming.stream_timeseries_1h,
         f"""
@@ -1072,9 +1080,29 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
     ),
+    # The stand-in codec's dimensions are pure functions of the two
+    # leading payload bytes: width = 16 + (byte0 % 16), height =
+    # 16 + (byte1 % 16). byte % 16 is the LOW nibble = the 2nd hex
+    # digit of that byte in hex(encode(text)) — same extraction
+    # pattern as the byte-histogram oracle.
+    "decoded_image_meta": QuerySpec(
+        multimodal.decoded_image_meta,
+        """
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
+        SELECT doc_id,
+               CAST(16 + CASE WHEN length(h) >= 2
+                    THEN strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1
+                    ELSE 0 END AS INTEGER) AS width,
+               CAST(16 + CASE WHEN length(h) >= 4
+                    THEN strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1
+                    ELSE 0 END AS INTEGER) AS height
+        FROM b
+        """,
+    ),
     "decoded_image_stats": QuerySpec(
         multimodal.decoded_image_stats,
-        None,  # binary pipeline (decode→resize→features), not SQL-expressible
+        None,  # pixel pipeline (decode→resize→features), not SQL-expressible;
+        # the decode boundary's scalar half is hash-checked by decoded_image_meta
         ground_truth="tests/test_multimodal.py::test_image_pipeline_matches_python",
     ),
     "event_type_pivot": QuerySpec(
@@ -1149,13 +1177,12 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY = {
-    "simhash_buckets",  # r4: 32→64-bit fingerprints, 16-bit bands
-    "simhash_candidates",  # r4: same rewrite
-    "stream_first_seen",  # r4: state keyed by station, dict state
-    "stream_dedup_upsert",  # r4: stream shuffle pinning + empty-layout fix
-    "stream_timeseries_1h",  # r4: stream shuffle pinning
-    "upsert_table_roundtrip",  # r4: empty-placeholder re-create path
-    "binary_byte_histogram",  # r4: exploded shape + new oracle
+    # r4 rewrites all got fresh clean verdicts in CORRECTNESS_r04.json
+    # and were pruned (VERDICT r4 §next 3).  r5 rewrites:
+    "vocab_top_tokens",  # r5: global-window rank → TakeOrdered limit
+    "doc_tfidf_topk",  # r5: unforced vocabulary broadcast
+    "ann_ivf_topk",  # r5: hash-ordered (unbiased) k-means training sample
+    "stream_session_windows",  # r5: changed-sessions delta emit + tombstones
 }
 
 

@@ -116,6 +116,43 @@ def build_feed(
         fh.write(key)
 
 
+def build_ordered_feed(
+    spark: SparkSession, sf_dir: str, feed_dir: str, n_files: int = 4
+) -> None:
+    """Materialize the events feed as n_files stream-source files in
+    GLOBAL time order: file k holds the k-th contiguous ts-range and
+    is written (hence micro-batched) after file k-1 — the shape a real
+    Kafka topic partition has, and the precondition for a meaningful
+    watermark / disorder horizon (stream_session_windows_bounded).
+
+    Fixture-builder note: the ntile split runs a global sort at test
+    scale; this is harness setup simulating an ordered topic backlog —
+    a production stream gets its order from the source itself, and a
+    batch backfill would repartitionByRange instead.
+    """
+    from pyspark.sql import Window as W
+
+    marker = os.path.join(feed_dir, "_FEED_COMPLETE")
+    key = f"{_FEED_VERSION}:ordered{n_files}:{sf_dir}"
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read() == key:
+                return
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(*FEED_COLS)
+    sliced = ev.withColumn(
+        "_slice", F.ntile(n_files).over(W.orderBy("ts", "event_id"))
+    )
+    for k in range(1, n_files + 1):
+        # sequential appends → strictly increasing mtimes → the file
+        # stream source replays the slices in time order
+        sliced.filter(F.col("_slice") == k).drop("_slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+    with open(marker, "w") as fh:
+        fh.write(key)
+
+
 def prewarm_feeds(spark: SparkSession, sf_dir: str) -> None:
     """Build (or reuse) the stream-source fixture directories for every
     streaming entry. The feed simulates a Kafka topic's backlog — it is
@@ -126,6 +163,7 @@ def prewarm_feeds(spark: SparkSession, sf_dir: str) -> None:
     build_feed(
         spark, sf_dir, scratch_path("stream_ts1h", sf_name, "feed"), with_dups=False
     )
+    build_ordered_feed(spark, sf_dir, scratch_path("stream_ordered", sf_name, "feed"))
 
 
 # Stateful-stream shuffle/state partition count. The state store
@@ -415,61 +453,133 @@ def merge_sessions(sess: list, points: list) -> list:
     return merged
 
 
-def _session_merge_fn(key, pdfs, state):
-    """Per-station incremental sessionization: state is the open
-    interval-merge of everything seen so far, as
-    [start_us, last_event_us, n, value_cents] summaries.
+def _session_merge_fn_factory(horizon_us: int | None):
+    """Build the per-station incremental sessionization function.
 
-    Correctness rests on sessionization being ASSOCIATIVE under
-    interval merge: a session summary retains its boundary events, so
-    folding batches in any order and merging summaries whose gap is
-    < SESSION_GAP_US yields exactly the sessions of the union of
-    events — the drained result equals batch sessionization no matter
-    how the replay was batched or (dis)ordered. Count/sum merge
-    additively; the sum is held in exact integer cents (the feed's
-    values are 2-decimal by construction), so the final
-    (cents/100)/n average bit-matches the batch dec_avg.
-
-    Emits the group's FULL current session list whenever a batch
-    touches it; the sink replaces that station's rows wholesale, so
-    the last emission per station is the complete answer (idempotent
-    under batch replay). No timeout: the replay fixture is
-    adversarially unordered (random file split), so no event-time
-    horizon short of the whole feed can finalize a session early —
-    matching the reference's accept-arbitrarily-late policy
-    (SURVEY.md §2.7). A production deployment on a mostly-ordered
-    stream would add EventTimeTimeout at its real disorder horizon to
-    evict closed sessions and bound state.
+    ``horizon_us=None`` → accept-arbitrarily-late (NoTimeout; state
+    grows with open sessions forever — the adversarial-replay
+    setting). ``horizon_us=N`` → EventTimeTimeout deployment mode:
+    sessions whose close precedes the watermark can never be touched
+    again (the watermark bounds how late an event may arrive), so
+    they are evicted from state on timeout — state holds only
+    sessions within the disorder horizon, bounding it by stream RATE,
+    not stream LENGTH.
     """
-    import json
 
-    import numpy as np
-    import pandas as pd
+    def _session_merge_fn(key, pdfs, state):
+        """Per-station incremental sessionization: state is the open
+        interval-merge of everything seen so far, as
+        [start_us, last_event_us, n, value_cents] summaries.
 
-    sess = json.loads(state.get[0]) if state.exists else []
-    new_rows = []
-    for pdf in pdfs:
-        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
-        new_rows += [[int(t), int(t), 1, int(c)] for t, c in zip(ts_us, cents)]
-    if not new_rows:
-        return
-    merged = merge_sessions(sess, new_rows)
-    state.update((json.dumps(merged),))
-    yield pd.DataFrame(
-        {
-            "user_id": np.full(len(merged), key[0], dtype=np.int64),
-            "session_start": np.array([m[0] for m in merged], dtype="datetime64[us]"),
-            "session_end": np.array(
-                [m[1] + SESSION_GAP_US for m in merged], dtype="datetime64[us]"
-            ),
-            "event_count": np.array([m[2] for m in merged], dtype=np.int64),
-            "avg_value": np.array([(m[3] / 100.0) / m[2] for m in merged]),
-        }
-    )
+        Correctness rests on sessionization being ASSOCIATIVE under
+        interval merge: a session summary retains its boundary
+        events, so folding batches in any order and merging summaries
+        whose gap is < SESSION_GAP_US yields exactly the sessions of
+        the union of events — the drained result equals batch
+        sessionization no matter how the replay was batched or
+        (dis)ordered. Count/sum merge additively; the sum is held in
+        exact integer cents (the feed's values are 2-decimal by
+        construction), so the final (cents/100)/n average bit-matches
+        the batch dec_avg.
+
+        Emits a CHANGED-SESSIONS DELTA: sessions new or modified by
+        this batch, plus tombstones (event_count=0) for prior
+        sessions absorbed by a merge. The sink replaces exactly the
+        emitted (user_id, session_start) keys, so per-batch emit size
+        is O(sessions touched), not O(all sessions per touched
+        station) — the r4 full-list emit grew with total sessions per
+        station over the stream's life (ADVICE r4). Replay-idempotent:
+        re-applying the same delta is a no-op.
+        """
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        def frame(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": np.full(len(rows), key[0], dtype=np.int64),
+                    "session_start": np.array(
+                        [m[0] for m in rows], dtype="datetime64[us]"
+                    ),
+                    "session_end": np.array(
+                        [m[1] + SESSION_GAP_US for m in rows],
+                        dtype="datetime64[us]",
+                    ),
+                    "event_count": np.array([m[2] for m in rows], dtype=np.int64),
+                    "avg_value": np.array(
+                        [((m[3] / 100.0) / m[2]) if m[2] else 0.0 for m in rows]
+                    ),
+                }
+            )
+
+        if horizon_us is not None and state.hasTimedOut:
+            # Watermark passed the timeout: sessions closed more than
+            # the horizon ago are final (no acceptable event can merge
+            # into them) and were already emitted — drop them from
+            # state; keep open/recent ones and re-arm.
+            sess = json.loads(state.get[0]) if state.exists else []
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            keep = [s for s in sess if s[1] + SESSION_GAP_US >= wm_us]
+            if keep:
+                state.update((json.dumps(keep),))
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + horizon_us // 1000 + 1
+                )
+            else:
+                state.remove()
+            return
+
+        sess = json.loads(state.get[0]) if state.exists else []
+        new_rows = []
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            )
+            cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+            new_rows += [[int(t), int(t), 1, int(c)] for t, c in zip(ts_us, cents)]
+        if not new_rows:
+            return
+        merged = merge_sessions(sess, new_rows)
+        if horizon_us is None:
+            state.update((json.dumps(merged),))
+        else:
+            # Bounded mode prunes on the DATA path too: a group that
+            # receives events every batch never gets a timeout call,
+            # so finality must be applied here — a session whose close
+            # precedes the watermark by more than the horizon cannot
+            # be touched by any event the horizon contract admits, and
+            # its final delta was already emitted. State carries only
+            # the horizon's worth of sessions: bounded by stream rate,
+            # not stream length.
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            keep = [
+                m for m in merged if m[1] + SESSION_GAP_US + horizon_us >= wm_us
+            ]
+            state.update((json.dumps(keep),))
+            last_close_us = max(m[1] for m in merged) + SESSION_GAP_US
+            state.setTimeoutTimestamp(
+                max(
+                    state.getCurrentWatermarkMs() + 1,
+                    last_close_us // 1000 + horizon_us // 1000,
+                )
+            )
+        cur = {m[0]: m for m in merged}
+        prior = {s[0]: s for s in sess}
+        changed = [m for m in merged if prior.get(m[0]) != m]
+        gone = [[s[0], s[0], 0, 0] for s in sess if s[0] not in cur]
+        yield frame(changed + gone)
+
+    return _session_merge_fn
 
 
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+_session_merge_fn = _session_merge_fn_factory(None)
+
+
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, disorder_horizon_s: int | None = None
+) -> DataFrame:
     """CUSTOM stateful streaming operator #2: session windows with a
     30-minute inactivity gap, maintained incrementally across
     micro-batches (Spark's built-in ``session_window`` streaming agg
@@ -478,40 +588,73 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     warranted). Oracle: identical gaps-and-islands SQL as the batch
     twin session_windows_30m — streamed and batch results must match
     hash-for-hash.
+
+    ``disorder_horizon_s=None`` (registry default) replays the
+    adversarially-unordered feed with NoTimeout — no event-time
+    horizon short of the whole feed could finalize a session early,
+    matching the reference's accept-arbitrarily-late policy
+    (SURVEY.md §2.7). ``disorder_horizon_s=N`` is the production
+    deployment mode for a mostly-ordered stream (see
+    stream_session_windows_bounded): a watermark at the disorder
+    horizon plus EventTimeTimeout evicts sessions closed more than
+    the horizon ago, so state is bounded by stream rate × horizon
+    instead of growing with total sessions — the 100 TB construction.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    bounded = disorder_horizon_s is not None
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    feed = scratch_path("stream_ts1h", sf_name, "feed")  # dup-free fixture
-    table = scratch_path("stream_sessions", sf_name, "table")
-    ckpt = scratch_path("stream_sessions", sf_name, "ckpt")
+    variant = "stream_sessions_bounded" if bounded else "stream_sessions"
+    table = scratch_path(variant, sf_name, "table")
+    ckpt = scratch_path(variant, sf_name, "ckpt")
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    build_feed(spark, sf_dir, feed, with_dups=False)
+    if bounded:
+        feed = scratch_path("stream_ordered", sf_name, "feed")
+        build_ordered_feed(spark, sf_dir, feed)
+    else:
+        feed = scratch_path("stream_ts1h", sf_name, "feed")  # dup-free fixture
+        build_feed(spark, sf_dir, feed, with_dups=False)
 
-    stream = (
+    source = (
         spark.readStream.schema(FEED_SCHEMA)
         .option("maxFilesPerTrigger", 2)
         .parquet(feed)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _session_merge_fn,
-            outputStructType=SESSION_OUT,
-            stateStructType=SESSION_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    )
+    if bounded:
+        source = source.withWatermark("ts", f"{disorder_horizon_s} seconds")
+    stream = source.groupBy("user_id").applyInPandasWithState(
+        _session_merge_fn_factory(
+            disorder_horizon_s * 1_000_000 if bounded else None
+        ),
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if bounded
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
+        # Delta semantics: each emitted (user_id, session_start) —
+        # changed row or event_count=0 tombstone — replaces that key
+        # in the table; unchanged sessions of a touched station are
+        # NOT re-emitted and must be retained.
         sess = bdf.sparkSession
         bdf = bdf.localCheckpoint(eager=True)
+        live = bdf.filter(F.col("event_count") > 0)
         if os.path.isdir(table):
             base = sess.read.parquet(table)
-            keep = base.join(bdf.select("user_id").distinct(), "user_id", "left_anti")
-            out = keep.unionByName(bdf).localCheckpoint(eager=True)
+            keep = base.join(
+                bdf.select("user_id", "session_start").distinct(),
+                ["user_id", "session_start"],
+                "left_anti",
+            )
+            out = keep.unionByName(live).localCheckpoint(eager=True)
         else:
-            out = bdf
+            out = live
         out.write.mode("overwrite").parquet(table)
 
     with _stream_shuffle(spark):
@@ -526,6 +669,21 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table).select(
         "user_id", "session_start", "session_end", "event_count", "avg_value"
     )
+
+
+def stream_session_windows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-mode sessionization: watermark + EventTimeTimeout at
+    a 1-hour disorder horizon over a time-ordered replay (the shape a
+    real Kafka topic has — per-partition approximate time order).
+    State holds only sessions whose close is within the horizon of
+    the watermark; everything older is evicted after its final delta
+    emit, so state size is rate-bounded — the production answer to
+    the NoTimeout variant's unbounded-state caveat. Same
+    gaps-and-islands oracle as the unbounded twin: with the horizon
+    covering the feed's actual disorder, eviction never changes the
+    answer, only the state footprint.
+    """
+    return stream_session_windows(spark, sf_dir, disorder_horizon_s=3600)
 
 
 def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -167,6 +167,40 @@ def test_stratified_sample_is_map_only(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan
 
 
+def test_vocab_topk_is_take_ordered(spark):
+    """The vocabulary top-K cut must plan as TakeOrderedAndProject —
+    each partition keeps its local top K — never as a global window
+    that funnels the entire (potentially billion-token) vocabulary
+    into a single partition (VERDICT r4 §wrong 1)."""
+    from data_ingestion_pipeline_spark.operators.text import vocab_top_tokens
+
+    plan = plan_of(vocab_top_tokens(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Window allowed is the post-limit rank over K rows; the
+    # plan must not sort the full vocabulary before the limit — i.e.
+    # no single-partition Exchange feeding anything but the final
+    # K-row ranking stage
+    before_limit = plan.split("TakeOrderedAndProject")[-1]
+    assert "Exchange SinglePartition" not in before_limit, plan
+
+
+def test_doc_tfidf_join_is_not_forced_broadcast(spark):
+    """The tf×df join's build side is vocabulary-sized: the strategy
+    must be optimizer-chosen (broadcast while small under AQE, shuffle
+    hash/sort-merge when not), never a cartesian — and the logical
+    plan must not carry a forced broadcast hint that would OOM the
+    driver on a web-scale vocabulary (VERDICT r4 §wrong 2)."""
+    from data_ingestion_pipeline_spark.operators.text import doc_tfidf_topk
+
+    df = doc_tfidf_topk(spark, SF_TEST)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical, logical
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
 def test_gapfill_is_jvm_only(spark):
     """Gap-filling must stay inside whole-stage codegen: no Python
     workers (ArrowEvalPython/FlatMapGroupsInPandas) in the plan."""

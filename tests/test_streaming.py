@@ -114,6 +114,37 @@ def test_late_data_accepted_and_upsert_collapses(spark):
     assert got.select("user_id", "ts").distinct().count() == n_recent + n_old
 
 
+def test_bounded_session_state_is_pruned(spark):
+    """Deployment-mode sessionization (watermark + EventTimeTimeout +
+    data-path finality pruning) must produce the IDENTICAL session
+    table as the unbounded accept-arbitrarily-late twin while leaving
+    strictly less state behind — state bounded by the disorder
+    horizon, not the stream length. Read back via Spark's statestore
+    data source on each drain's checkpoint."""
+    from data_ingestion_pipeline_spark.streaming.pipeline import (
+        stream_session_windows,
+    )
+
+    bounded = stream_session_windows(spark, SF_TEST, disorder_horizon_s=3600)
+    rows_b = sorted(map(tuple, bounded.collect()))
+    unbounded = stream_session_windows(spark, SF_TEST)
+    rows_u = sorted(map(tuple, unbounded.collect()))
+    assert rows_b == rows_u, "horizon eviction must not change the answer"
+
+    sf_name = SF_TEST.rstrip("/").rsplit("/", 1)[1]
+    n_bounded = (
+        spark.read.format("statestore")
+        .load(scratch_path("stream_sessions_bounded", sf_name, "ckpt"))
+        .count()
+    )
+    n_unbounded = (
+        spark.read.format("statestore")
+        .load(scratch_path("stream_sessions", sf_name, "ckpt"))
+        .count()
+    )
+    assert n_bounded < n_unbounded, (n_bounded, n_unbounded)
+
+
 def test_session_merge_is_associative():
     """The incremental sessionization (stream_session_windows) is
     correct under ANY batching iff summary interval-merge is
