@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_pipeline_spark.operators import (
     analytics,
+    corpus,
     dedup,
     ingest,
+    maintenance,
     multimodal,
     queries,
     sampling,
@@ -320,6 +322,20 @@ REGISTRY: dict[str, QuerySpec] = {
         files.jsonl_source_roundtrip,
         """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+    ),
+    "orc_source_roundtrip": QuerySpec(
+        files.orc_source_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+    ),
+    "compact_roundtrip": QuerySpec(
+        maintenance.compact_roundtrip,
+        # compaction must be row-identity; file-count reduction is
+        # asserted in tests/test_maintenance.py
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
     # ---- window-function surface (lag / range-frame / as-of) ----
@@ -1052,6 +1068,58 @@ REGISTRY: dict[str, QuerySpec] = {
                CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
         FROM tf t JOIN df d USING (token)
         QUALIFY rank <= 3
+        """,
+    ),
+    # ---- corpus construction (north-star scope) ----
+    "doc_chunks": QuerySpec(
+        corpus.doc_chunks,
+        # identical window arithmetic: starts at 1, 1+48, ... ≤ n;
+        # slice is end-clamped on both engines
+        f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, GREATEST(len(toks), 1) + 1,
+                                {corpus.CHUNK_STRIDE})) AS start
+            FROM d
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {corpus.CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, start,
+                    LEAST(start + {corpus.CHUNK_TOKENS} - 1, len(toks))))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, start,
+                    LEAST(start + {corpus.CHUNK_TOKENS} - 1, len(toks))), ' ')
+                    AS chunk_text
+        FROM s
+        """,
+    ),
+    "doc_pseudonymize": QuerySpec(
+        corpus.doc_pseudonymize,
+        # md5 hex is lowercase on both engines; the blocklist literal
+        # mirrors corpus.PSEUDO_BLOCKLIST
+        """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('customer', 'spark'))) AS BIGINT) AS n_masked,
+               array_to_string(list_transform(string_split(text, ' '),
+                    t -> CASE WHEN t IN ('customer', 'spark')
+                         THEN 'ent_' || substr(md5(t), 1, 8) ELSE t END),
+                    ' ') AS text_pseudo
+        FROM documents
+        """,
+    ),
+    "corpus_split_assign": QuerySpec(
+        corpus.corpus_split_assign,
+        f"""
+        SELECT doc_id, lang, source,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{corpus.SPLIT_TRAIN_LT}' THEN 'train'
+                    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{corpus.SPLIT_VALID_LT}' THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
         """,
     ),
     "customer_order_reconciliation": QuerySpec(

@@ -53,6 +53,35 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as ORC (the other columnar standard a lakehouse
+    ingests; Spark reads/writes it natively with predicate pushdown),
+    read back, reconstruct the timestamp losslessly. Same design
+    rules: explicit schema on read, epoch-micros timestamps (ORC
+    timestamp encoding is writer-timezone-sensitive; a 100 TB
+    pipeline cannot depend on writer TZ), identity oracle."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("orc_src", sf_name, "t")
+
+    src = load_table(spark, sf_dir, "events")
+    ev = src.select(
+        "event_id",
+        to_micros(src, "ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.schema(CSV_SCHEMA).orc(path)
+    return back.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 def jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events as JSON-lines (the dominant drop format for LLM
     training corpora), read back with an explicit schema, reconstruct

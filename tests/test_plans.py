@@ -201,6 +201,18 @@ def test_doc_tfidf_join_is_not_forced_broadcast(spark):
     assert "Join" in plan
 
 
+def test_corpus_ops_are_map_only_jvm(spark):
+    """The corpus-construction operators (chunking, pseudonymization,
+    split assignment) are per-row transforms: no shuffle, no Python
+    workers — a 100 TB corpus pass at scan cost."""
+    from data_ingestion_pipeline_spark.operators import corpus
+
+    for fn in (corpus.doc_chunks, corpus.doc_pseudonymize, corpus.corpus_split_assign):
+        plan = plan_of(fn(spark, SF_TEST))
+        assert "Exchange" not in plan, f"{fn.__name__} must not shuffle:\n{plan}"
+        assert "InPandas" not in plan and "EvalPython" not in plan, fn.__name__
+
+
 def test_gapfill_is_jvm_only(spark):
     """Gap-filling must stay inside whole-stage codegen: no Python
     workers (ArrowEvalPython/FlatMapGroupsInPandas) in the plan."""
