@@ -66,3 +66,55 @@ def grouped_agg_salted(spark, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_stats(ev, "user_id", "value", "event_id")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    row_id: str,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small
+    side `buckets`×, join on (key, salt).
+
+    A hot join key concentrates its rows on ONE reducer of a shuffled
+    join; salting spreads each key over `buckets` reducers at the cost
+    of a `buckets`× blow-up of the (much smaller) build side — the
+    standard fix when the small side exceeds the broadcast threshold
+    AND keys skew (AQE's skew-join split handles sort-merge skew at
+    runtime, but only per-partition; salting bounds worst-case reducer
+    load by construction). The shuffle_hash hint keeps the
+    demonstration honest — without it this size would broadcast and
+    never shuffle at all.
+    """
+    b = big.withColumn("_salt", salt_col(F.col(row_id), buckets))
+    s = small.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(buckets - 1).cast("long"))
+        ),
+    )
+    return b.join(
+        s.hint("shuffle_hash"),
+        (F.col(big_key) == F.col(small_key)) & (b["_salt"] == s["_salt"]),
+    ).drop("_salt")
+
+
+def events_customer_join_salted(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: events⋈customer through the salted shuffled
+    join — 15 hot station keys over the whole fact table is exactly
+    the skew shape. Oracle = the plain equi-join; salting must not
+    change a row."""
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return salted_join(ev, cust, "user_id", "c_custkey", "event_id").select(
+        "event_id", "ts", "user_id", "value", "c_name", "c_nationkey"
+    )

@@ -115,6 +115,35 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: a fresh batch of documents deduped
+    (a) within itself and (b) against the already-ingested corpus, by
+    content hash — the standing operation of a training-data refresh
+    (every crawl snapshot arrives against a trillion-token corpus).
+
+    Stand-in corpus split: doc_id % 10 == 0 is "already ingested".
+    Shape: within-batch survivor via window on the content hash, then
+    a LEFT ANTI equi-join against the corpus's hash set. Both shuffles
+    key on the uniformly-distributed 128-bit hash — skew-free at any
+    scale; the anti-join build side is hash+nothing (narrowest
+    possible), and the optimizer picks broadcast vs shuffle as corpus
+    size dictates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    ingested = docs.filter(F.col("doc_id") % 10 == 0).select(h.alias("hash"))
+    fresh = docs.filter(F.col("doc_id") % 10 != 0)
+    w = Window.partitionBy(h).orderBy(F.col("doc_id"))
+    batch_unique = (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("hash", h)
+    )
+    return batch_unique.join(ingested, "hash", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (builder's-brief checklist): whitespace
     tokens and a BPE-ish regex count (word runs or single

@@ -35,7 +35,7 @@ from data_ingestion_pipeline_spark.operators import (
     wire,
 )
 from data_ingestion_pipeline_spark.functions import skew
-from data_ingestion_pipeline_spark.sources import files, generator
+from data_ingestion_pipeline_spark.sources import files, generator, pysource
 from data_ingestion_pipeline_spark.streaming import pipeline as streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -392,6 +392,22 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM range(5000) t(id)
         """,
     ),
+    "synthetic_weather_pysource": QuerySpec(
+        pysource.synthetic_weather_pysource,
+        # identical oracle to synthetic_weather: the registered Python
+        # data source (Spark 4 extension point) must reproduce the
+        # DataFrame twin bit-for-bit
+        """
+        SELECT 'station_' || CAST((((id + 1) * 2654435761 + 12345) % 2147483648) % 10 AS VARCHAR) AS station_id,
+               -10.0 + CAST((((id + 2) * 2654435761 + 12345) % 2147483648) % 451 AS DOUBLE) / 10.0 AS temperature,
+               CAST((((id + 3) * 2654435761 + 12345) % 2147483648) % 1001 AS DOUBLE) / 10.0 AS humidity,
+               CAST((((id + 4) * 2654435761 + 12345) % 2147483648) % 301 AS DOUBLE) / 10.0 AS wind_speed,
+               TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 1 SECOND AS "timestamp",
+               md5('trace_' || CAST(id AS VARCHAR)) AS trace_id,
+               id AS reading_id
+        FROM range(5000) t(id)
+        """,
+    ),
     "synthetic_weather_feed": QuerySpec(
         generator.synthetic_weather_feed,
         """
@@ -637,6 +653,15 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY user_id
         """,
     ),
+    "events_customer_join_salted": QuerySpec(
+        skew.events_customer_join_salted,
+        # identical oracle to the plain equi-join: the salted
+        # replicate-join must not change a row
+        """
+        SELECT e.event_id, e.ts, e.user_id, e.value, c.c_name, c.c_nationkey
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+    ),
     "big_order_customers": QuerySpec(
         analytics.big_order_customers,
         """
@@ -793,6 +818,22 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT doc_id, lang, source, n_chars
         FROM documents
         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+    ),
+    "docs_incremental_dedup": QuerySpec(
+        text.docs_incremental_dedup,
+        """
+        WITH fresh AS (
+            SELECT * FROM documents WHERE doc_id % 10 <> 0
+        ), batch_unique AS (
+            SELECT * FROM fresh
+            QUALIFY row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) = 1
+        )
+        SELECT doc_id, lang, source, n_chars FROM batch_unique b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents i
+            WHERE i.doc_id % 10 = 0 AND md5(i.text) = md5(b.text))
         """,
     ),
     # ---- near-duplicate detection ----

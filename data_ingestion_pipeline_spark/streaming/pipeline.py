@@ -647,8 +647,12 @@ def stream_session_windows(
         live = bdf.filter(F.col("event_count") > 0)
         if os.path.isdir(table):
             base = sess.read.parquet(table)
+            # emitted keys are unique per batch by construction (each
+            # group yields each session_start at most once), so no
+            # distinct; the key set is micro-batch-bounded, so
+            # broadcasting it is safe at any stream length
             keep = base.join(
-                bdf.select("user_id", "session_start").distinct(),
+                F.broadcast(bdf.select("user_id", "session_start")),
                 ["user_id", "session_start"],
                 "left_anti",
             )

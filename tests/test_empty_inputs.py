@@ -19,7 +19,11 @@ from data_ingestion_pipeline_spark.sources.tables import load_table
 from tests.conftest import SF_TEST
 
 # sources: generate rows regardless of input tables
-_GENERATES_ROWS = {"synthetic_weather", "synthetic_weather_feed"}
+_GENERATES_ROWS = {
+    "synthetic_weather",
+    "synthetic_weather_feed",
+    "synthetic_weather_pysource",
+}
 
 
 @pytest.fixture(scope="module")

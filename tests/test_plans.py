@@ -213,6 +213,31 @@ def test_corpus_ops_are_map_only_jvm(spark):
         assert "InPandas" not in plan and "EvalPython" not in plan, fn.__name__
 
 
+def test_salted_join_is_shuffled_hash(spark):
+    """The salted replicate-join demonstrates the no-broadcast skew
+    path: the plan must be a shuffled hash join on (key, salt) — not a
+    broadcast (which would make salting a no-op) and never a
+    cartesian."""
+    from data_ingestion_pipeline_spark.functions.skew import (
+        events_customer_join_salted,
+    )
+
+    plan = plan_of(events_customer_join_salted(spark, SF_TEST))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_hash_equi_join(spark):
+    """Incremental corpus dedup: window + anti-join both key on the
+    content hash — no cartesian, no nested loop."""
+    from data_ingestion_pipeline_spark.operators.text import docs_incremental_dedup
+
+    plan = plan_of(docs_incremental_dedup(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_gapfill_is_jvm_only(spark):
     """Gap-filling must stay inside whole-stage codegen: no Python
     workers (ArrowEvalPython/FlatMapGroupsInPandas) in the plan."""
