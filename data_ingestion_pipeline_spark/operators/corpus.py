@@ -11,7 +11,7 @@ identical plan runs over 100 TB of documents with linear cost.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.sources.tables import load_table
@@ -88,6 +88,154 @@ def doc_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_masked.cast("bigint").alias("n_masked"),
         F.array_join(masked, " ").alias("text_pseudo"),
     )
+
+
+# Per-source target mixing weights (epochs over each source). >1 →
+# upsample with replacement, <1 → downsample; fractional parts resolve
+# by the shared hash-gate. Mirrored literally in the oracle SQL.
+MIX_WEIGHTS: dict[str, float] = {"src0": 2.5, "src1": 2.0, "src2": 0.5}
+MIX_DEFAULT_WEIGHT = 1.0
+MIX_SALT = "mix"
+
+
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: replicate each document
+    floor(weight[source]) times plus one more iff its hash-gate draw
+    falls under the fractional part — the "N epochs of wiki, 0.5
+    epochs of web" data-mixture step every pre-training run performs
+    (weights per source, not per row). Expected copy count = weight,
+    exactly; realized counts are a pure function of doc_id, so the
+    mixture is identical across retries, engines, and cluster layouts
+    (same design rule as operators/sampling.py — no rand()).
+
+    Map-only: per-row CASE weight → `sequence`/`explode` fan-out
+    (rows out = Σ weights · rows in, no shuffle); documents with zero
+    copies drop out via the empty-array explode. At 100 TB the only
+    cost is the write amplification the mixture itself demands.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from data_ingestion_pipeline_spark.operators.sampling import (
+        hash_gate,
+        rate_to_hex,
+    )
+
+    base = F.lit(int(MIX_DEFAULT_WEIGHT))
+    frac_hex = F.lit(rate_to_hex(MIX_DEFAULT_WEIGHT - int(MIX_DEFAULT_WEIGHT)))
+    for src, w in sorted(MIX_WEIGHTS.items()):
+        base = F.when(F.col("source") == src, F.lit(int(w))).otherwise(base)
+        frac_hex = F.when(
+            F.col("source") == src, F.lit(rate_to_hex(w - int(w)))
+        ).otherwise(frac_hex)
+    copies = (
+        base
+        + F.when(hash_gate(F.col("doc_id"), frac_hex, MIX_SALT), 1).otherwise(0)
+    ).cast("int")
+    reps = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = docs.select("doc_id", "source", F.explode(reps).alias("copy_nr"))
+    return ex.select(
+        "doc_id", "source", F.col("copy_nr").cast("bigint").alias("copy_nr")
+    )
+
+
+def mix_resample_oracle_sql() -> str:
+    """DuckDB twin built from the same weight table (cannot drift)."""
+    from data_ingestion_pipeline_spark.operators.sampling import rate_to_hex
+
+    base_cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(w)}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    frac_cases = " ".join(
+        f"WHEN source = '{s}' THEN '{rate_to_hex(w - int(w))}'"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+        WITH c AS (
+            SELECT doc_id, source,
+                   (CASE {base_cases} ELSE {int(MIX_DEFAULT_WEIGHT)} END)
+                   + (CASE WHEN substr(md5('{MIX_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           < (CASE {frac_cases}
+                              ELSE '{rate_to_hex(MIX_DEFAULT_WEIGHT - int(MIX_DEFAULT_WEIGHT))}' END)
+                      THEN 1 ELSE 0 END) AS copies
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_nr
+        FROM c
+    """
+
+
+PACK_TOKENS = 512  # training-sequence capacity (whitespace tokens)
+N_PACK_SHARDS = 16
+PACK_SALT = "pack"
+_HEX = "0123456789abcdef"
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by cumulative-sum binning: lay the (shuffled)
+    token stream of each shard end-to-end and cut it every PACK_TOKENS
+    tokens — each document gets (shard, seq_id, seq_offset), the
+    address of its first token in the packed training sequences.
+    Documents straddle cuts exactly as contiguous-packing trainers
+    expect (a doc spanning seq k and k+1 contributes its tail to k+1).
+
+    Shard = first md5 nibble of the salted doc_id (16 uniform shards,
+    same portable pattern as shuffle_shard_docs); within-shard order =
+    (digest, doc_id), i.e. decorrelated from ingest order. The packing
+    itself is ONE running-sum window per shard — a range-partitioned
+    sort, the minimal physical plan any deterministic packer needs —
+    with integer-only arithmetic so Spark and the oracle agree
+    bit-for-bit. Shard count is a parameter: at 100 TB it is set to
+    O(cluster cores) so each per-shard sort fits an executor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit(PACK_SALT + ":"), F.col("doc_id").cast("string")))
+    n = F.size(_tokens()).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        skey.alias("skey"),
+    ).withColumn(
+        "shard",
+        (F.expr(f"locate(substring(skey, 1, 1), '{_HEX}')") - 1).cast("int"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_TOKENS).cast("bigint").alias("seq_id"),
+        (start % PACK_TOKENS).cast("bigint").alias("seq_offset"),
+    )
+
+
+def pack_sequences_oracle_sql() -> str:
+    return f"""
+        WITH k AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   md5('{PACK_SALT}:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens, skey,
+                   CAST(strpos('{_HEX}', substr(skey, 1, 1)) - 1 AS INTEGER) AS shard,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY substr(skey, 1, 1)
+                       ORDER BY skey, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+            FROM k
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(FLOOR(start / {PACK_TOKENS}) AS BIGINT) AS seq_id,
+               CAST(start % {PACK_TOKENS} AS BIGINT) AS seq_offset
+        FROM c
+    """
 
 
 def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

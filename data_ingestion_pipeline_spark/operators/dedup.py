@@ -160,6 +160,144 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_GRAM_N = 4  # word n-gram length for contamination / edge keys
+CLUSTER_GRAM_DF_MIN = 2  # a gram seen once creates no pair
+CLUSTER_GRAM_DF_MAX = 8  # hot-gram cap: bounds per-gram pair fan-out
+CLUSTER_MAX_ITERS = 25
+
+
+def _gram_hashes(docs: DataFrame, n: int = DECON_GRAM_N) -> DataFrame:
+    """Distinct (doc_id, gram_hash) rows: md5 of every word n-gram.
+
+    Grams are built map-side from the token array (`shingles` with
+    k=n), hashed to a fixed-width md5 so every downstream join/shuffle
+    carries 32-byte uniform keys instead of unbounded text — at 100 TB
+    the gram strings never leave the map stage. md5 (not xxhash64)
+    keeps the DuckDB oracle expressible.
+    """
+    return docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), n)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gh"))
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word-DECON_GRAM_N-gram with a held-out benchmark set — the
+    standard pre-training hygiene pass (e.g. GPT-3 §5 / PaLM app. —
+    n-gram overlap against eval sets), run before any eval split is
+    trusted.
+
+    Stand-in benchmark membership: doc_id % 97 == 0 (deterministic; a
+    real run would read the eval suite). Shape: distinct gram hashes
+    per side, inner equi-join on the hash, per-doc distinct-gram
+    count. The benchmark side is eval-suite-sized (thousands of docs,
+    not corpus-sized), so the optimizer broadcasts it and the corpus
+    side never shuffles — the whole pass is one scan + broadcast
+    probe at any corpus size. Hot grams are naturally bounded by the
+    benchmark's own size; output rows = contaminated docs only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_hashes(docs)
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("n_shared_grams"))
+    )
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    "shares a word-4-gram" graph, labeling every clustered document
+    with the minimum doc_id of its component — the step that turns
+    pairwise dedup candidates into survivor groups (pairs alone can't
+    answer "keep one per group": duplicates are transitive).
+
+    Edge generation is the LSH-family shape: distinct (doc, gram-hash)
+    rows self-joined on the hash, with a document-frequency cap
+    [CLUSTER_GRAM_DF_MIN, CLUSTER_GRAM_DF_MAX] applied FIRST — a gram
+    appearing in d docs yields d·(d-1)/2 pairs, so uncapped hot grams
+    (boilerplate headers) are the quadratic blowup; the cap bounds
+    per-gram fan-out to a constant, making edge count linear in
+    matching docs. Components then run as iterative min-label
+    propagation: each round, every node takes the min of its own and
+    its neighbors' labels (one equi-join + one partial-aggregated
+    groupBy per round — both shuffle on uniformly-hashed ids), until
+    a round changes nothing. Rounds = component diameter; duplicate
+    clusters are clique-ish (diameter ≲ 3), so this converges in a
+    handful of rounds — the same reason production systems (e.g.
+    SlimPajama, RefinedWeb dedup) get away without the
+    large-star/small-star variant, which this loop could swap in
+    unchanged if kilometre-long chain components ever appeared.
+    `localCheckpoint` truncates the growing lineage each round; the
+    per-round `.count()` is the convergence test (iteration control,
+    not data movement — it moves one long to the driver).
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    edge set — exact, engine-independent ground truth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_hashes(docs).distinct()
+    capped = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= CLUSTER_GRAM_DF_MIN)
+            & (F.col("df") <= CLUSTER_GRAM_DF_MAX)
+        )
+        .select("gh")
+    )
+    g = grams.join(capped, "gh")
+    a = g.select("gh", F.col("doc_id").alias("src"))
+    b = g.select("gh", F.col("doc_id").alias("dst"))
+    edges = (
+        a.join(b, "gh")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, labels["node"] == nb["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - diameter beyond cap means a logic bug
+        raise RuntimeError(f"components did not converge in {CLUSTER_MAX_ITERS} rounds")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16-bit bands
@@ -281,4 +419,21 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: materialize the corpus with every
+    clustered document REMOVED except its cluster's canonical
+    (minimum-doc_id) member — the final step pairwise candidates
+    exist to serve. Composition: `dup_clusters` components → the
+    non-canonical members become an anti-join blacklist on doc_id.
+    The blacklist is duplicate-count-sized (≪ corpus), so the
+    optimizer broadcasts it and the corpus pass stays one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dup_clusters(spark, sf_dir)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )

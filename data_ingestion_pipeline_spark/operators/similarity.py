@@ -593,3 +593,31 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, exploded to
+    (label, dim, mean_val, n_vecs) rows — the monitoring/bootstrap
+    statistic an ANN index maintainer watches (cell balance, drift)
+    and the exact computation IVF training performs per cluster.
+
+    Shape: `posexplode` the vector column → ONE grouped aggregate on
+    (label, dim) with map-side partial sums. The shuffle carries
+    |labels|·dim rows per input partition after partial aggregation —
+    independent of corpus size — so the same plan holds at 100 TB.
+    Sums run over DECIMAL(38,6) (functions/exact.py rule): float32
+    inputs widen exactly to double, and the decimal sum makes the
+    mean independent of partitioning/merge order, so Spark and the
+    DuckDB oracle agree bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

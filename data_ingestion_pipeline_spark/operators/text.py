@@ -188,6 +188,73 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", h.alias("rolling_hash"))
 
 
+def _max_run(sorted_arr: F.Column) -> F.Column:
+    """Length of the longest run of equal adjacent elements in a
+    SORTED array = the max multiplicity of any element — computed with
+    one `aggregate` fold (struct state: previous element, current run,
+    best run). Pure JVM expression: counting duplicates inside a row
+    costs zero shuffle, unlike the explode→groupBy formulation whose
+    shuffle volume is the token count of the corpus."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    type-token ratio (distinct/total), the fraction of the document
+    taken by its single most frequent token, and by its most frequent
+    word bigram — the standard filters that catch boilerplate and
+    degenerate machine-generated text (Rae et al. 2021, "Scaling
+    Language Models" §A1.1 repetition rules; public heuristics).
+
+    Entirely map-only: multiplicities come from sorting each row's
+    token/bigram ARRAY and folding for the longest equal run
+    (`_max_run`) rather than explode→groupBy — the whole operator is
+    one scan inside whole-stage codegen with zero shuffle, so it costs
+    the same as reading the corpus at any scale. The oracle computes
+    the identical quantities via SQL explode+GROUP BY; both sides do
+    one IEEE double division per ratio, which is correctly rounded
+    everywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("bigint")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    top_tok = _max_run(F.array_sort(toks))
+    top_big = _max_run(F.array_sort(bigrams))
+    return docs.select(
+        "doc_id",
+        n.alias("token_count"),
+        (F.size(F.array_distinct(toks)).cast("double") / n.cast("double")).alias(
+            "distinct_token_ratio"
+        ),
+        (top_tok.cast("double") / n.cast("double")).alias("top_token_frac"),
+        F.when(n > 1, top_big.cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 VOCAB_TOP_K = 100
 
 

@@ -88,6 +88,35 @@ _SESSION_SQL = f"""
     FROM islands GROUP BY user_id, sess
 """
 
+# Shared by dup_clusters / dedup_canonical_corpus: the df-capped
+# word-n-gram edge set and its recursive transitive closure.
+_DUP_CLOSURE_CTE = f"""
+        WITH RECURSIVE docs_l AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, md5(gram) AS gh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(l) - {dedup.DECON_GRAM_N - 1}),
+                           i -> array_to_string(
+                               list_slice(l, i, i + {dedup.DECON_GRAM_N - 1}), ' ')))
+                           AS gram
+                FROM docs_l)
+        ), capped AS (
+            SELECT gh FROM g GROUP BY gh
+            HAVING COUNT(*) BETWEEN {dedup.CLUSTER_GRAM_DF_MIN}
+                                AND {dedup.CLUSTER_GRAM_DF_MAX}
+        ), e AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM g a JOIN g b USING (gh) JOIN capped USING (gh)
+            WHERE a.doc_id <> b.doc_id
+        ), reach(a, b) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src
+        )
+"""
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---- reference query surface (SURVEY.md §2.3-§2.6) ----
     "raw_filter_sort": QuerySpec(
@@ -1162,6 +1191,115 @@ REGISTRY: dict[str, QuerySpec] = {
                     ELSE 'test' END AS split
         FROM documents
         """,
+    ),
+    "doc_repetition": QuerySpec(
+        text.doc_repetition,
+        # Spark computes multiplicities map-only (sorted-array fold);
+        # the oracle uses explode+GROUP BY — same quantities.
+        """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(toks) AS token FROM d
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+        ), top_tok AS (
+            SELECT doc_id, MAX(c) AS m FROM tf GROUP BY doc_id
+        ), big AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> list_extract(toks, i) || ' '
+                               || list_extract(toks, i + 1))) AS gram
+            FROM d
+        ), bf AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM big GROUP BY doc_id, gram
+        ), top_big AS (
+            SELECT doc_id, MAX(c) AS m FROM bf GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(toks) AS BIGINT) AS token_count,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS distinct_token_ratio,
+               CAST(tt.m AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS top_token_frac,
+               CASE WHEN len(toks) > 1
+                    THEN CAST(tb.m AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM d
+        JOIN top_tok tt USING (doc_id)
+        LEFT JOIN top_big tb USING (doc_id)
+        """,
+    ),
+    "decontaminate_ngram": QuerySpec(
+        dedup.decontaminate_ngram,
+        f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, md5(gram) AS gh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(l) - {dedup.DECON_GRAM_N - 1}),
+                           i -> array_to_string(
+                               list_slice(l, i, i + {dedup.DECON_GRAM_N - 1}), ' ')))
+                           AS gram
+                FROM d)
+        ), bench AS (
+            SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id,
+               CAST(COUNT(DISTINCT g.gh) AS BIGINT) AS n_shared_grams
+        FROM g JOIN bench USING (gh)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+        """,
+    ),
+    "dup_clusters": QuerySpec(
+        dedup.dup_clusters,
+        # Recursive-CTE transitive closure = engine-independent ground
+        # truth for the iterative min-label propagation.
+        f"""
+        {_DUP_CLOSURE_CTE}
+        SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY a
+        """,
+    ),
+    "dedup_canonical_corpus": QuerySpec(
+        dedup.dedup_canonical_corpus,
+        f"""
+        {_DUP_CLOSURE_CTE},
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN
+              (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+        """,
+    ),
+    "label_centroids": QuerySpec(
+        similarity.label_centroids,
+        """
+        WITH ex AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings
+        )
+        SELECT label, dim,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_val,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM ex GROUP BY label, dim
+        """,
+    ),
+    "corpus_mix_resample": QuerySpec(
+        corpus.corpus_mix_resample,
+        corpus.mix_resample_oracle_sql(),
+    ),
+    "pack_sequences": QuerySpec(
+        corpus.pack_sequences,
+        corpus.pack_sequences_oracle_sql(),
     ),
     "customer_order_reconciliation": QuerySpec(
         analytics.customer_order_reconciliation,

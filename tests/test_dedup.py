@@ -133,3 +133,56 @@ def test_rolling_hash_order_sensitive_and_deterministic(spark):
     rows = {r.doc_id: r.h for r in probe.collect()}
     assert rows[1] == rows[3], "identical docs must hash equal"
     assert rows[1] != rows[2], "reordered tokens must hash differently"
+
+
+def test_dup_clusters_are_components(spark):
+    """Component labels must be consistent with the edge relation:
+    both endpoints of every edge carry the same cluster_id, the
+    cluster_id is the component's minimum doc_id, and every clustered
+    doc appears exactly once."""
+    labels = {
+        r.doc_id: r.cluster_id for r in dedup.dup_clusters(spark, SF_TEST).collect()
+    }
+    assert labels, "expected non-empty components at test SF"
+    # rebuild the edge set the operator used
+    docs = dedup.load_table(spark, SF_TEST, "documents")
+    grams = dedup._gram_hashes(docs).distinct()
+    capped = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= dedup.CLUSTER_GRAM_DF_MIN)
+            & (F.col("df") <= dedup.CLUSTER_GRAM_DF_MAX)
+        )
+        .select("gh")
+    )
+    g = grams.join(capped, "gh")
+    edges = (
+        g.select("gh", F.col("doc_id").alias("src"))
+        .join(g.select("gh", F.col("doc_id").alias("dst")), "gh")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+    assert edges, "expected edges at test SF"
+    for e in edges:
+        assert labels[e.src] == labels[e.dst], (e.src, e.dst)
+    # label = min of its component
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in labels.items():
+        members[c].append(d)
+    for c, ms in members.items():
+        assert c == min(ms), (c, ms)
+
+
+def test_decontaminate_excludes_benchmark_docs(spark):
+    """The contamination report covers corpus docs only (benchmark
+    members are the reference, not subjects), and every flagged doc
+    really shares ≥1 gram with some benchmark doc."""
+    out = dedup.decontaminate_ngram(spark, SF_TEST).collect()
+    for r in out:
+        assert r.doc_id % 97 != 0
+        assert r.n_shared_grams >= 1

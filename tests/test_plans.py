@@ -245,3 +245,97 @@ def test_gapfill_is_jvm_only(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
     # grid explode fans out from one row per station, not per event
     assert "Generate" in plan and "explode(sequence(" in plan, plan
+
+
+def test_doc_repetition_is_map_only_jvm(spark):
+    """Repetition stats compute per-row multiplicities via sorted-
+    array folds — the plan must be a single scan with no shuffle and
+    no Python workers (the explode+groupBy formulation would shuffle
+    the corpus's full token stream)."""
+    from data_ingestion_pipeline_spark.operators.text import doc_repetition
+
+    plan = plan_of(doc_repetition(spark, SF_TEST))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_mix_resample_is_map_only(spark):
+    """Corpus mixing is per-row CASE + sequence/explode fan-out: no
+    shuffle, no Python, and the fan-out generator present."""
+    from data_ingestion_pipeline_spark.operators.corpus import corpus_mix_resample
+
+    plan = plan_of(corpus_mix_resample(spark, SF_TEST))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Sequence packing is ONE hash exchange on the shard key feeding
+    a per-shard sort — no global (single-partition) exchange, no
+    second shuffle."""
+    from data_ingestion_pipeline_spark.operators.corpus import pack_sequences
+
+    simple = plan_of(pack_sequences(spark, SF_TEST), "simple")
+    assert simple.count("Exchange") == 1, simple
+    plan = plan_of(pack_sequences(spark, SF_TEST))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_decontaminate_is_equi_join(spark):
+    """Benchmark decontamination joins on the gram hash: never a
+    cartesian/nested-loop, and the join key is the md5 hash (fixed
+    width), not the gram text."""
+    from data_ingestion_pipeline_spark.operators.dedup import decontaminate_ngram
+
+    plan = plan_of(decontaminate_ngram(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "gh" in plan
+
+
+def test_dup_cluster_edges_are_capped_equi_join(spark):
+    """The component edge set must come from a df-capped equi-join on
+    the gram hash — no cartesian anywhere in the iterative plan's
+    inputs. (The label-propagation loop materializes via
+    localCheckpoint, so we assert on the edge-building plan.)"""
+    from data_ingestion_pipeline_spark.operators import dedup
+    from data_ingestion_pipeline_spark.operators.dedup import _gram_hashes
+    from data_ingestion_pipeline_spark.operators.queries import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_TEST, "documents")
+    grams = _gram_hashes(docs).distinct()
+    capped = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= dedup.CLUSTER_GRAM_DF_MIN)
+            & (F.col("df") <= dedup.CLUSTER_GRAM_DF_MAX)
+        )
+        .select("gh")
+    )
+    g = grams.join(capped, "gh")
+    edges = (
+        g.select("gh", F.col("doc_id").alias("src"))
+        .join(g.select("gh", F.col("doc_id").alias("dst")), "gh")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    plan = plan_of(edges)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_centroids_partial_agg(spark):
+    """Centroid aggregation must combine map-side: two HashAggregate
+    levels around one Exchange on (label, dim) — the shuffle carries
+    labels·dim rows per partition, never the exploded corpus."""
+    from data_ingestion_pipeline_spark.operators.similarity import label_centroids
+
+    simple = plan_of(label_centroids(spark, SF_TEST), "simple")
+    assert simple.count("HashAggregate") == 2, simple
+    assert simple.count("Exchange") == 1, simple
