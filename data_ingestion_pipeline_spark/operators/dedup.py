@@ -216,12 +216,14 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer "keep one per group": duplicates are transitive).
 
     Edge generation is the LSH-family shape: distinct (doc, gram-hash)
-    rows self-joined on the hash, with a document-frequency cap
-    [CLUSTER_GRAM_DF_MIN, CLUSTER_GRAM_DF_MAX] applied FIRST — a gram
-    appearing in d docs yields d·(d-1)/2 pairs, so uncapped hot grams
-    (boilerplate headers) are the quadratic blowup; the cap bounds
-    per-gram fan-out to a constant, making edge count linear in
-    matching docs. Components then run as iterative min-label
+    rows bucketed by hash (ONE shuffle — each bucket collects its
+    member-doc array and expands pairs as a per-row array op), with a
+    document-frequency cap [CLUSTER_GRAM_DF_MIN, CLUSTER_GRAM_DF_MAX]
+    — a gram appearing in d docs yields d·(d-1)/2 pairs, so uncapped
+    hot grams (boilerplate headers) are the quadratic blowup; the cap
+    bounds per-gram fan-out (and the collected array) to a constant,
+    making edge count linear in matching docs and the bucket state
+    bounded. Components then run as iterative min-label
     propagation: each round, every node takes the min of its own and
     its neighbors' labels (one equi-join + one partial-aggregated
     groupBy per round — both shuffle on uniformly-hashed ids), until
@@ -239,49 +241,61 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set — exact, engine-independent ground truth.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = _gram_hashes(docs).distinct()
-    capped = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(
-            (F.col("df") >= CLUSTER_GRAM_DF_MIN)
-            & (F.col("df") <= CLUSTER_GRAM_DF_MAX)
-        )
-        .select("gh")
+    # (doc_id, gh) is already distinct: shingles() array_distincts per
+    # doc. Edge generation is ONE aggregation on the gram hash — each
+    # bucket collects its member docs (bounded by the df cap, so the
+    # array is ≤ CLUSTER_GRAM_DF_MAX elements) and expands pairs as an
+    # array op — versus the groupBy + join + self-join formulation
+    # (3 corpus-keyed shuffles) this shuffles the gram stream once.
+    grams = _gram_hashes(docs)
+    buckets = grams.groupBy("gh").agg(F.collect_list("doc_id").alias("ds"))
+    buckets = buckets.filter(
+        (F.size("ds") >= CLUSTER_GRAM_DF_MIN)
+        & (F.size("ds") <= CLUSTER_GRAM_DF_MAX)
     )
-    g = grams.join(capped, "gh")
-    a = g.select("gh", F.col("doc_id").alias("src"))
-    b = g.select("gh", F.col("doc_id").alias("dst"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x: F.transform(
+                F.col("ds"), lambda y: F.struct(x.alias("src"), y.alias("dst"))
+            ),
+        )
+    )
     edges = (
-        a.join(b, "gh")
+        buckets.select(F.explode(pair_structs).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
         .localCheckpoint()
     )
 
+    # Round 0 folded into the init: label = min(self, direct
+    # neighbors) is one aggregation over the symmetric edge set — no
+    # join needed for the first hop.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
         .localCheckpoint()
     )
     for _ in range(CLUSTER_MAX_ITERS):
-        nb = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_min"))
-        )
-        new_labels = (
-            labels.join(nb, labels["node"] == nb["src"], "left")
-            .select(
+        # Two propagation hops per materialization: halves the
+        # fixed per-round job overhead (checkpoint + convergence
+        # count) without changing the fixpoint.
+        cur = labels
+        for _hop in range(2):
+            nb = (
+                edges.join(cur, edges["dst"] == cur["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nb_min"))
+            )
+            cur = cur.join(nb, cur["node"] == nb["src"], "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
+        new_labels = cur.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

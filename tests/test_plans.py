@@ -295,11 +295,13 @@ def test_decontaminate_is_equi_join(spark):
     assert "gh" in plan
 
 
-def test_dup_cluster_edges_are_capped_equi_join(spark):
-    """The component edge set must come from a df-capped equi-join on
-    the gram hash — no cartesian anywhere in the iterative plan's
-    inputs. (The label-propagation loop materializes via
-    localCheckpoint, so we assert on the edge-building plan.)"""
+def test_dup_cluster_edges_are_joinless_bucket_expansion(spark):
+    """The component edge set is ONE aggregation on the gram hash
+    (collect member docs per bucket, expand pairs as an array op) —
+    the plan must contain no join of any kind and exactly one
+    pre-distinct exchange on the hash. (The label-propagation loop
+    materializes via localCheckpoint, so we assert on the
+    edge-building plan.)"""
     from data_ingestion_pipeline_spark.operators import dedup
     from data_ingestion_pipeline_spark.operators.dedup import _gram_hashes
     from data_ingestion_pipeline_spark.operators.queries import load_table
@@ -307,27 +309,29 @@ def test_dup_cluster_edges_are_capped_equi_join(spark):
     import pyspark.sql.functions as F
 
     docs = load_table(spark, SF_TEST, "documents")
-    grams = _gram_hashes(docs).distinct()
-    capped = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(
-            (F.col("df") >= dedup.CLUSTER_GRAM_DF_MIN)
-            & (F.col("df") <= dedup.CLUSTER_GRAM_DF_MAX)
-        )
-        .select("gh")
+    grams = _gram_hashes(docs)
+    buckets = grams.groupBy("gh").agg(F.collect_list("doc_id").alias("ds")).filter(
+        (F.size("ds") >= dedup.CLUSTER_GRAM_DF_MIN)
+        & (F.size("ds") <= dedup.CLUSTER_GRAM_DF_MAX)
     )
-    g = grams.join(capped, "gh")
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x: F.transform(
+                F.col("ds"), lambda y: F.struct(x.alias("src"), y.alias("dst"))
+            ),
+        )
+    )
     edges = (
-        g.select("gh", F.col("doc_id").alias("src"))
-        .join(g.select("gh", F.col("doc_id").alias("dst")), "gh")
+        buckets.select(F.explode(pair_structs).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
     plan = plan_of(edges)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan
+    simple = plan_of(edges, "simple")
+    assert simple.count("Exchange") == 2, simple  # gh agg + pair distinct
 
 
 def test_label_centroids_partial_agg(spark):
