@@ -474,6 +474,25 @@ REGISTRY: dict[str, QuerySpec] = {
             PARTITION BY user_id, ts ORDER BY event_id) = 1
         """,
     ),
+    "stream_corpus_ingest": QuerySpec(
+        streaming.stream_corpus_ingest,
+        # first-wins content dedup over originals + injected re-crawls:
+        # survivor per content hash = global min doc_id (originals
+        # always beat the offset re-crawl ids), independent of batch
+        # boundaries
+        f"""
+        WITH feed AS (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + {streaming.DOC_DUP_ID_OFFSET},
+                   text, lang, source, n_chars
+            FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT doc_id, text, lang, source, n_chars FROM feed
+        QUALIFY row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+    ),
     "stream_first_seen": QuerySpec(
         streaming.stream_first_seen,
         # batch argmin — the feed's injected duplicates are verbatim

@@ -164,6 +164,7 @@ def prewarm_feeds(spark: SparkSession, sf_dir: str) -> None:
         spark, sf_dir, scratch_path("stream_ts1h", sf_name, "feed"), with_dups=False
     )
     build_ordered_feed(spark, sf_dir, scratch_path("stream_ordered", sf_name, "feed"))
+    build_doc_feed(spark, sf_dir, scratch_path("stream_corpus", sf_name, "feed"))
 
 
 # Stateful-stream shuffle/state partition count. The state store
@@ -774,3 +775,122 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table).select(
         "user_id", "event_type", "first_ts", "first_event_id", "first_value"
     )
+
+
+# ---- streaming corpus ingest (continuous-crawl twin of K5 + the
+# incremental dedup batch operator) ----
+
+DOC_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+DOC_FEED_COLS = [f.name for f in DOC_FEED_SCHEMA.fields]
+DOC_DUP_ID_OFFSET = 10_000_000  # injected re-crawls get new ids, same text
+
+
+def build_doc_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
+    """Materialize the documents table as a stream-source directory
+    simulating a continuous crawl: 4 files of originals followed by 2
+    files of re-crawled duplicates (same text, new doc_id) — so a
+    duplicate usually lands in a LATER micro-batch than its original,
+    exercising cross-batch content-hash state, not just within-batch
+    dedup. Same reuse-marker protocol as build_feed."""
+    marker = os.path.join(feed_dir, "_FEED_COMPLETE")
+    key = f"{_FEED_VERSION}:docs:{sf_dir}"
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read() == key:
+                return
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(*DOC_FEED_COLS)
+    docs.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + DOC_DUP_ID_OFFSET
+    )
+    recrawl.repartition(2).write.mode("append").parquet(feed_dir)
+    with open(marker, "w") as fh:
+        fh.write(key)
+
+
+def corpus_ingest_batch(spark: SparkSession, table: str, bdf: DataFrame) -> None:
+    """One crawl micro-batch into the content-addressed corpus table:
+    within-batch first-wins by content hash, anti-join against the
+    table's hash set, append survivors. Module-level so the
+    at-least-once replay test can drive it directly."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col("text"))
+    w = W.partitionBy(h).orderBy(F.col("doc_id"))
+    batch_unique = (
+        bdf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("hash", h)
+    )
+    if os.path.isdir(table) and any(
+        f.endswith(".parquet") for f in os.listdir(table)
+    ):
+        ingested = (
+            spark.read.parquet(table)
+            .select(F.md5(F.col("text")).alias("hash"))
+            .distinct()
+        )
+        fresh = batch_unique.join(ingested, "hash", "left_anti")
+    else:
+        fresh = batch_unique
+    fresh.drop("hash").write.mode("append").parquet(table)
+
+
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingestion with first-wins content dedup: the
+    streaming twin of ``docs_incremental_dedup`` — every crawl
+    micro-batch is deduped (a) within itself by content hash (min
+    doc_id survives) and (b) against everything already ingested, via
+    a LEFT ANTI join on the table's hash set, then appended. The
+    standing crawl pipeline of a training-data system: state is the
+    TABLE ITSELF (content hashes at rest), so the dedup guarantee
+    survives restarts with no streaming state to rebuild, and a
+    replayed batch (at-least-once delivery) re-arrives, anti-joins
+    against its own earlier append, and drops out — idempotent by
+    construction, the same defense-in-depth as the keyed upsert sink.
+
+    At scale the anti-join's build side is hash-only (32 bytes/doc)
+    and shuffles on the uniformly-distributed content hash; a real
+    deployment reads the hash set from the table's own column/stats
+    rather than rescanning text (here: one projection per batch).
+
+    Deterministic result under ANY batch boundary: originals carry
+    smaller doc_ids than injected re-crawls and earlier batches hold
+    earlier files, so the survivor per content hash is always the
+    global min doc_id — which is exactly the SQL oracle.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_corpus", sf_name, "feed")
+    table = scratch_path("stream_corpus", sf_name, "table")
+    ckpt = scratch_path("stream_corpus", sf_name, "ckpt")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    build_doc_feed(spark, sf_dir, feed)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        corpus_ingest_batch(spark, table, bdf)
+
+    stream = (
+        spark.readStream.schema(DOC_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+    )
+    with _stream_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(table).select(*DOC_FEED_COLS)

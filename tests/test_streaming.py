@@ -169,3 +169,37 @@ def test_session_merge_is_associative():
             state = merge(state, shuffled[:k])
             shuffled = shuffled[k:]
         assert json.dumps(state) == json.dumps(expected), trial
+
+
+def test_corpus_ingest_replay_idempotent(spark, tmp_path):
+    """At-least-once absorption for the corpus ingest: replaying an
+    already-applied crawl batch against the table adds zero rows (the
+    anti-join sees its own earlier append), and the within-batch
+    survivor is the min doc_id."""
+    from pyspark.sql import Row
+
+    from data_ingestion_pipeline_spark.streaming.pipeline import (
+        corpus_ingest_batch,
+    )
+
+    table = str(tmp_path / "corpus_table")
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=7, text="a b c", lang="en", source="s", n_chars=5),
+            Row(doc_id=3, text="a b c", lang="en", source="s", n_chars=5),
+            Row(doc_id=9, text="x y z", lang="en", source="s", n_chars=5),
+        ]
+    )
+    corpus_ingest_batch(spark, table, batch)
+    first = {(r.doc_id, r.text) for r in spark.read.parquet(table).collect()}
+    assert first == {(3, "a b c"), (9, "x y z")}
+    # replay the same batch (at-least-once redelivery)
+    corpus_ingest_batch(spark, table, batch)
+    again = [(r.doc_id, r.text) for r in spark.read.parquet(table).collect()]
+    assert sorted(again) == sorted(first)
+    # a later crawl with only known content adds nothing either
+    later = spark.createDataFrame(
+        [Row(doc_id=1000, text="x y z", lang="en", source="s", n_chars=5)]
+    )
+    corpus_ingest_batch(spark, table, later)
+    assert spark.read.parquet(table).count() == 2
