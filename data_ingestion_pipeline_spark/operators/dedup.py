@@ -167,18 +167,22 @@ CLUSTER_MAX_ITERS = 25
 
 
 def _gram_hashes(docs: DataFrame, n: int = DECON_GRAM_N) -> DataFrame:
-    """Distinct (doc_id, gram_hash) rows: md5 of every word n-gram.
+    """Distinct (doc_id, gram_hash) rows: xxhash64 of every word n-gram.
 
     Grams are built map-side from the token array (`shingles` with
-    k=n), hashed to a fixed-width md5 so every downstream join/shuffle
-    carries 32-byte uniform keys instead of unbounded text — at 100 TB
-    the gram strings never leave the map stage. md5 (not xxhash64)
-    keeps the DuckDB oracle expressible.
+    k=n) and hashed to 8-byte uniform keys, so downstream
+    joins/shuffles never carry unbounded gram text — at 100 TB the
+    gram strings never leave the map stage. The hash only needs to
+    preserve gram identity (collisions negligible at 64 bits), NOT
+    match the oracle: the DuckDB twin hashes the same grams with md5
+    and the compared RESULTS (shared-gram counts, components) are
+    hash-representation-independent. xxhash64 over md5 quarters the
+    shuffle key width and skips the cryptographic cost.
     """
     return docs.select(
         "doc_id",
         F.explode(shingles(F.col("text"), n)).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("gh"))
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
 
 
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,4 +454,32 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational dedup telemetry: per source, how many documents,
+    how many sit in a near-dup cluster, and how many the canonical
+    pass would drop — the report a curation team reads before
+    committing a dedup threshold (a source with a 40% drop rate is a
+    crawler bug, not a corpus property).
+
+    Composition: `dup_clusters` components LEFT-joined back to the
+    corpus on doc_id (uniform key), then a source-keyed aggregate with
+    map-side partials. Cluster output is duplicate-count-sized, so the
+    join probe is cheap at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dup_clusters(spark, sf_dir)
+    joined = docs.select("doc_id", "source").join(clusters, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster_id").alias("n_clustered"),
+        F.sum(
+            F.when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("doc_id") != F.col("cluster_id")),
+                1,
+            ).otherwise(0)
+        ).alias("n_dropped"),
     )

@@ -1296,6 +1296,24 @@ REGISTRY: dict[str, QuerySpec] = {
               (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
         """,
     ),
+    "dedup_report": QuerySpec(
+        dedup.dedup_report,
+        f"""
+        {_DUP_CLOSURE_CTE},
+        comp AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(c.cluster_id) AS BIGINT) AS n_clustered,
+               CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL
+                              AND d.doc_id <> c.cluster_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        GROUP BY d.source
+        """,
+    ),
     "label_centroids": QuerySpec(
         similarity.label_centroids,
         """
