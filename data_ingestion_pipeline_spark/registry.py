@@ -28,6 +28,7 @@ from data_ingestion_pipeline_spark.operators import (
     maintenance,
     multimodal,
     queries,
+    rollup,
     sampling,
     similarity,
     text,
@@ -1294,6 +1295,25 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents d
         WHERE d.doc_id NOT IN
               (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+        """,
+    ),
+    "rollup_incremental_refresh": QuerySpec(
+        rollup.rollup_incremental_refresh,
+        # incrementally-maintained hourly rollup == from-scratch
+        # aggregate over the corrected history (exact decimal sums
+        # make the comparison bit-for-bit)
+        f"""
+        SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(
+                   (CASE WHEN strftime(ts, '%Y-%m-%d') = '{rollup.ROLLUP_DAY}'
+                         THEN value + 1000.0 ELSE value END)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CAST(
+                   (CASE WHEN strftime(ts, '%Y-%m-%d') = '{rollup.ROLLUP_DAY}'
+                         THEN value + 1000.0 ELSE value END)
+                   AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2
         """,
     ),
     "dedup_report": QuerySpec(
