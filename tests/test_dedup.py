@@ -186,3 +186,58 @@ def test_decontaminate_excludes_benchmark_docs(spark):
     for r in out:
         assert r.doc_id % 97 != 0
         assert r.n_shared_grams >= 1
+
+
+def test_doc_repetition_matches_python_reference(spark):
+    """Seeded fuzz: the sorted-array-fold multiplicity computation in
+    doc_repetition must agree with a pure-Python Counter reference on
+    adversarial token streams (runs, alternations, singletons, empty
+    bigram edge at n=1)."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from data_ingestion_pipeline_spark.operators.text import _max_run
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "aa", "ab"]
+    docs = []
+    for i in range(200):
+        n = rng.choice([1, 2, 3, 5, 20, 50])
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3:  # inject a heavy run
+            toks[: n // 2] = [toks[0]] * (n // 2)
+        docs.append(Row(doc_id=i, text=" ".join(toks)))
+
+    df = spark.createDataFrame(docs)
+    toks_col = F.split(F.col("text"), " ")
+    got = {
+        r.doc_id: (r.m_tok, r.m_big)
+        for r in df.select(
+            "doc_id",
+            _max_run(F.array_sort(toks_col)).alias("m_tok"),
+            _max_run(
+                F.array_sort(
+                    F.filter(
+                        F.zip_with(
+                            toks_col,
+                            F.slice(
+                                toks_col, 2, F.greatest(F.size(toks_col) - 1, F.lit(0))
+                            ),
+                            lambda a, b: F.concat(a, F.lit(" "), b),
+                        ),
+                        lambda g: g.isNotNull(),
+                    )
+                )
+            ).alias("m_big"),
+        ).collect()
+    }
+    for row in docs:
+        toks = row.text.split(" ")
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = (
+            max(Counter(toks).values()),
+            max(Counter(bigs).values()) if bigs else 0,
+        )
+        assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
