@@ -354,3 +354,56 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "rank", "token", "tf", "df", "score")
     )
+
+
+# Composite quality-gate thresholds (C4/Gopher-flavored rule set,
+# mirrored literally in the oracle SQL).
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 1000
+QF_MIN_STOPWORD_RATIO = 0.01
+QF_MIN_DISTINCT_RATIO = 0.40
+QF_MAX_TOP_BIGRAM_FRAC = 0.10
+
+
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation gate as users run it: every rule evaluated per
+    document (length band, stopword floor, type-token floor, repeated-
+    bigram ceiling) with its individual boolean EMITTED alongside the
+    final keep — so a threshold change re-filters from this table
+    without rescanning 100 TB of text, and per-rule rejection rates
+    (the first thing a curation review asks for) are one GROUP BY
+    away. Same zero-shuffle single-scan plan as its component
+    operators: every signal is an array expression inside whole-stage
+    codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("bigint")
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("double") / n.cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    top_big_frac = F.when(
+        n > 1, _max_run(F.array_sort(bigrams)).cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+
+    ok_len = (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS)
+    ok_stop = stop_ratio >= QF_MIN_STOPWORD_RATIO
+    ok_distinct = distinct_ratio >= QF_MIN_DISTINCT_RATIO
+    ok_rep = top_big_frac <= QF_MAX_TOP_BIGRAM_FRAC
+    return docs.select(
+        "doc_id",
+        ok_len.alias("ok_length"),
+        ok_stop.alias("ok_stopwords"),
+        ok_distinct.alias("ok_distinct"),
+        ok_rep.alias("ok_repetition"),
+        (ok_len & ok_stop & ok_distinct & ok_rep).alias("keep"),
+    )

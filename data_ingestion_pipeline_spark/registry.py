@@ -1249,6 +1249,51 @@ REGISTRY: dict[str, QuerySpec] = {
         LEFT JOIN top_big tb USING (doc_id)
         """,
     ),
+    "quality_filter_verdicts": QuerySpec(
+        text.quality_filter_verdicts,
+        f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), big AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                              i -> list_extract(toks, i) || ' '
+                                   || list_extract(toks, i + 1))) AS gram
+                FROM d) GROUP BY doc_id, gram
+        ), top_big AS (
+            SELECT doc_id, MAX(c) AS m FROM big GROUP BY doc_id
+        ), v AS (
+            SELECT d.doc_id,
+                   len(toks) AS n,
+                   len(list_filter(toks,
+                       t -> t IN {str(tuple(text.STOPWORDS))})) AS stop_hits,
+                   len(list_distinct(toks)) AS n_distinct,
+                   COALESCE(tb.m, 0) AS m_big
+            FROM d LEFT JOIN top_big tb USING (doc_id)
+        )
+        SELECT doc_id,
+               (n >= {text.QF_MIN_TOKENS} AND n <= {text.QF_MAX_TOKENS})
+                   AS ok_length,
+               (CAST(stop_hits AS DOUBLE) / CAST(n AS DOUBLE)
+                   >= {text.QF_MIN_STOPWORD_RATIO}) AS ok_stopwords,
+               (CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)
+                   >= {text.QF_MIN_DISTINCT_RATIO}) AS ok_distinct,
+               ((CASE WHEN n > 1 THEN CAST(m_big AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                      ELSE 0.0 END) <= {text.QF_MAX_TOP_BIGRAM_FRAC})
+                   AS ok_repetition,
+               ((n >= {text.QF_MIN_TOKENS} AND n <= {text.QF_MAX_TOKENS})
+                AND (CAST(stop_hits AS DOUBLE) / CAST(n AS DOUBLE)
+                     >= {text.QF_MIN_STOPWORD_RATIO})
+                AND (CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)
+                     >= {text.QF_MIN_DISTINCT_RATIO})
+                AND ((CASE WHEN n > 1
+                           THEN CAST(m_big AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                           ELSE 0.0 END) <= {text.QF_MAX_TOP_BIGRAM_FRAC}))
+                   AS keep
+        FROM v
+        """,
+    ),
     "decontaminate_ngram": QuerySpec(
         dedup.decontaminate_ngram,
         f"""

@@ -795,20 +795,34 @@ DOC_DUP_ID_OFFSET = 10_000_000  # injected re-crawls get new ids, same text
 
 def build_doc_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
     """Materialize the documents table as a stream-source directory
-    simulating a continuous crawl: 4 files of originals followed by 2
-    files of re-crawled duplicates (same text, new doc_id) — so a
-    duplicate usually lands in a LATER micro-batch than its original,
-    exercising cross-batch content-hash state, not just within-batch
-    dedup. Same reuse-marker protocol as build_feed."""
+    simulating a continuous crawl: 4 sequential files of originals in
+    doc_id order, then 2 files of re-crawled duplicates (same text,
+    new doc_id) — so a duplicate usually lands in a LATER micro-batch
+    than its original, exercising cross-batch content-hash state, not
+    just within-batch dedup.
+
+    The doc_id-ordered slices are what make the entry ORACLE-EXACT:
+    the corpus contains naturally duplicated texts (not only the
+    injected re-crawls), and first-arrival-wins only equals the SQL
+    oracle's min-doc_id-wins if arrival order respects doc_id order.
+    Sequential appends give strictly increasing mtimes, which is the
+    file source's replay order (same technique as build_ordered_feed).
+    Same reuse-marker protocol as build_feed."""
+    from pyspark.sql import Window as W
+
     marker = os.path.join(feed_dir, "_FEED_COMPLETE")
-    key = f"{_FEED_VERSION}:docs:{sf_dir}"
+    key = f"{_FEED_VERSION}:docs-v2-ordered:{sf_dir}"
     if os.path.isfile(marker):
         with open(marker) as fh:
             if fh.read() == key:
                 return
     shutil.rmtree(feed_dir, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select(*DOC_FEED_COLS)
-    docs.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    sliced = docs.withColumn("_slice", F.ntile(4).over(W.orderBy("doc_id")))
+    for k in range(1, 5):
+        sliced.filter(F.col("_slice") == k).drop("_slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
     recrawl = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + DOC_DUP_ID_OFFSET
     )
@@ -821,7 +835,14 @@ def corpus_ingest_batch(spark: SparkSession, table: str, bdf: DataFrame) -> None
     """One crawl micro-batch into the content-addressed corpus table:
     within-batch first-wins by content hash, anti-join against the
     table's hash set, append survivors. Module-level so the
-    at-least-once replay test can drive it directly."""
+    at-least-once replay test can drive it directly.
+
+    The content hash is PERSISTED as a table column: the per-batch
+    state read then projects only that 32-byte column (parquet column
+    pruning), never re-reading or re-hashing the corpus text — the
+    difference between a narrow metadata scan and a full-text scan of
+    the table per micro-batch at 100 TB.
+    """
     from pyspark.sql import Window as W
 
     h = F.md5(F.col("text"))
@@ -830,20 +851,16 @@ def corpus_ingest_batch(spark: SparkSession, table: str, bdf: DataFrame) -> None
         bdf.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .withColumn("hash", h)
+        .withColumn("content_hash", h)
     )
     if os.path.isdir(table) and any(
         f.endswith(".parquet") for f in os.listdir(table)
     ):
-        ingested = (
-            spark.read.parquet(table)
-            .select(F.md5(F.col("text")).alias("hash"))
-            .distinct()
-        )
-        fresh = batch_unique.join(ingested, "hash", "left_anti")
+        ingested = spark.read.parquet(table).select("content_hash").distinct()
+        fresh = batch_unique.join(ingested, "content_hash", "left_anti")
     else:
         fresh = batch_unique
-    fresh.drop("hash").write.mode("append").parquet(table)
+    fresh.write.mode("append").parquet(table)
 
 
 def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,14 +877,18 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, the same defense-in-depth as the keyed upsert sink.
 
     At scale the anti-join's build side is hash-only (32 bytes/doc)
-    and shuffles on the uniformly-distributed content hash; a real
-    deployment reads the hash set from the table's own column/stats
-    rather than rescanning text (here: one projection per batch).
+    and shuffles on the uniformly-distributed content hash, read from
+    the table's PERSISTED content_hash column — parquet column pruning
+    makes the per-batch state read a narrow metadata scan, never a
+    re-read of the corpus text (corpus_ingest_batch).
 
-    Deterministic result under ANY batch boundary: originals carry
-    smaller doc_ids than injected re-crawls and earlier batches hold
-    earlier files, so the survivor per content hash is always the
-    global min doc_id — which is exactly the SQL oracle.
+    Deterministic result under ANY batch boundary: the feed's files
+    are doc_id-ordered slices (originals ascending, then the
+    higher-id re-crawls — build_doc_feed), so within a batch the
+    min-doc_id window and across batches the first-wins anti-join
+    both resolve to the global min doc_id per content hash — which is
+    exactly the SQL oracle, including for the corpus's NATURAL text
+    duplicates, not just the injected re-crawls.
     """
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     feed = scratch_path("stream_corpus", sf_name, "feed")
