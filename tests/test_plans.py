@@ -343,3 +343,13 @@ def test_label_centroids_partial_agg(spark):
     simple = plan_of(label_centroids(spark, SF_TEST), "simple")
     assert simple.count("HashAggregate") == 2, simple
     assert simple.count("Exchange") == 1, simple
+
+
+def test_quality_gate_is_map_only_jvm(spark):
+    """The composite quality gate evaluates all rules per-row from
+    array expressions: one scan, no shuffle, no Python workers."""
+    from data_ingestion_pipeline_spark.operators.text import quality_filter_verdicts
+
+    plan = plan_of(quality_filter_verdicts(spark, SF_TEST))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
