@@ -62,3 +62,30 @@ def test_to_micros_handles_raw_long_nanos(spark):
         [(_INSTANT_US * 1000 + 999,)], "ts long"
     )  # sub-micro nanos truncate
     assert df.select(to_micros(df, "ts").alias("us")).collect()[0]["us"] == _INSTANT_US
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Corpus schema drift: files written before a column existed and
+    files written after must read as ONE table under an explicit
+    unified schema (old rows → NULL for the new column). Explicit
+    schema, not mergeSchema=true: schema inference over 100 TB of
+    footers is a full metadata scan, and the unified schema is the
+    contract a production pipeline pins anyway."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [Row(doc_id=1, text="a"), Row(doc_id=2, text="b")]
+    )
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [Row(doc_id=3, text="c", quality=0.9)]
+    )
+    v2.write.mode("append").parquet(path)
+
+    unified = "doc_id bigint, text string, quality double"
+    got = {
+        (r.doc_id, r.text, r.quality)
+        for r in spark.read.schema(unified).parquet(path).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.9)}
