@@ -272,3 +272,63 @@ def decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return resized.mapInPandas(stats, schema)
+
+
+# ---- video-style frame sampling -------------------------------------------
+
+FRAME_BYTES = 32  # bytes per (stand-in) frame block
+FRAME_SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+def frame_sample(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deterministic frame sampling over a video-style payload: the
+    byte stream is a sequence of FRAME_BYTES-sized frame blocks; keep
+    every FRAME_SAMPLE_EVERY-th frame — the ffmpeg-decode→stride-
+    sample step of a video training pipeline, with the codec replaced
+    by fixed-size blocks (none installed here) and the PLUMBING real:
+    an Arrow ``mapInPandas`` stage whose batches FAN OUT (one input
+    row → one row per sampled frame), the shape that distinguishes
+    video extraction from the 1:1 decode/resize stages above. Each
+    sampled frame carries its index, byte offset, length, and SHA-256
+    content address (tail frames run short, like real containers).
+    """
+    import hashlib
+
+    out_schema = (
+        "doc_id long, frame_idx int, frame_offset long, "
+        "frame_bytes int, frame_sha256 string"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "frame_idx", "frame_offset", "frame_bytes",
+                     "frame_sha256")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                buf = bytes(payload)
+                n_frames = -(-len(buf) // FRAME_BYTES)
+                for idx in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                    frame = buf[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset"].append(idx * FRAME_BYTES)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["frame_sha256"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, out_schema)
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: sampled-frame table for every document payload.
+
+    Oracle note: the Spark side slices BYTES of the payload (the real
+    video semantics); the DuckDB twin slices CHARACTERS of the source
+    text and hashes them — equal here because the stand-in payload is
+    the UTF-8 bytes of pure-ASCII text (byte offset == char offset).
+    A real media column keeps the byte semantics unchanged.
+    """
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return frame_sample(docs)

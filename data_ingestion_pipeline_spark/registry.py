@@ -985,6 +985,33 @@ REGISTRY: dict[str, QuerySpec] = {
     # flat: DuckDB recomputes the upper-nibble counts from the hex
     # encoding of the same UTF-8 payload. Bit-exact (integer counts,
     # one IEEE double division on both sides).
+    "video_frame_sample": QuerySpec(
+        multimodal.video_frame_sample,
+        # char-sliced twin of the byte slicing — exact because the
+        # stand-in payload is UTF-8 of pure-ASCII text (see operator
+        # docstring); DuckDB sha256(VARCHAR) hashes the same bytes
+        f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(range(0,
+                       CAST(ceil(length(text)
+                           / {float(multimodal.FRAME_BYTES)}) AS INT),
+                       {multimodal.FRAME_SAMPLE_EVERY})) AS frame_idx
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(frame_idx * {multimodal.FRAME_BYTES} AS BIGINT)
+                   AS frame_offset,
+               CAST(length(substring(text,
+                    frame_idx * {multimodal.FRAME_BYTES} + 1,
+                    {multimodal.FRAME_BYTES})) AS INTEGER) AS frame_bytes,
+               sha256(substring(text,
+                    frame_idx * {multimodal.FRAME_BYTES} + 1,
+                    {multimodal.FRAME_BYTES})) AS frame_sha256
+        FROM f
+        """,
+    ),
     "binary_byte_histogram": QuerySpec(
         multimodal.binary_byte_histogram,
         """
