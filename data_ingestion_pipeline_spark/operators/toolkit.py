@@ -1,0 +1,201 @@
+"""Timeseries-toolkit operators over the events hypertable analog.
+
+The reference stores readings in TimescaleDB (`migrations/db.sql:1-40`
+creates the hypertable) but its query service exposes only avg/min/
+max/count and time_bucket (`services/query/main.py:262-354`). Any
+TimescaleDB user has the toolkit aggregates one `CREATE EXTENSION`
+away, so a drop-in engine needs the canonical ones: OHLC
+(candlestick_agg), gap-fill with linear interpolation
+(time_bucket_gapfill + interpolate), time-weighted average
+(time_weight), and heartbeat/uptime (heartbeat_agg).
+
+All four are pure `pyspark.sql.functions` chains — single scan,
+map-side partial aggregation, one shuffle on the station key (the
+window operators reuse the same user_id partitioning, so the agg and
+the window share one exchange). Cross-engine exactness follows the
+repo-wide rules (functions/exact.py): averages are exact decimal
+sums; open/close ties break on (ts, event_id); duration arithmetic
+stays integer until the final ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.exact import dec_avg
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+# heartbeat horizon: one reading keeps a station "live" for 15 min
+HEARTBEAT_SECONDS = 900
+
+
+def timeseries_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlestick per station — candlestick_agg analog.
+
+    open/close are the first/last reading of the bucket; ties on ts
+    break deterministically on event_id via min/max of a
+    (ts, event_id, value) struct — an ordinary partial-aggregable
+    min/max, so the plan is scan → partial agg → one shuffle on
+    (user_id, bucket) → final agg. No window, no second exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            first_s.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s.getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+    )
+
+
+def timeseries_1h_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LINEAR interpolation — the
+    `time_bucket_gapfill + interpolate` analog (the locf variant is
+    queries.timeseries_1h_gapfill).
+
+    Same scale shape as the locf gapfill: the hour grid explodes from
+    one (lo, hi) row per station, and the fill windows share the
+    user_id shuffle key with the grid join. Interpolation weights are
+    integer epoch-second differences divided once — a deterministic
+    per-row IEEE expression, identical across engines, so the result
+    hash-matches the oracle despite being float arithmetic. Missing
+    buckets always have a known value on BOTH sides (the grid spans
+    min..max of observed buckets), so no boundary guards are needed;
+    coalesce keeps observed values bit-identical to the exact
+    decimal hourly aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id"), F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(dec_avg("value").alias("avg_value"))
+
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left")
+
+    avg = F.col("avg_value")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev_v = F.last(avg, ignorenulls=True).over(w_prev)
+    prev_b = F.last(F.when(avg.isNotNull(), F.col("bucket")), ignorenulls=True).over(
+        w_prev
+    )
+    next_v = F.first(avg, ignorenulls=True).over(w_next)
+    next_b = F.first(F.when(avg.isNotNull(), F.col("bucket")), ignorenulls=True).over(
+        w_next
+    )
+    frac = (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(prev_b)).cast(
+        "double"
+    ) / (F.unix_timestamp(next_b) - F.unix_timestamp(prev_b)).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce(avg, interp).alias("avg_value"),
+        avg.isNull().alias("interpolated"),
+    )
+
+
+def station_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per station — `time_weight('LOCF')`
+    analog: each reading holds until the next one, so its weight is
+    the seconds to the successor; the last reading weighs nothing.
+
+    twa = Σ value_i · Δt_i / Σ Δt_i over consecutive pairs. The
+    weighted sum is exact decimal arithmetic — value as
+    DECIMAL(18,6) times Δt as DECIMAL(12,0) (seconds; 12 digits spans
+    ~30k years) is an exact DECIMAL(31,6) product, summed exactly —
+    and the denominator is the integer observed span, so the single
+    final double division is deterministic across engines. One scan;
+    the lead() window and the groupBy share the user_id shuffle key.
+    Stations with a zero span (all readings simultaneous) are
+    excluded rather than dividing by zero.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias("dt")
+    paired = ev.select("user_id", "value", dt)
+    weighted = (
+        F.col("value").cast("decimal(18,6)") * F.col("dt").cast("decimal(12,0)")
+    ).cast("decimal(38,6)")
+    return (
+        paired.groupBy("user_id")
+        .agg(
+            F.sum(weighted).alias("wsum"),
+            F.sum("dt").alias("span_seconds"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .filter(F.col("span_seconds") > 0)
+        .select(
+            "user_id",
+            (F.col("wsum").cast("double") / F.col("span_seconds").cast("double")).alias(
+                "twa_value"
+            ),
+            "span_seconds",
+            "n_readings",
+        )
+    )
+
+
+def station_uptime_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uptime ratio per station — heartbeat_agg analog: each reading
+    keeps the station live for HEARTBEAT_SECONDS or until the next
+    reading, whichever comes first; the final reading contributes the
+    full horizon.
+
+    alive = Σ least(Δt, H), span = (max ts − min ts) + H, where the
+    final reading's missing Δt coalesces to the full horizon (an
+    explicit COALESCE — both engines' LEAST would silently skip the
+    null, which reads as an accident and double-counts if a `+ H`
+    term is added on top). Every intermediate is integer seconds; the
+    only float op is the final ratio — deterministic across engines.
+    Same single-shuffle shape as the TWA: window and aggregate share
+    the user_id key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias("dt")
+    paired = ev.select("user_id", "ts", dt)
+    h = F.lit(HEARTBEAT_SECONDS)
+    return (
+        paired.groupBy("user_id")
+        .agg(
+            F.sum(F.least(F.coalesce(F.col("dt"), h), h)).alias("alive_seconds"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")) + h
+            ).alias("span_seconds"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            "user_id",
+            "alive_seconds",
+            "span_seconds",
+            (
+                F.col("alive_seconds").cast("double")
+                / F.col("span_seconds").cast("double")
+            ).alias("uptime_ratio"),
+            "n_readings",
+        )
+    )

@@ -32,6 +32,7 @@ from data_ingestion_pipeline_spark.operators import (
     sampling,
     similarity,
     text,
+    toolkit,
     upsert,
     wire,
 )
@@ -226,6 +227,98 @@ REGISTRY: dict[str, QuerySpec] = {
                    ROWS UNBOUNDED PRECEDING) AS avg_value,
                filled
         FROM joined
+        """,
+    ),
+    "timeseries_ohlc_1h": QuerySpec(
+        toolkit.timeseries_ohlc_1h,
+        """
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               first(value ORDER BY ts, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               last(value ORDER BY ts, event_id) AS close,
+               COUNT(*) AS n_readings
+        FROM events GROUP BY 1, 2
+        """,
+    ),
+    "timeseries_1h_interpolate": QuerySpec(
+        toolkit.timeseries_1h_interpolate,
+        f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   {_DEC_AVG_VALUE} AS avg_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+            FROM bounds
+        ), joined AS (
+            SELECT g.user_id, g.bucket, h.avg_value
+            FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+        ), ctx AS (
+            SELECT user_id, bucket, avg_value,
+                   last_value(avg_value IGNORE NULLS) OVER wp AS prev_v,
+                   last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                              IGNORE NULLS) OVER wp AS prev_b,
+                   first_value(avg_value IGNORE NULLS) OVER wn AS next_v,
+                   first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                               IGNORE NULLS) OVER wn AS next_b
+            FROM joined
+            WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wn AS (PARTITION BY user_id ORDER BY bucket
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, bucket,
+               COALESCE(avg_value,
+                        prev_v + (next_v - prev_v) *
+                        (CAST(date_diff('second', prev_b, bucket) AS DOUBLE)
+                         / CAST(date_diff('second', prev_b, next_b) AS DOUBLE))
+               ) AS avg_value,
+               avg_value IS NULL AS interpolated
+        FROM ctx
+        """,
+    ),
+    "station_time_weighted_avg": QuerySpec(
+        toolkit.station_time_weighted_avg,
+        """
+        WITH paired AS (
+            SELECT user_id, value,
+                   date_diff('second', ts, lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS dt
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(dt AS DECIMAL(12,0))) AS DOUBLE)
+                   / CAST(SUM(dt) AS DOUBLE) AS twa_value,
+               CAST(SUM(dt) AS BIGINT) AS span_seconds,
+               COUNT(*) AS n_readings
+        FROM paired GROUP BY user_id
+        HAVING SUM(dt) > 0
+        """,
+    ),
+    "station_uptime_heartbeat": QuerySpec(
+        toolkit.station_uptime_heartbeat,
+        """
+        WITH paired AS (
+            SELECT user_id, ts,
+                   date_diff('second', ts, lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS dt
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(LEAST(COALESCE(dt, 900), 900)) AS BIGINT) AS alive_seconds,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) + 900 AS BIGINT)
+                   AS span_seconds,
+               CAST(SUM(LEAST(COALESCE(dt, 900), 900)) AS DOUBLE)
+                   / CAST(date_diff('second', MIN(ts), MAX(ts)) + 900 AS DOUBLE)
+                   AS uptime_ratio,
+               COUNT(*) AS n_readings
+        FROM paired GROUP BY user_id
         """,
     ),
     "timeseries_sliding_1h15m": QuerySpec(

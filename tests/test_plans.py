@@ -353,3 +353,41 @@ def test_quality_gate_is_map_only_jvm(spark):
     plan = plan_of(quality_filter_verdicts(spark, SF_TEST))
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_ohlc_is_partial_then_final(spark):
+    """OHLC's open/close are min/max of a (ts, event_id, value)
+    struct — ordinary partial-aggregable min/max, so the plan must
+    show map-side combine and no window (a first_value-over-window
+    formulation would add a sort and a second exchange)."""
+    from data_ingestion_pipeline_spark.operators import toolkit
+
+    plan = plan_of(toolkit.timeseries_ohlc_1h(spark, SF_TEST))
+    assert "partial_" in plan, "no map-side combine in OHLC aggregate"
+    assert "Window" not in plan, plan
+
+
+def test_interpolate_is_jvm_only(spark):
+    """Linear interpolation must stay inside whole-stage codegen (no
+    Python workers) and fan the hour grid out from one row per
+    station, same contract as the locf gapfill."""
+    from data_ingestion_pipeline_spark.operators import toolkit
+
+    plan = plan_of(toolkit.timeseries_1h_interpolate(spark, SF_TEST))
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "Generate" in plan and "explode(sequence(" in plan, plan
+
+
+def test_twa_and_uptime_share_one_exchange(spark):
+    """The lead() window and the groupBy both key on user_id; Spark
+    must reuse the window's hash partitioning for the aggregate —
+    exactly one shuffle in the whole plan."""
+    from data_ingestion_pipeline_spark.operators import toolkit
+
+    import re
+
+    for fn in (toolkit.station_time_weighted_avg, toolkit.station_uptime_heartbeat):
+        plan = plan_of(fn(spark, SF_TEST))
+        detail_nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+        assert detail_nodes.count("Exchange") == 1, plan
+        assert "hashpartitioning(user_id" in plan, plan
