@@ -261,7 +261,7 @@ def _ivf_params(n: int) -> tuple[int, int]:
     return n_cells, max(2, n_cells // 4)
 
 
-def _ivf_train_sample(emb: DataFrame) -> list:
+def _ivf_train_sample(emb: DataFrame, min_vec_id: int = N_QUERIES) -> list:
     """Bounded deterministic training sample: first IVF_TRAIN_MAX
     candidates ordered by md5(vec_id) — a TakeOrdered job, not a full
     collect; at 100 TB the driver still holds ≤2048 rows. The hash
@@ -276,7 +276,7 @@ def _ivf_train_sample(emb: DataFrame) -> list:
     corpus fits entirely inside IVF_TRAIN_MAX the sample — and hence
     the trained centroids — are identical regardless of hash values."""
     rows = (
-        emb.filter(F.col("vec_id") >= N_QUERIES)
+        emb.filter(F.col("vec_id") >= min_vec_id)
         .select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(IVF_TRAIN_MAX)
@@ -620,4 +620,79 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_val"),
         F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# ---- SemDeDup: cluster-then-prune semantic deduplication -----------
+
+SEMANTIC_DUP_COSINE = 0.45  # dup threshold; matches NEAR_DUP_COSINE's
+# aggressive setting for the synthetic corpus (realistic deployments
+# use 0.9+; the threshold is a parameter, not a design constant)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication via cluster-then-prune — the SemDeDup
+    construction (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings into cells, compare pairs ONLY within a cell, and keep
+    one representative per duplicate group.
+
+    Reuses the IVF machinery end-to-end: the bounded hash-ordered
+    training sample, the bit-reproducible spherical k-means, and the
+    exact-integer cell assignment (nprobe=1 — each vector lives in
+    exactly one cell). Within-cell pairing is an equi-join on cell
+    (never all-pairs across the corpus): with k ≈ √n cells the
+    expected pair count is O(n^1.5); production raises k to bound
+    per-cell size — k is the cost dial, exactly as in the paper,
+    where k ≪ cluster sizes make the quadratic term negligible.
+
+    Keep rule: a vector is a duplicate iff some SMALLER vec_id in its
+    cell clears the cosine threshold; dup_of records the smallest
+    such partner. Greedy min-id-wins (not connected components):
+    deterministic, one aggregation, and at most one survivor per
+    mutually-similar group — the transitive-chain caveat (B dups A,
+    C dups B but not A still drops C) is the standard SemDeDup
+    trade-off. Exact fixed-point cosine keeps verdicts
+    partition-independent. Output: every vector with its cell,
+    dup_of (null for kept representatives), and is_kept.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _ivf_train_sample(emb, min_vec_id=0)
+    n = len(rows) if len(rows) < IVF_TRAIN_MAX else emb.count()
+    n_cells, _ = _ivf_params(n)
+    Cq = _ivf_centroids(emb, rows, n_cells)
+
+    cells = _ivf_assign(emb, Cq, nprobe=1)
+    embn = _with_norm(emb).join(cells, "vec_id")
+    a = embn.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = embn.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _fixed_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_DUP_COSINE)
+    )
+    dup_of = dup_pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        cells.join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
     )

@@ -407,3 +407,45 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_rep.alias("ok_repetition"),
         (ok_len & ok_stop & ok_distinct & ok_rep).alias("keep"),
     )
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability — the KenLM-style
+    perplexity-proxy quality score (CCNet/Gopher-family pipelines
+    score documents with a corpus LM; the unigram self-model is the
+    distributed-friendly baseline).
+
+    p(token) = tf / total over the corpus itself; score = mean of
+    ln p over a document's tokens (higher = more typical language,
+    lower = rare-token soup). Shape: explode → one token-frequency
+    aggregate (map-side combinable, vocabulary-sized shuffle) → a
+    1-row total broadcast → equi-join of the token stream against the
+    vocabulary on token (shuffle keyed on token — skew on stopwords
+    is AQE's bread and butter) → per-doc aggregate.
+
+    Cross-engine floats: tf/total is one correctly-rounded IEEE
+    divide (identical in both engines); ln() is the single
+    library-dependent op, so each token's ln p is quantized ONCE to
+    DECIMAL(38,6) — 1e-6 resolution versus a worst-case ~1e-15 libm
+    discrepancy — then summed exactly; the final mean is one double
+    divide. Same quantize-once-then-exact-sum pattern as the
+    fixed-point dot products in operators/similarity.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token")).filter(
+        F.col("token") != ""
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total"))
+    lnp = F.log(
+        F.col("tf").cast("double") / F.col("total").cast("double")
+    ).cast("decimal(38,6)")
+    scored = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.sum("lnp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -1061,6 +1061,11 @@ REGISTRY: dict[str, QuerySpec] = {
         None,  # signature-pruned approximate candidates
         ground_truth="tests/test_similarity.py::test_embedding_near_dup_lsh_recall_and_pruning",
     ),
+    "semantic_dedup": QuerySpec(
+        similarity.semantic_dedup,
+        None,  # k-means cell structure is not SQL-expressible
+        ground_truth="tests/test_similarity.py::test_semantic_dedup_verdicts_and_determinism",
+    ),
     # ---- multimodal binary columns (north-star scope) ----
     "binary_metadata": QuerySpec(
         multimodal.binary_metadata,
@@ -1252,6 +1257,33 @@ REGISTRY: dict[str, QuerySpec] = {
                CAST(COUNT(*) AS BIGINT) AS doc_count,
                CAST(SUM(n) AS BIGINT) AS token_count
         FROM lens GROUP BY 1
+        """,
+    ),
+    "doc_unigram_logprob": QuerySpec(
+        text.doc_unigram_logprob,
+        # each token's ln p is quantized once to DECIMAL(38,6) before
+        # the exact sum — the only libm-dependent op, made
+        # engine-identical at 1e-6 resolution (see the operator doc)
+        """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), clean AS (
+            SELECT * FROM tok WHERE token <> ''
+        ), vocab AS (
+            SELECT token, COUNT(*) AS tf FROM clean GROUP BY token
+        ), tot AS (
+            SELECT SUM(tf) AS total FROM vocab
+        ), scored AS (
+            SELECT c.doc_id,
+                   CAST(ln(CAST(v.tf AS DOUBLE) / CAST(t.total AS DOUBLE))
+                        AS DECIMAL(38,6)) AS lnp
+            FROM clean c JOIN vocab v USING (token) CROSS JOIN tot t
+        )
+        SELECT doc_id,
+               CAST(SUM(lnp) AS DOUBLE) / COUNT(*) AS avg_logprob,
+               COUNT(*) AS n_tokens
+        FROM scored GROUP BY doc_id
         """,
     ),
     "doc_tfidf_topk": QuerySpec(

@@ -391,3 +391,23 @@ def test_twa_and_uptime_share_one_exchange(spark):
         detail_nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
         assert detail_nodes.count("Exchange") == 1, plan
         assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_semantic_dedup_is_cell_pruned_equi_join(spark):
+    """SemDeDup's within-cell pairing must be an equi-join on the
+    cell id — never a corpus-wide all-pairs product."""
+    plan = plan_of(similarity.semantic_dedup(spark, SF_TEST))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_unigram_logprob_broadcasts_total_only(spark):
+    """The 1-row corpus total joins by broadcast; the token-stream ×
+    vocabulary join must be a keyed join (hash or sort-merge on
+    token), and the whole plan stays JVM-side."""
+    from data_ingestion_pipeline_spark.operators.text import doc_unigram_logprob
+
+    plan = plan_of(doc_unigram_logprob(spark, SF_TEST))
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan

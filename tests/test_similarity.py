@@ -142,3 +142,62 @@ def test_ann_ivf_queries_only_slice(spark, tmp_path):
         F.col("vec_id") < similarity.N_QUERIES
     ).write.parquet(f"{sf}/embeddings.parquet")
     assert similarity.ann_ivf_topk(spark, sf).count() == 0
+
+
+def test_semantic_dedup_verdicts_and_determinism(spark):
+    """SemDeDup ground truth (registry rows-only evidence): every
+    vector gets a verdict; dup_of pairs genuinely clear the cosine
+    threshold within the same cell; every kept vector has NO
+    smaller-id cell-mate above the threshold (the keep rule, checked
+    against an independent numpy all-pairs within each cell); and the
+    whole operator is deterministic across runs."""
+    out = similarity.semantic_dedup(spark, SF_TEST).collect()
+    n_vecs = load_table(spark, SF_TEST, "embeddings").count()
+    assert len(out) == n_vecs
+
+    rows = (
+        load_table(spark, SF_TEST, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    E = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def fixed_cos(a, b):
+        # the operator's exact fixed-point cosine, replicated
+        dot = np.floor(a * b * similarity.FIXED_SCALE).sum() / similarity.FIXED_SCALE
+        na = np.sqrt(
+            np.floor(a * a * similarity.FIXED_SCALE).sum() / similarity.FIXED_SCALE
+        )
+        nb = np.sqrt(
+            np.floor(b * b * similarity.FIXED_SCALE).sum() / similarity.FIXED_SCALE
+        )
+        return dot / (na * nb)
+
+    cell_of = {r.vec_id: r.cell for r in out}
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+
+    for r in out:
+        if r.dup_of is not None:
+            assert not r.is_kept
+            assert cell_of[r.dup_of] == r.cell, (r.vec_id, r.dup_of)
+            assert fixed_cos(E[r.dup_of], E[r.vec_id]) >= similarity.SEMANTIC_DUP_COSINE
+            # dup_of is the SMALLEST qualifying cell-mate
+            for other in by_cell[r.cell]:
+                if other < r.dup_of:
+                    assert (
+                        fixed_cos(E[other], E[r.vec_id])
+                        < similarity.SEMANTIC_DUP_COSINE
+                    )
+        else:
+            assert r.is_kept
+            for other in by_cell[r.cell]:
+                if other < r.vec_id:
+                    assert (
+                        fixed_cos(E[other], E[r.vec_id])
+                        < similarity.SEMANTIC_DUP_COSINE
+                    ), (other, r.vec_id)
+
+    again = similarity.semantic_dedup(spark, SF_TEST).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
