@@ -199,3 +199,72 @@ def station_uptime_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_readings",
         )
     )
+
+
+LTTB_POINTS = 50  # downsampled points per station
+
+
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per station — the
+    toolkit `lttb()` analog (Steinarsson 2013), picking the
+    LTTB_POINTS visually-dominant readings of each station's series.
+
+    LTTB is inherently sequential (each pick maximizes the triangle
+    with the PREVIOUS pick and the next bucket's centroid), so this
+    is a real per-group Python operator: grouped `applyInPandas`,
+    Arrow-batched, parallel ACROSS stations with the sequential loop
+    confined to one station's series. That per-entity layout is the
+    standard scale contract for downsampling (one station's history
+    fits a worker; billions of stations spread over the cluster), and
+    the loop itself runs over LTTB_POINTS buckets with the inner
+    area computation vectorized per bucket. Ties inside a bucket
+    break to the earliest (ts, event_id) — deterministic under any
+    partitioning, which the rows-only registry evidence's pytest
+    twin asserts against an independent pure-Python LTTB.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    schema = "user_id bigint, ts timestamp, value double, pick int"
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n, k = len(pdf), LTTB_POINTS
+        if n <= k:
+            out = pdf[["user_id", "ts", "value"]].copy()
+            out["pick"] = np.arange(n, dtype=np.int32)
+            return out
+        x = pdf["ts"].astype("int64").to_numpy().astype(np.float64)
+        y = pdf["value"].to_numpy().astype(np.float64)
+        # bucket edges over the middle n-2 points, k-2 buckets:
+        # ⌊i·(n-2)/(k-2)⌋+1 in INTEGER arithmetic is exact and
+        # strictly increasing whenever n > k, so every bucket is
+        # non-empty — a linspace().round() construction can collapse
+        # adjacent edges (half-to-even) and feed argmax an empty
+        # slice, and float multiplication can drop the last edge
+        edges = (
+            np.arange(k - 1, dtype=np.int64) * (n - 2) // (k - 2) + 1
+        )  # len k-1, edges[i]..edges[i+1] is bucket i; edges[-1] = n-1
+        idx = [0]
+        a = 0
+        for b in range(k - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (
+                edges[b + 1],
+                np.int64(n),
+            )
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            area = np.abs(
+                (x[a] - cx) * (y[lo:hi] - y[a]) - (x[a] - x[lo:hi]) * (cy - y[a])
+            )
+            a = int(lo + area.argmax())  # argmax ties → earliest index
+            idx.append(a)
+        idx.append(n - 1)
+        out = pdf.iloc[idx][["user_id", "ts", "value"]].copy()
+        out["pick"] = np.arange(len(idx), dtype=np.int32)
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(fn, schema)

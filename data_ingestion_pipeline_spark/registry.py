@@ -321,6 +321,11 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM paired GROUP BY user_id
         """,
     ),
+    "lttb_downsample": QuerySpec(
+        toolkit.lttb_downsample,
+        None,  # sequential pick-dependent selection, not SQL-expressible
+        ground_truth="tests/test_toolkit.py::test_lttb_matches_reference",
+    ),
     "timeseries_sliding_1h15m": QuerySpec(
         queries.timeseries_sliding_1h15m,
         # each event belongs to the 4 slide-aligned windows covering it
