@@ -16,6 +16,7 @@ is a listing, never a data read.
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 
@@ -83,3 +84,121 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     return compact_table(spark, frag, out)
+
+
+# ---- Z-order clustering: the data-skipping layout pass -------------
+
+ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def _spread16(c):
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    lane (classic Morton magic-number sequence) — five shift/mask ops,
+    all JVM-side inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    x = c.cast("long")
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(a, b, a_min, a_max, b_min, b_max):
+    """Morton (Z-order) key interleaving two columns, each min-max
+    scaled to ZORDER_BITS bits. Linear scaling (not rank) keeps the
+    key a pure per-row expression — no window, no second shuffle; the
+    min/max bounds come from a one-row aggregate (metadata-cheap, and
+    on a catalog-backed table free from column statistics)."""
+    from pyspark.sql import functions as F
+
+    top = (1 << ZORDER_BITS) - 1
+
+    def scale(c, lo, hi):
+        lo_l, hi_l = F.lit(lo).cast("double"), F.lit(hi).cast("double")
+        span = F.when(hi_l > lo_l, hi_l - lo_l).otherwise(F.lit(1.0))
+        return F.floor(
+            ((c.cast("double") - lo_l) / span) * F.lit(float(top))
+        ).cast("long")
+
+    return F.shiftleft(_spread16(scale(a, a_min, a_max)), 1).bitwiseOR(
+        _spread16(scale(b, b_min, b_max))
+    )
+
+
+def zorder_cluster_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    cols: tuple[str, str] = ("user_id", "ts"),
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> DataFrame:
+    """Rewrite a table clustered by the Morton order of two columns —
+    the OPTIMIZE ... ZORDER BY pass of the lakehouse world.
+
+    Why: parquet readers skip row groups whose min/max stats exclude
+    the predicate. A round-robin layout gives every file the full
+    value range of every column — zero skipping; sorting by one
+    column skips on that column only. Z-order interleaving bounds
+    BOTH columns' ranges per file, so point/range predicates on
+    either column (station scans AND time scans) prune most files of
+    a 100 TB table.
+
+    Shape: one tiny min/max aggregate → per-row JVM Morton key →
+    `repartitionByRange` on the key (sampled range exchange, the
+    same machinery as a global sort) → `sortWithinPartitions` so row
+    groups inside each file get tight stats too → size-targeted
+    write. Row content is untouched (identity oracle); the skipping
+    claim is asserted per-file in tests/test_maintenance.py.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    a, b = (F.col(c) for c in cols)
+    bounds = df.agg(
+        F.min(cols[0]).alias("a_min"),
+        F.max(cols[0]).alias("a_max"),
+        F.min(cols[1]).alias("b_min"),
+        F.max(cols[1]).alias("b_max"),
+    ).first()
+    a_min, a_max = bounds.a_min, bounds.a_max
+    b_min, b_max = bounds.b_min, bounds.b_max
+    if isinstance(a_min, datetime.datetime):
+        a, a_min, a_max = _epoch(a), a_min.timestamp(), a_max.timestamp()
+    if isinstance(b_min, datetime.datetime):
+        b, b_min, b_max = _epoch(b), b_min.timestamp(), b_max.timestamp()
+    n = max(1, math.ceil(table_bytes(src_path) / target_bytes))
+    keyed = df.withColumn("_zkey", zorder_key(a, b, a_min, a_max, b_min, b_max))
+    (
+        keyed.repartitionByRange(n, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return spark.read.parquet(dst_path)
+
+
+def _epoch(c):
+    from pyspark.sql import functions as F
+
+    return F.unix_timestamp(c)
+
+
+def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: fragment the events table round-robin (the
+    zero-skipping worst case), rewrite it Z-ordered on
+    (user_id, ts), and return the clustered table — row-identical to
+    the source (identity oracle). The per-file range-tightening that
+    justifies the pass is asserted in tests/test_maintenance.py."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    frag = scratch_path("zorder", sf_name, "frag")
+    out = scratch_path("zorder", sf_name, "out")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(16).write.mode("overwrite").parquet(frag)
+    return zorder_cluster_table(
+        spark, frag, out, target_bytes=table_bytes(frag) // 8
+    )

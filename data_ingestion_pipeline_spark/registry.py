@@ -466,6 +466,14 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "zorder_roundtrip": QuerySpec(
+        maintenance.zorder_roundtrip,
+        # Z-order clustering must be row-identity; the per-file
+        # range-tightening is asserted in tests/test_maintenance.py
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+    ),
     # ---- window-function surface (lag / range-frame / as-of) ----
     "station_deltas": QuerySpec(
         queries.station_deltas,

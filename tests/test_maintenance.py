@@ -28,3 +28,53 @@ def test_compaction_shrinks_files_preserves_rows(spark):
         "event_id", "ts", "user_id", "event_type", "value"
     )
     assert sorted(map(tuple, out_df.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_zorder_tightens_per_file_ranges(spark):
+    """The Z-ordered layout must bound BOTH clustering columns per
+    file: the summed per-file user_id range must shrink by a large
+    factor vs the round-robin fragments (where every file spans
+    ~the full station range — zero data-skipping), and the ts ranges
+    must shrink too. Rows are untouched (the registry's identity
+    oracle re-checks that at sf0.01)."""
+    import glob
+    import os
+
+    from data_ingestion_pipeline_spark.operators.maintenance import zorder_roundtrip
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    out_df = zorder_roundtrip(spark, SF_TEST)
+    sf_name = SF_TEST.rstrip("/").rsplit("/", 1)[1]
+    frag = scratch_path("zorder", sf_name, "frag")
+    out = scratch_path("zorder", sf_name, "out")
+
+    def ranges(path):
+        spans_uid, spans_ts = [], []
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(f, columns=["user_id", "ts"])
+            uid = t.column("user_id").to_pylist()
+            ts = t.column("ts").to_pylist()
+            if uid:
+                spans_uid.append(max(uid) - min(uid))
+                spans_ts.append((max(ts) - min(ts)).total_seconds())
+        return spans_uid, spans_ts
+
+    frag_uid, frag_ts = ranges(frag)
+    out_uid, out_ts = ranges(out)
+    assert len(out_uid) > 1, "need multiple output files to measure clustering"
+    # round-robin: every fragment spans ~the whole station range
+    assert sum(out_uid) / len(out_uid) < 0.5 * sum(frag_uid) / len(frag_uid), (
+        out_uid,
+        frag_uid,
+    )
+    assert sum(out_ts) / len(out_ts) < 0.75 * sum(frag_ts) / len(frag_ts), (
+        out_ts,
+        frag_ts,
+    )
+
+    ev = load_table(spark, SF_TEST, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    assert sorted(map(tuple, out_df.collect())) == sorted(map(tuple, ev.collect()))
