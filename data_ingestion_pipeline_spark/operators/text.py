@@ -449,3 +449,67 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("lnp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "vector")  # frozen query, like STATION/START
+BM25_TOP_K = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-K documents for a fixed bag-of-
+    terms query — the standard corpus-search/quality-mining ranking
+    (Robertson-Spärck Jones; the tf-idf entry ranks terms within a
+    doc, this ranks docs against a query).
+
+    Shape: document length is a map-only size() (no token-stream
+    shuffle for dl); only QUERY terms survive into the tf aggregate,
+    so the grouped state is |query|·|matching docs|, not
+    vocabulary-sized; df and the corpus stats are tiny broadcasts;
+    the final cut is orderBy+limit → TakeOrdered (each partition
+    ships K rows). Cross-engine floats: every per-(doc,term) input
+    (tf, df, dl, N, Σdl) is an integer, so the idf·tf-saturation
+    product is a deterministic IEEE expression mirrored
+    parenthesis-for-parenthesis in the oracle; ln is the one
+    libm-dependent op, so each term's score is quantized once to
+    DECIMAL(38,6) before the exact per-doc sum (the
+    doc_unigram_logprob pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    dl = docs.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token")).filter(
+        F.col("token").isin(*BM25_QUERY)
+    )
+    qtf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    qdf = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    tf_d = F.col("tf").cast("double")
+    df_d = F.col("df").cast("double")
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / n_d
+    idf = F.log((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)) + F.lit(1.0))
+    norm = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = (idf * (tf_d * F.lit(BM25_K1 + 1.0) / norm)).cast("decimal(38,6)")
+
+    scored = (
+        qtf.join(dl, "doc_id")
+        .join(F.broadcast(qdf), "token")
+        .join(F.broadcast(stats))
+        .select("doc_id", term_score.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("double").alias("score"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )

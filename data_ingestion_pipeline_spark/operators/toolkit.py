@@ -7,9 +7,10 @@ TimescaleDB user has the toolkit aggregates one `CREATE EXTENSION`
 away, so a drop-in engine needs the canonical ones: OHLC
 (candlestick_agg), gap-fill with linear interpolation
 (time_bucket_gapfill + interpolate), time-weighted average
-(time_weight), and heartbeat/uptime (heartbeat_agg).
+(time_weight), heartbeat/uptime (heartbeat_agg), reset-aware
+counters (counter_agg), and LTTB downsampling (lttb).
 
-All four are pure `pyspark.sql.functions` chains — single scan,
+All but LTTB are pure `pyspark.sql.functions` chains — single scan,
 map-side partial aggregation, one shuffle on the station key (the
 window operators reuse the same user_id partitioning, so the agg and
 the window share one exchange). Cross-engine exactness follows the
@@ -268,3 +269,36 @@ def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return ev.groupBy("user_id").applyInPandas(fn, schema)
+
+
+def station_counter_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter aggregation per station — counter_agg
+    analog: readings are treated as a monotonically-increasing
+    counter that occasionally restarts (process restart, device
+    reboot). A negative step is a reset: the reading itself is the
+    post-reset accumulation, so it contributes its own value; a
+    non-negative step contributes the delta. total = Σ contributions
+    over consecutive pairs, plus the reset count.
+
+    Exactness: each per-row contribution is one IEEE subtraction (or
+    a copy) — deterministic across engines — quantized once to
+    DECIMAL(38,6) and summed exactly (the repo-wide
+    quantize-then-exact-sum rule). Same single-exchange shape as the
+    TWA: the lag() window and the aggregate share the user_id key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    contrib = F.when(delta < 0, F.col("value")).otherwise(delta)
+    paired = ev.select(
+        "user_id",
+        contrib.cast("decimal(38,6)").alias("contrib"),
+        (delta < 0).cast("int").alias("is_reset"),
+    )
+    return paired.groupBy("user_id").agg(
+        F.coalesce(F.sum("contrib").cast("double"), F.lit(0.0)).alias(
+            "counter_total"
+        ),
+        F.coalesce(F.sum("is_reset"), F.lit(0)).cast("bigint").alias("resets"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )

@@ -321,6 +321,25 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM paired GROUP BY user_id
         """,
     ),
+    "station_counter_total": QuerySpec(
+        toolkit.station_counter_total,
+        """
+        WITH paired AS (
+            SELECT user_id,
+                   CAST(CASE WHEN value - lag(value) OVER w < 0 THEN value
+                             ELSE value - lag(value) OVER w END
+                        AS DECIMAL(38,6)) AS contrib,
+                   CAST(value - lag(value) OVER w < 0 AS INTEGER) AS is_reset
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               COALESCE(CAST(SUM(contrib) AS DOUBLE), 0.0) AS counter_total,
+               CAST(COALESCE(SUM(is_reset), 0) AS BIGINT) AS resets,
+               COUNT(*) AS n_readings
+        FROM paired GROUP BY user_id
+        """,
+    ),
     "lttb_downsample": QuerySpec(
         toolkit.lttb_downsample,
         None,  # sequential pick-dependent selection, not SQL-expressible
@@ -1297,6 +1316,51 @@ REGISTRY: dict[str, QuerySpec] = {
                CAST(SUM(lnp) AS DOUBLE) / COUNT(*) AS avg_logprob,
                COUNT(*) AS n_tokens
         FROM scored GROUP BY doc_id
+        """,
+    ),
+    "bm25_topk": QuerySpec(
+        text.bm25_topk,
+        # formula mirrored parenthesis-for-parenthesis; each term
+        # score quantized once to DECIMAL(38,6) before the exact sum
+        # (ln is the only libm-dependent op — logprob pattern)
+        """
+        WITH dl AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS BIGINT) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), qtf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tok WHERE token IN ('hash', 'join', 'vector')
+            GROUP BY doc_id, token
+        ), qdf AS (
+            SELECT token, COUNT(*) AS df FROM qtf GROUP BY token
+        ), scored AS (
+            SELECT q.doc_id,
+                   CAST(
+                       ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                          / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(q.tf AS DOUBLE) * 2.2
+                          / (CAST(q.tf AS DOUBLE) + 1.2 *
+                             (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                              / (CAST(s.total_tokens AS DOUBLE)
+                                 / CAST(s.n_docs AS DOUBLE))))))
+                       AS DECIMAL(38,6)) AS s
+            FROM qtf q JOIN dl l USING (doc_id)
+                       JOIN qdf d USING (token)
+                       CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               CAST(SUM(s) AS DOUBLE) AS score,
+               COUNT(*) AS matched_terms
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
         """,
     ),
     "doc_tfidf_topk": QuerySpec(

@@ -386,7 +386,11 @@ def test_twa_and_uptime_share_one_exchange(spark):
 
     import re
 
-    for fn in (toolkit.station_time_weighted_avg, toolkit.station_uptime_heartbeat):
+    for fn in (
+        toolkit.station_time_weighted_avg,
+        toolkit.station_uptime_heartbeat,
+        toolkit.station_counter_total,
+    ):
         plan = plan_of(fn(spark, SF_TEST))
         detail_nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
         assert detail_nodes.count("Exchange") == 1, plan
@@ -411,3 +415,16 @@ def test_unigram_logprob_broadcasts_total_only(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_bm25_is_take_ordered_with_broadcast_stats(spark):
+    """BM25's final cut must be TakeOrderedAndProject (K rows per
+    partition, never a global sort of all matching docs), with the
+    tiny df/stats sides broadcast, and document length computed
+    map-only (no token-stream shuffle for dl)."""
+    from data_ingestion_pipeline_spark.operators.text import bm25_topk
+
+    plan = plan_of(bm25_topk(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
