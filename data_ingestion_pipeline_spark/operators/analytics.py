@@ -477,3 +477,38 @@ def inactive_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_users = ev.select("user_id")
     purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return all_users.subtract(purchasers)
+
+
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable distinct counts via HLL sketches — the scale
+    answer to COUNT(DISTINCT): daily user sketches union into any
+    coarser period WITHOUT re-reading raw events, the same
+    partial-recomposition contract as rollup_multires_1d but for a
+    non-additive measure (distinct counts don't sum; sketches merge).
+
+    Emits one row per day — the sketch estimate next to the exact
+    count, so the error is auditable — plus a total row (bucket NULL)
+    whose estimate comes from UNIONING the daily sketches, never from
+    rescanning. Shape: one grouped agg (map-side partial sketches),
+    then a driver-sized union over ~365 rows/year. Registry evidence
+    is rows-only (DataSketches binaries are Spark-specific); the
+    pytest twin bounds per-day and union error and pins determinism.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )
+    per_day = daily.select(
+        "bucket",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    ).select(
+        F.lit(None).cast("timestamp").alias("bucket"),
+        "approx_users",
+        F.lit(None).cast("bigint").alias("exact_users"),
+    )
+    return per_day.unionByName(total)

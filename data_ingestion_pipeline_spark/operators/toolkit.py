@@ -89,6 +89,14 @@ def timeseries_1h_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = grid.join(hourly, ["user_id", "bucket"], "left")
 
     avg = F.col("avg_value")
+    # both lookups are RUNNING frames ([unboundedPreceding, -1]): the
+    # "next known value" uses a descending sort instead of a
+    # [1, unboundedFollowing] frame — Spark evaluates an
+    # unbounded-FOLLOWING frame by rescanning the partition tail for
+    # every row (O(n²) per station; measured 21 s vs 1.3 s for the
+    # locf twin at sf0.1), while a running frame is incremental O(n).
+    # Cost: one extra per-station sort, both sharing the user_id
+    # exchange.
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -96,15 +104,15 @@ def timeseries_1h_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev_v = F.last(avg, ignorenulls=True).over(w_prev)
     prev_b = F.last(F.when(avg.isNotNull(), F.col("bucket")), ignorenulls=True).over(
         w_prev
     )
-    next_v = F.first(avg, ignorenulls=True).over(w_next)
-    next_b = F.first(F.when(avg.isNotNull(), F.col("bucket")), ignorenulls=True).over(
+    next_v = F.last(avg, ignorenulls=True).over(w_next)
+    next_b = F.last(F.when(avg.isNotNull(), F.col("bucket")), ignorenulls=True).over(
         w_next
     )
     frac = (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(prev_b)).cast(

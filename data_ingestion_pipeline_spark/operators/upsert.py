@@ -194,3 +194,108 @@ def upsert_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, path).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+# ---- SCD2: slowly-changing-dimension history maintenance -----------
+
+SCD2_T1 = "2024-01-01 00:00:00"
+SCD2_T2 = "2024-06-01 00:00:00"
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    as_of: str,
+) -> DataFrame:
+    """Apply an update batch to a type-2 slowly-changing dimension:
+    changed keys get their current row CLOSED (valid_to = as_of,
+    is_current = false) and a fresh version OPENED; unchanged keys
+    pass through; brand-new keys open at version 1. The Delta/Iceberg
+    `MERGE ... WHEN MATCHED/NOT MATCHED` shape on plain DataFrames.
+
+    Change detection hashes every tracked (non-key, non-bookkeeping)
+    attribute, so callers never enumerate columns twice. Plan: ONE
+    equi-join on the key (broadcast while the batch is small, AQE's
+    call) plus a union — the dimension scans once however wide the
+    history grows, and the join key is the natural partition key of a
+    100 TB dimension.
+    """
+    from pyspark.sql import functions as F
+
+    attrs = [c for c in dim.columns if c not in (key, "version", "valid_from", "valid_to", "is_current")]
+    fp = lambda df: F.xxhash64(*[F.col(c).cast("string") for c in attrs])  # noqa: E731
+    t2 = F.lit(as_of).cast("timestamp")
+
+    cur = dim.withColumn("_fp", fp(dim))
+    upd = updates.withColumn("_fp_new", fp(updates)).select(
+        F.col(key).alias("_k"),
+        "_fp_new",
+        *[F.col(c).alias(f"_new_{c}") for c in attrs],
+    )
+    joined = cur.join(upd, cur[key] == upd["_k"], "full_outer")
+
+    changed = upd["_fp_new"].isNotNull() & cur["_fp"].isNotNull() & (
+        upd["_fp_new"] != cur["_fp"]
+    )
+    brand_new = cur["_fp"].isNull()
+
+    kept = joined.filter(~brand_new).select(
+        cur[key].alias(key),
+        *[cur[c].alias(c) for c in attrs],
+        cur["version"].alias("version"),
+        cur["valid_from"].alias("valid_from"),
+        F.when(changed, t2).otherwise(cur["valid_to"]).alias("valid_to"),
+        (~changed & cur["is_current"]).alias("is_current"),
+    )
+    opened = joined.filter(changed | brand_new).select(
+        F.coalesce(cur[key], upd["_k"]).alias(key),
+        *[F.coalesce(upd[f"_new_{c}"], cur[c]).alias(c) for c in attrs],
+        F.when(brand_new, F.lit(1)).otherwise(cur["version"] + 1).alias("version"),
+        t2.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return kept.unionByName(opened)
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: seed a type-2 customer dimension at T1, apply a
+    deterministic update batch at T2 (every 7th customer's balance
+    +100.0 — one IEEE add, engine-identical — every 13th re-segmented,
+    plus one brand-new key past the max),
+    and return the full history. Every row/attribute is a pure
+    function of the customer table, so the oracle reproduces the
+    MERGE with plain SQL."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    dim = cust.select(
+        "*",
+        F.lit(1).alias("version"),
+        F.lit(SCD2_T1).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = cust.filter(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 13 == 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("RESEGMENTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    mx = cust.agg(F.max("c_custkey").alias("m"))
+    fresh = mx.select(
+        (F.col("m") + 1).alias("c_custkey"),
+        F.lit("Customer#NEW").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    return scd2_apply(dim, changed.unionByName(fresh), "c_custkey", SCD2_T2)

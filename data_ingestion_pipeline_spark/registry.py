@@ -657,6 +657,49 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "stream_ohlc_1h": QuerySpec(
+        streaming.stream_ohlc_1h,
+        f"""
+        SELECT date_trunc('hour', ts) AS bucket,
+               first(value ORDER BY ts, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               last(value ORDER BY ts, event_id) AS close,
+               COUNT(*) AS n_readings
+        FROM events
+        WHERE user_id = 7 AND {_TIME_PRED}
+        GROUP BY 1
+        """,
+    ),
+    "scd2_customer_history": QuerySpec(
+        upsert.scd2_customer_history,
+        """
+        WITH c AS (
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        ), mx AS (
+            SELECT MAX(c_custkey) AS m FROM c
+        )
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               1 AS version,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 7 = 0 OR c_custkey % 13 = 0
+                    THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+               NOT (c_custkey % 7 = 0 OR c_custkey % 13 = 0) AS is_current
+        FROM c
+        UNION ALL
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END,
+               CASE WHEN c_custkey % 13 = 0 THEN 'RESEGMENTED'
+                    ELSE c_mktsegment END,
+               2, TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+        FROM c WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0
+        UNION ALL
+        SELECT m + 1, 'Customer#NEW', 0.0, 'BUILDING',
+               1, TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+        FROM mx
+        """,
+    ),
     "upsert_table_roundtrip": QuerySpec(
         upsert.upsert_table_roundtrip,
         # same semantics (and oracle) as upsert_merge, but through real
@@ -915,6 +958,11 @@ REGISTRY: dict[str, QuerySpec] = {
                COUNT(*) AS event_count
         FROM events GROUP BY event_type
         """,
+    ),
+    "hll_user_rollup": QuerySpec(
+        analytics.hll_user_rollup,
+        None,  # DataSketches HLL binaries are Spark-specific
+        ground_truth="tests/test_analytics.py::test_hll_rollup_error_and_merge",
     ),
     "event_type_cardinality_approx": QuerySpec(
         analytics.event_type_cardinality_approx,

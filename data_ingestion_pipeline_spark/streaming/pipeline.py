@@ -359,6 +359,69 @@ def stream_timeseries_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, table).select("bucket", "avg_value", "reading_count")
 
 
+def stream_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the hourly OHLC candlestick
+    (operators/toolkit.py::timeseries_ohlc_1h, station-7 slice):
+    open/close as min/max of a (ts, event_id, value) struct are
+    RE-MERGEABLE aggregates, so streaming state per window is one
+    struct pair + two doubles + a count — constant per window
+    regardless of batching — and update-mode re-emits upserted per
+    bucket converge to the batch answer (hash-identical oracle), the
+    same argument as the avg/count twin above.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_ts1h", sf_name, "feed")  # shared fixture
+    table = scratch_path("stream_ohlc", sf_name, "table")
+    ckpt = scratch_path("stream_ohlc", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    build_feed(spark, sf_dir, feed, with_dups=False)
+
+    agg = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+        .withWatermark("ts", "30 days")
+        .filter(
+            (F.col("user_id") == 7)
+            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value")).alias("c"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "n_readings",
+        )
+    )
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        upsert_into_table(spark, table, bdf, ["bucket"], ts_col="bucket")
+
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return read_table(spark, table).select(
+        "bucket", "open", "high", "low", "close", "n_readings"
+    )
+
+
 # ---- custom stateful operator: applyInPandasWithState ----
 
 FIRST_SEEN_OUT = (

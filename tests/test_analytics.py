@@ -62,3 +62,36 @@ def test_approx_percentile_within_bound(spark):
             hi = bisect.bisect_right(vs, a) / n
             err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
             assert err <= 1 / 10000 + 1 / n, (t, q, a, err)
+
+
+def test_hll_rollup_error_and_merge(spark):
+    """HLL rollup ground truth (registry rows-only evidence): every
+    per-day estimate within 5% of its exact count; the total row's
+    estimate — computed by UNIONING daily sketches, not rescanning —
+    within 5% of the exact overall distinct count; deterministic
+    across runs."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.operators.analytics import hll_user_rollup
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    rows = hll_user_rollup(spark, SF_TEST).collect()
+    per_day = [r for r in rows if r.bucket is not None]
+    totals = [r for r in rows if r.bucket is None]
+    assert per_day and len(totals) == 1
+
+    for r in per_day:
+        assert r.exact_users > 0
+        assert abs(r.approx_users - r.exact_users) / r.exact_users < 0.05, r
+
+    exact_total = (
+        load_table(spark, SF_TEST, "events")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .first()
+        .n
+    )
+    assert abs(totals[0].approx_users - exact_total) / exact_total < 0.05
+    assert totals[0].exact_users is None
+
+    again = hll_user_rollup(spark, SF_TEST).collect()
+    assert sorted(map(tuple, rows), key=repr) == sorted(map(tuple, again), key=repr)

@@ -428,3 +428,15 @@ def test_bm25_is_take_ordered_with_broadcast_stats(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_scd2_is_single_keyed_join(spark):
+    """The SCD2 merge must be ONE equi-join on the dimension key plus
+    a union — never a cartesian, and never a second scan-join of the
+    dimension per branch."""
+    from data_ingestion_pipeline_spark.operators.upsert import scd2_customer_history
+
+    plan = plan_of(scd2_customer_history(spark, SF_TEST))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Union" in plan, plan
