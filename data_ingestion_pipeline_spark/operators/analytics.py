@@ -512,3 +512,124 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_users"),
     )
     return per_day.unionByName(total)
+
+
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: counts and row-normalized probabilities of event_type →
+    next event_type. The per-user lag window and nothing else touches
+    the raw stream; the transition aggregate is |types|² rows. The
+    probability is one double divide of two exact counts (window
+    keyed on user_id; transition agg reshuffles |users|·|types|²
+    partial rows at most — type-domain-sized, not event-sized).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(w_from).cast("double")
+        ).alias("p"),
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → click → purchase, counting users who
+    reached each stage IN ORDER (a later stage counts only after the
+    user's FIRST completion of the previous one).
+
+    "First click after first signup" is min(ts | ts > t1) — a
+    conditional minimum against a per-user threshold, so each stage
+    is one equi-join on user_id against that stage's events followed
+    by a filtered min; all three joins and aggregates share the
+    user_id shuffle key, and the event scan is pre-filtered to the
+    stage's type. Output is one row per stage (3 rows), produced
+    declaratively by a union of aggregates — no driver-side counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    # stage-2 time: first click after signup needs the conditional
+    # minimum, so recompute it against t1 with a second filtered agg
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    s2 = (
+        per_user.join(clicks, "user_id", "left")
+        .filter(F.col("cts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("cts").alias("t2"))
+    )
+    s3 = (
+        s2.join(purchases, "user_id", "left")
+        .filter(F.col("pts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t3"))
+    )
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("stage"), F.col("users")
+        )
+
+    return (
+        stage(per_user.filter(F.col("t1").isNotNull()), "1_signup")
+        .unionByName(stage(s2, "2_click_after_signup"))
+        .unionByName(stage(s3, "3_purchase_after_click"))
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in each subsequent week they were active. Two aggregates:
+    per-user first week (one shuffle on user_id), then distinct
+    (user, week) activity joined to the cohort map — the standard
+    cohort triangle, |weeks|² output rows. retained is exact distinct
+    counting; the rate is one double divide.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_wk = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    active = ev.select("user_id", wk(F.col("ts")).alias("activity_week")).distinct()
+    cohort_sizes = first_wk.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    grid = (
+        active.join(first_wk, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    return grid.join(cohort_sizes, "cohort_week").select(
+        "cohort_week",
+        "activity_week",
+        (
+            (
+                F.unix_timestamp("activity_week") - F.unix_timestamp("cohort_week")
+            )
+            / F.lit(7 * 24 * 3600)
+        )
+        .cast("int")
+        .alias("week_offset"),
+        "retained",
+        "cohort_users",
+        (F.col("retained").cast("double") / F.col("cohort_users").cast("double")).alias(
+            "retention_rate"
+        ),
+    )

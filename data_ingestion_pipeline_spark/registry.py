@@ -964,6 +964,83 @@ REGISTRY: dict[str, QuerySpec] = {
         None,  # DataSketches HLL binaries are Spark-specific
         ground_truth="tests/test_analytics.py::test_hll_rollup_error_and_merge",
     ),
+    "event_transition_counts": QuerySpec(
+        analytics.event_transition_counts,
+        """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+            FROM events
+        ), counts AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        FROM counts
+        """,
+    ),
+    "funnel_conversion": QuerySpec(
+        analytics.funnel_conversion,
+        """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+            FROM events GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, p.t1, MIN(e.ts) AS t2
+            FROM events e JOIN per_user p USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > p.t1
+            GROUP BY e.user_id, p.t1
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT '1_signup' AS stage, COUNT(*) AS users
+        FROM per_user WHERE t1 IS NOT NULL
+        UNION ALL
+        SELECT '2_click_after_signup', COUNT(*) FROM s2
+        UNION ALL
+        SELECT '3_purchase_after_click', COUNT(*) FROM s3
+        """,
+    ),
+    "retention_cohorts": QuerySpec(
+        analytics.retention_cohorts,
+        # week_offset is exact (both weeks are Monday-truncated, so
+        # the division is integer-valued — no rounding-mode hazard)
+        """
+        WITH first_wk AS (
+            -- DuckDB date_trunc('week') yields DATE; Spark yields
+            -- TIMESTAMP — align the types at the source
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+            FROM events
+        ), sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_users
+            FROM first_wk GROUP BY 1
+        ), grid AS (
+            SELECT f.cohort_week, a.activity_week, COUNT(*) AS retained
+            FROM active a JOIN first_wk f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT g.cohort_week, g.activity_week,
+               CAST(date_diff('second', g.cohort_week, g.activity_week)
+                    / 604800 AS INTEGER) AS week_offset,
+               CAST(g.retained AS BIGINT) AS retained,
+               CAST(s.cohort_users AS BIGINT) AS cohort_users,
+               CAST(g.retained AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+                   AS retention_rate
+        FROM grid g JOIN sizes s USING (cohort_week)
+        """,
+    ),
     "event_type_cardinality_approx": QuerySpec(
         analytics.event_type_cardinality_approx,
         None,  # HLL++ sketch values are engine-specific
