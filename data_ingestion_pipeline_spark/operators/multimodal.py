@@ -332,3 +332,95 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload"
     )
     return frame_sample(docs)
+
+
+# ---- audio branch: PCM decode + windowed RMS features --------------
+
+DECODED_AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, samples binary"
+)
+AUDIO_FRAME = 256  # samples per RMS analysis window
+
+
+def decode_audio_fake(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in audio codec: 'decodes' any payload into
+    16-bit PCM — sample_rate ∈ {8,16,24} kHz derived from the leading
+    byte, samples = the payload truncated to even length viewed as
+    little-endian int16. Pure function of the bytes (same waveform on
+    any engine/retry); a real codec (ffmpeg/soundfile) slots into the
+    identical signature the way decode_image documents for images.
+    Shape: Arrow-batched ``mapInPandas``, opaque binary in,
+    (metadata, binary) out.
+    """
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "sample_rate": [], "n_samples": [],
+                   "samples": []}
+            for payload in pdf[payload_col]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                rate = 8000 * (1 + (int(b[0]) % 3 if len(b) else 0))
+                even = b[: (len(b) // 2) * 2]
+                pcm = even.view("<i2") if len(even) else np.zeros(0, dtype="<i2")
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(pcm))
+                out["samples"].append(pcm.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(dec, DECODED_AUDIO_SCHEMA)
+
+
+def audio_rms_windows(df: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Windowed RMS over decoded PCM — the canonical first feature of
+    any audio pipeline (VAD, loudness normalization, silence
+    trimming). Fan-out Arrow stage: each doc yields
+    ceil(n_samples/frame) rows of (frame_idx, rms, n). All arithmetic
+    is exact-integer squares summed in float64 (int16² · frame ≪ 2⁵³)
+    with one final sqrt — deterministic under any partitioning."""
+    import numpy as np
+
+    schema = "doc_id bigint, frame_idx int, n int, rms double"
+
+    def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, rms = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["samples"]):
+                pcm = np.frombuffer(buf, dtype="<i2").astype(np.float64)
+                for k in range(0, max(len(pcm), 1), frame):
+                    chunk = pcm[k : k + frame]
+                    ids.append(doc_id)
+                    idxs.append(k // frame)
+                    ns.append(len(chunk))
+                    rms.append(
+                        float(np.sqrt((chunk * chunk).sum() / len(chunk)))
+                        if len(chunk)
+                        else 0.0
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n": ns, "rms": rms}
+            )
+
+    return df.select("doc_id", "samples").mapInPandas(win, schema)
+
+
+def decoded_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the audio decode's scalar metadata (rate,
+    sample count) — SQL-expressible from the payload bytes, so this
+    entry hash-checks the decode boundary the RMS pipeline
+    (audio_window_rms, rows-only) builds on; the decoded_image_meta
+    pattern applied to the audio branch."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return decode_audio_fake(docs).select("doc_id", "sample_rate", "n_samples")
+
+
+def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: full decode → windowed-RMS pipeline over the
+    documents' payload bytes (rows-only evidence; the pure-Python
+    parity twin is tests/test_multimodal.py::test_audio_rms_matches_python)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return audio_rms_windows(decode_audio_fake(docs))

@@ -291,7 +291,9 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_mktsegment"))
         .alias("c_mktsegment"),
     )
-    mx = cust.agg(F.max("c_custkey").alias("m"))
+    # filter, not assumption: on an EMPTY dimension max() is null and
+    # the synthesized new-customer row would carry a null key
+    mx = cust.agg(F.max("c_custkey").alias("m")).filter(F.col("m").isNotNull())
     fresh = mx.select(
         (F.col("m") + 1).alias("c_custkey"),
         F.lit("Customer#NEW").alias("c_name"),

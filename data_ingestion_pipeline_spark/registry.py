@@ -1802,6 +1802,30 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM b
         """,
     ),
+    "decoded_audio_meta": QuerySpec(
+        multimodal.decoded_audio_meta,
+        # the fake codec's rate/count are pure functions of the
+        # payload bytes — recomputed from hex(encode(text)), the
+        # decoded_image_meta pattern on the audio branch
+        """
+        WITH b AS (
+            SELECT doc_id, encode(text) AS p, hex(encode(text)) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(8000 * (1 + CASE WHEN length(h) >= 2
+                    THEN (16 * (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
+                          + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)) % 3
+                    ELSE 0 END) AS INTEGER) AS sample_rate,
+               CAST(octet_length(p) // 2 AS BIGINT) AS n_samples
+        FROM b
+        """,
+    ),
+    "audio_window_rms": QuerySpec(
+        multimodal.audio_window_rms,
+        None,  # pixel-pipeline analog for audio: decode → windowed RMS
+        ground_truth="tests/test_multimodal.py::test_audio_rms_matches_python",
+    ),
     "decoded_image_stats": QuerySpec(
         multimodal.decoded_image_stats,
         None,  # pixel pipeline (decode→resize→features), not SQL-expressible;

@@ -25,6 +25,13 @@ _GENERATES_ROWS = {
     "synthetic_weather_pysource",
 }
 
+# fixed-shape summaries: one row per stage/total whose COUNTS are zero
+# on empty input — the rows are the report's schema, not data
+_SUMMARY_ROWS = {
+    "funnel_conversion": lambda rows: all(r.users == 0 for r in rows),
+    "hll_user_rollup": lambda rows: all(r.approx_users == 0.0 for r in rows),
+}
+
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, tmp_path_factory):
@@ -39,6 +46,10 @@ def empty_sf_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_entry_runs_on_empty_input(spark, empty_sf_dir, name):
     df = REGISTRY[name].fn(spark, empty_sf_dir)
+    if name in _SUMMARY_ROWS:
+        rows = df.collect()
+        assert _SUMMARY_ROWS[name](rows), f"{name} summary not all-zero: {rows}"
+        return
     n = df.count()
     if name not in _GENERATES_ROWS:
         assert n == 0, f"{name} returned {n} rows from empty input"

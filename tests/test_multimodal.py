@@ -115,3 +115,40 @@ def test_image_resize_shapes(spark):
     assert len(resized.pixels) == (
         multimodal.RESIZE_W * multimodal.RESIZE_H * multimodal.IMAGE_CHANNELS
     )
+
+
+def test_audio_rms_matches_python(spark):
+    """Audio pipeline ground truth (registry rows-only evidence):
+    decode → windowed RMS re-derived in pure Python from the same
+    payload bytes, compared EXACTLY — int16 squares sum to exact
+    float64 integers under any summation order, so sqrt inputs are
+    bit-identical."""
+    import math
+    import struct
+
+    got = {}
+    for r in multimodal.audio_window_rms(spark, SF_TEST).collect():
+        got[(r.doc_id, r.frame_idx)] = (r.n, r.rms)
+
+    texts = load_table(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in texts:
+        b = r.text.encode("utf-8")
+        n_pcm = len(b) // 2
+        pcm = struct.unpack(f"<{n_pcm}h", b[: n_pcm * 2]) if n_pcm else ()
+        if not pcm:
+            want[(r.doc_id, 0)] = (0, 0.0)
+            continue
+        for fi in range(0, (len(pcm) + multimodal.AUDIO_FRAME - 1) // multimodal.AUDIO_FRAME):
+            chunk = pcm[fi * multimodal.AUDIO_FRAME : (fi + 1) * multimodal.AUDIO_FRAME]
+            sq = sum(s * s for s in chunk)
+            want[(r.doc_id, fi)] = (len(chunk), math.sqrt(sq / len(chunk)))
+    assert got == want
+
+
+def test_decoded_audio_meta_rate_domain(spark):
+    rows = multimodal.decoded_audio_meta(spark, SF_TEST).collect()
+    assert rows
+    assert {r.sample_rate for r in rows} <= {8000, 16000, 24000}
+    for r in rows:
+        assert r.n_samples >= 0
