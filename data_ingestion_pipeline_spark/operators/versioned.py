@@ -1,0 +1,155 @@
+"""Manifest-versioned parquet tables: snapshot isolation + time
+travel on a plain filesystem — the Iceberg/Delta commit protocol in
+miniature.
+
+`operators/upsert.py` documents its known bound: dynamic partition
+overwrite mutates files in place, so a crash mid-rewrite can lose a
+partition, and a concurrent reader can see a half-committed table.
+This module removes both hazards the way the table formats do, with
+nothing but parquet files and one pointer:
+
+- data files are IMMUTABLE — every commit writes its rows under a
+  fresh `data/v{N}/` directory and never touches earlier files;
+- a commit becomes visible by atomically swapping the `_CURRENT`
+  pointer (`os.replace`, atomic on POSIX; the HDFS/S3 equivalent is
+  an atomic rename / conditional put) to a manifest that lists the
+  snapshot's files;
+- readers resolve the pointer ONCE and then read only files named by
+  that manifest — they can never observe a torn write: a crash
+  before the swap leaves orphaned data files (harmless; a vacuum
+  pass reclaims them) and the previous snapshot fully intact;
+- any historical version stays readable (time travel) until
+  explicitly vacuumed.
+
+This demo keeps COW at whole-snapshot granularity (each commit's
+manifest lists a complete row set); the production refinement —
+manifests listing carried-over files from earlier versions so an
+upsert rewrites only touched partitions — changes bookkeeping, not
+the protocol. At 100 TB the manifest is file-level metadata (KBs per
+thousand files), the pointer swap is O(1), and snapshot reads plan
+exactly like any parquet scan (pushdown/pruning untouched: readers
+get a file list, Catalyst does the rest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+from data_ingestion_pipeline_spark.sources.tables import load_table
+
+POINTER = "_CURRENT"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, f"manifest_v{version}.json")
+
+
+def current_version(path: str) -> int:
+    """Version named by the pointer; 0 = no committed snapshot."""
+    try:
+        with open(os.path.join(path, POINTER)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def commit_version(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Write df as the next snapshot and publish it atomically.
+
+    Order is the whole protocol: (1) data files land in a fresh
+    immutable directory, (2) the manifest naming them is written,
+    (3) the pointer swaps via os.replace. A crash after any step
+    leaves the table at the previous version with no partial state
+    visible."""
+    v = current_version(path) + 1
+    data_dir = os.path.join(path, "data", f"v{v}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join("data", f"v{v}", f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    with open(_manifest_path(path, v), "w") as fh:
+        json.dump({"version": v, "files": files}, fh)
+    tmp = os.path.join(path, POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, POINTER))  # the atomic commit
+    return v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (default: current). Resolves the pointer once,
+    then reads exactly the manifest's files — immune to concurrent
+    commits."""
+    v = current_version(path) if version is None else version
+    with open(_manifest_path(path, v)) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.parquet(*files)
+
+
+def upsert_version(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> int:
+    """Last-write-wins MERGE as a new snapshot: current rows not
+    matched by an update key carry over, update rows win. One
+    anti-join on the key; the commit is the same atomic publish."""
+    base = read_version(spark, path)
+    merged = updates.unionByName(
+        base.join(updates.select(keys).distinct(), on=keys, how="left_anti")
+    )
+    return commit_version(spark, path, merged)
+
+
+def vacuum(path: str, keep_from: int) -> list[str]:
+    """Drop manifests and data directories of versions < keep_from
+    (time-travel horizon). Returns what was removed. Safe order:
+    manifests first (no reader can resolve the version anymore), then
+    the data files they named."""
+    import shutil
+
+    removed = []
+    for v in range(1, keep_from):
+        m = _manifest_path(path, v)
+        if os.path.isfile(m):
+            os.remove(m)
+            removed.append(m)
+        d = os.path.join(path, "data", f"v{v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(d)
+    return removed
+
+
+def versioned_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: commit the events table as v1, upsert a
+    deterministic update batch (every 10th event's value +1000) as
+    v2, then TIME-TRAVEL back to v1 and return it — which must be
+    byte-identical to the source (identity oracle) despite the later
+    commit. Snapshot isolation is exactly this assertion; the v2
+    merge semantics and the crash-window atomicity are pinned in
+    tests/test_versioned.py."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("versioned", sf_name, "table")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev)
+    updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    upsert_version(spark, path, updates, ["event_id"])
+    return read_version(spark, path, version=1)

@@ -34,6 +34,7 @@ from data_ingestion_pipeline_spark.operators import (
     text,
     toolkit,
     upsert,
+    versioned,
     wire,
 )
 from data_ingestion_pipeline_spark.functions import skew
@@ -669,6 +670,15 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events
         WHERE user_id = 7 AND {_TIME_PRED}
         GROUP BY 1
+        """,
+    ),
+    "versioned_table_roundtrip": QuerySpec(
+        versioned.versioned_table_roundtrip,
+        # time travel back to v1 after a later commit must be identity
+        # — snapshot isolation IS this assertion; merge semantics and
+        # crash-window atomicity pinned in tests/test_versioned.py
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
     "scd2_customer_history": QuerySpec(
