@@ -58,14 +58,45 @@ def current_version(path: str) -> int:
         return 0
 
 
-def commit_version(spark: SparkSession, path: str, df: DataFrame) -> int:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published a version after this commit started."""
+
+
+def commit_version(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    expected_current: int | None = None,
+    meta: dict | None = None,
+) -> int:
     """Write df as the next snapshot and publish it atomically.
 
     Order is the whole protocol: (1) data files land in a fresh
     immutable directory, (2) the manifest naming them is written,
     (3) the pointer swaps via os.replace. A crash after any step
     leaves the table at the previous version with no partial state
-    visible."""
+    visible.
+
+    `expected_current` enables OPTIMISTIC CONCURRENCY: the commit
+    aborts (before any pointer movement) if another writer published
+    meanwhile — the loser's data files become harmless orphans and
+    the caller re-reads and retries, exactly the Iceberg/Delta
+    conflict loop. The check-then-replace here has a local-FS TOCTOU
+    window; a real deployment closes it with the store's conditional
+    put / atomic rename-if-absent, which is a swap of primitive, not
+    of protocol. `meta` rides along in the manifest (e.g. the
+    streaming sink's batch id — see stream lifecycle below).
+    """
+    def check() -> None:
+        # re-checked before every shared-name write, not just the
+        # swap: a losing writer must never clobber the winner's
+        # manifest file for the contested version number
+        if expected_current is not None and current_version(path) != expected_current:
+            raise ConcurrentCommitError(
+                f"expected v{expected_current}, found v{current_version(path)}"
+            )
+
+    check()
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -74,13 +105,24 @@ def commit_version(spark: SparkSession, path: str, df: DataFrame) -> int:
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    check()
     with open(_manifest_path(path, v), "w") as fh:
-        json.dump({"version": v, "files": files}, fh)
+        json.dump({"version": v, "files": files, "meta": meta or {}}, fh)
+    check()
     tmp = os.path.join(path, POINTER + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(str(v))
     os.replace(tmp, os.path.join(path, POINTER))  # the atomic commit
     return v
+
+
+def manifest_meta(path: str, version: int | None = None) -> dict:
+    """The meta dict a commit rode in with (empty for none)."""
+    v = current_version(path) if version is None else version
+    if v == 0:
+        return {}
+    with open(_manifest_path(path, v)) as fh:
+        return json.load(fh).get("meta", {})
 
 
 def read_version(
@@ -97,7 +139,11 @@ def read_version(
 
 
 def upsert_version(
-    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    meta: dict | None = None,
 ) -> int:
     """Last-write-wins MERGE as a new snapshot: current rows not
     matched by an update key carry over, update rows win. One
@@ -106,7 +152,7 @@ def upsert_version(
     merged = updates.unionByName(
         base.join(updates.select(keys).distinct(), on=keys, how="left_anti")
     )
-    return commit_version(spark, path, merged)
+    return commit_version(spark, path, merged, meta=meta)
 
 
 def vacuum(path: str, keep_from: int) -> list[str]:

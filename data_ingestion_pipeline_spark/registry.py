@@ -672,6 +672,13 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "stream_versioned_ingest": QuerySpec(
+        streaming.stream_versioned_ingest,
+        # exactly-once versioned sink: drained snapshot == source
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+    ),
     "versioned_table_roundtrip": QuerySpec(
         versioned.versioned_table_roundtrip,
         # time travel back to v1 after a later commit must be identity

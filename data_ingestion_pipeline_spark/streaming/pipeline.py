@@ -978,3 +978,51 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.read.parquet(table).select(*DOC_FEED_COLS)
+
+
+def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink on the manifest-versioned table
+    (operators/versioned.py): each micro-batch commits a snapshot
+    whose manifest records the BATCH ID; a replayed batch (restart
+    recovery, at-least-once delivery) finds its id already committed
+    and skips. At-least-once delivery + transactional idempotence =
+    exactly-once TABLE STATE — the construction Delta's
+    txnAppId/txnVersion sink and Iceberg's commit-dedup use; here the
+    whole mechanism is visible in ~10 lines over the atomic-pointer
+    protocol. Drained result must equal the batch source exactly
+    (identity oracle); replay idempotence and the skip path are
+    additionally pinned in tests/test_versioned.py.
+    """
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_ts1h", sf_name, "feed")  # shared no-dup fixture
+    table = scratch_path("stream_versioned", sf_name, "table")
+    ckpt = scratch_path("stream_versioned", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    build_feed(spark, sf_dir, feed, with_dups=False)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id <= V.manifest_meta(table).get("batch_id", -1):
+            return  # replayed batch: already committed, exactly-once skip
+        meta = {"batch_id": batch_id}
+        if V.current_version(table) == 0:
+            V.commit_version(spark, table, bdf, meta=meta)
+        else:
+            V.upsert_version(spark, table, bdf, ["event_id"], meta=meta)
+
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(feed)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return V.read_version(spark, table).select(*FEED_COLS)

@@ -84,3 +84,59 @@ def test_vacuum_drops_history_keeps_current(spark, tmp_path):
     assert removed
     assert not os.path.isfile(os.path.join(path, "manifest_v1.json"))
     assert versioned.read_version(spark, path).count() == 7
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    """A writer that read v1 must fail (without moving the pointer or
+    clobbering the winner's manifest) when another writer publishes
+    v2 first."""
+    import json
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.limit(3))
+
+    # winner publishes v2 while the loser still believes current=1
+    versioned.commit_version(spark, path, ev.limit(5), expected_current=1)
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.commit_version(spark, path, ev.limit(7), expected_current=1)
+
+    assert versioned.current_version(path) == 2
+    with open(os.path.join(path, "manifest_v2.json")) as fh:
+        assert len(json.load(fh)["files"]) > 0
+    assert versioned.read_version(spark, path).count() == 5
+
+
+def test_stream_versioned_sink_replay_is_exactly_once(spark, tmp_path):
+    """Committing the same batch id twice must be a no-op the second
+    time — the manifest's batch_id gates the commit."""
+    from data_ingestion_pipeline_spark.operators.versioned import (
+        commit_version,
+        current_version,
+        manifest_meta,
+        upsert_version,
+    )
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark)
+
+    def sink(bdf, batch_id):
+        if batch_id <= manifest_meta(path).get("batch_id", -1):
+            return
+        meta = {"batch_id": batch_id}
+        if current_version(path) == 0:
+            commit_version(spark, path, bdf, meta=meta)
+        else:
+            upsert_version(spark, path, bdf, ["event_id"], meta=meta)
+
+    sink(ev.limit(10), 0)
+    sink(ev.limit(20), 1)
+    v_after = current_version(path)
+    sink(ev.limit(20), 1)  # replay
+    sink(ev.limit(10), 0)  # stale replay
+    assert current_version(path) == v_after == 2
+    assert manifest_meta(path)["batch_id"] == 1
