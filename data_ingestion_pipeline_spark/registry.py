@@ -1882,8 +1882,13 @@ REGISTRY: dict[str, QuerySpec] = {
 #      whatever fell outside last round's budget is automatically at
 #      the front of this round's window.
 # The ordering is deterministic per round (pure function of committed
-# evidence files) and guarantees the union of two consecutive rounds
-# covers every entry as long as the budget exceeds half the registry.
+# evidence files); the union of K consecutive rounds covers every
+# entry once K·budget exceeds the registry size. Through r4
+# (82 entries, 50-slot window) two rounds sufficed; the r5 surface
+# growth (125 entries) makes it three — the ~47 never-verified r5
+# additions fill r5's window, the r3/r4-verified backlog drains over
+# r6-r7, and nothing can be starved indefinitely because a clean
+# verdict pushes an entry behind every staler one.
 
 
 def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
