@@ -256,3 +256,117 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
+SPAN_TOKENS = 8  # exact-span dedup granularity (non-overlapping)
+
+
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact SPAN deduplication — the "remove repeated
+    substrings" pass (boilerplate headers, license blocks, navigation
+    chrome) that pipelines run alongside whole-doc dedup: each doc's
+    token stream splits into non-overlapping SPAN_TOKENS-token spans;
+    a span survives only at its FIRST corpus occurrence (lowest
+    (doc_id, span_id)); each doc is reassembled from its surviving
+    spans.
+
+    Shape: explode to spans (fan-out data-proportional) → one
+    aggregate on span text for the global first-occurrence (map-side
+    combinable min of a (doc_id, span_id) struct; at 100 TB the key
+    would be xxhash64(span) to keep the shuffle narrow — text key
+    here keeps the oracle trivial) → equi-join survivors back →
+    per-doc ordered reassembly (array_sort of collected structs, not
+    a window: one shuffle on doc_id). Docs whose spans all lose
+    disappear — the gate emits what remains.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
+    spans = (
+        # token-less docs are excluded up front: sequence(0, n-1)
+        # would otherwise run DESCENDING for n=0 (Spark defaults the
+        # step to -1 when start > stop) and emit phantom spans
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_id"),
+        )
+        .select(
+            "doc_id",
+            "span_id",
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("span_id") * SPAN_TOKENS + 1,
+                    SPAN_TOKENS,
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+    )
+    first = spans.groupBy("span_text").agg(
+        F.min(F.struct("doc_id", "span_id")).alias("f")
+    )
+    survivors = spans.join(first, "span_text").filter(
+        (F.col("doc_id") == F.col("f.doc_id")) & (F.col("span_id") == F.col("f.span_id"))
+    )
+    return (
+        survivors.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_id", "span_text"))),
+                    lambda x: x.getField("span_text"),
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("kept_spans"),
+        )
+    )
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the summary table a corpus release
+    ships — document/token counts, language spread, quality-gate pass
+    rate, exact-duplicate rate. One scan computes every per-doc
+    signal JVM-side; one aggregate per source; the dup rate uses
+    sha256 content hashes so it matches docs_exact_dedup's notion of
+    identity. All counts are exact integers; the two rates are single
+    double divides — oracle hash-stable.
+    """
+    from data_ingestion_pipeline_spark.operators.text import (
+        QF_MIN_STOPWORD_RATIO,
+        QF_MIN_TOKENS,
+        QF_MAX_TOKENS,
+        STOPWORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n = F.size(toks).cast("bigint")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    ok = (
+        (n >= QF_MIN_TOKENS)
+        & (n <= QF_MAX_TOKENS)
+        & (stop_hits.cast("double") / n.cast("double") >= QF_MIN_STOPWORD_RATIO)
+    )
+    per_doc = docs.select(
+        "source",
+        "lang",
+        n.alias("n_tokens"),
+        ok.cast("int").alias("ok"),
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "quality_pass_rate"
+        ),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+    )

@@ -1532,6 +1532,65 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     # ---- corpus construction (north-star scope) ----
+    "span_dedup_docs": QuerySpec(
+        corpus.span_dedup_docs,
+        f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {corpus.SPAN_TOKENS}.0)
+                                   AS BIGINT))) AS span_id
+            FROM d WHERE len(toks) > 0
+        ), spans AS (
+            SELECT doc_id, CAST(span_id AS INTEGER) AS span_id,
+                   array_to_string(list_slice(toks,
+                        span_id * {corpus.SPAN_TOKENS} + 1,
+                        span_id * {corpus.SPAN_TOKENS} + {corpus.SPAN_TOKENS}),
+                        ' ') AS span_text
+            FROM s
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY span_text ORDER BY doc_id, span_id) AS rn
+            FROM spans
+        )
+        SELECT doc_id,
+               string_agg(span_text, ' ' ORDER BY span_id) AS kept_text,
+               COUNT(*) AS kept_spans
+        FROM ranked WHERE rn = 1
+        GROUP BY doc_id
+        """,
+    ),
+    "corpus_report": QuerySpec(
+        corpus.corpus_report,
+        """
+        WITH per AS (
+            SELECT source, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains(
+                            ['the', 'a', 'and', 'of', 'to', 'in', 'is'], x)))
+                        AS BIGINT) AS stop_hits,
+                   sha256(text) AS h
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                        AND CAST(stop_hits AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE) >= 0.01
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS quality_pass_rate,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate
+        FROM per GROUP BY source
+        """,
+    ),
     "doc_chunks": QuerySpec(
         corpus.doc_chunks,
         # identical window arithmetic: starts at 1, 1+48, ... ≤ n;

@@ -440,3 +440,16 @@ def test_scd2_is_single_keyed_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Union" in plan, plan
+
+
+def test_span_dedup_first_occurrence_is_partial_agg(spark):
+    """Span dedup's global first-occurrence must be a map-side
+    combinable min of a (doc_id, span_id) struct — one aggregate on
+    the span key, an equi-join back, and an array_sort reassembly;
+    no window over the corpus-sized span table and no cartesian."""
+    from data_ingestion_pipeline_spark.operators.corpus import span_dedup_docs
+
+    plan = plan_of(span_dedup_docs(spark, SF_TEST))
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
