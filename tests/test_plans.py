@@ -453,3 +453,38 @@ def test_span_dedup_first_occurrence_is_partial_agg(spark):
     assert "partial_min" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_no_accidental_cross_joins_anywhere(spark):
+    """Standing audit: EVERY batch entry's physical plan is free of
+    CartesianProduct and BroadcastNestedLoopJoin, except the six
+    deliberate crosses — a new operator that silently plans a cross
+    join fails here even before anyone writes it a dedicated test.
+    Streaming entries are excluded (constructing them runs a full
+    drain); their batch twins are covered."""
+    from data_ingestion_pipeline_spark.registry import REGISTRY
+
+    DELIBERATE = {
+        # 1-row corpus-stat broadcast (keyless by construction)
+        "doc_unigram_logprob",
+        "bm25_topk",
+        # quadratic oracle fixtures — all-pairs IS their definition
+        "ngram_jaccard_pairs",
+        "embedding_near_dup_pairs",
+        # broadcast-queries × candidate-stream exact scorers
+        "cosine_topk",
+        "ann_hamming_topk",
+    }
+    flagged = {}
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_") or name in DELIBERATE:
+            continue
+        plan = plan_of(spec.fn(spark, SF_TEST))
+        tags = [
+            t
+            for t in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if t in plan
+        ]
+        if tags:
+            flagged[name] = tags
+    assert not flagged, flagged
