@@ -37,6 +37,7 @@ from data_ingestion_pipeline_spark.operators import (
     versioned,
     wire,
 )
+from data_ingestion_pipeline_spark import api
 from data_ingestion_pipeline_spark.functions import skew
 from data_ingestion_pipeline_spark.sources import files, generator, pysource
 from data_ingestion_pipeline_spark.streaming import pipeline as streaming
@@ -228,6 +229,17 @@ REGISTRY: dict[str, QuerySpec] = {
                    ROWS UNBOUNDED PRECEDING) AS avg_value,
                filled
         FROM joined
+        """,
+    ),
+    "timeseries_30m_api": QuerySpec(
+        api.timeseries_30m_api,
+        f"""
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+               {_DEC_AVG_VALUE} AS avg_value,
+               COUNT(*) AS reading_count
+        FROM events
+        WHERE user_id = 7 AND {_TIME_PRED}
+        GROUP BY 1
         """,
     ),
     "timeseries_ohlc_1h": QuerySpec(
