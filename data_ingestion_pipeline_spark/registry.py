@@ -691,6 +691,25 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "versioned_cow_roundtrip": QuerySpec(
+        versioned.versioned_cow_roundtrip,
+        # COW upsert of one day's updates over the day-partitioned v1:
+        # current snapshot == full merge; file reuse + pruned reads
+        # pinned in tests/test_versioned.py
+        """
+        WITH base AS (
+            SELECT event_id, ts, user_id, event_type, value FROM events
+        ), updates AS (
+            SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value
+            FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+        )
+        SELECT * FROM updates
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM updates u WHERE u.event_id = b.event_id)
+        """,
+    ),
     "versioned_table_roundtrip": QuerySpec(
         versioned.versioned_table_roundtrip,
         # time travel back to v1 after a later commit must be identity

@@ -140,3 +140,61 @@ def test_stream_versioned_sink_replay_is_exactly_once(spark, tmp_path):
     sink(ev.limit(10), 0)  # stale replay
     assert current_version(path) == v_after == 2
     assert manifest_meta(path)["batch_id"] == 1
+
+
+def test_cow_upsert_reuses_untouched_files(spark, tmp_path):
+    """COW MERGE touching one day must (a) produce the full merged
+    state, (b) carry every other day's files into the new manifest BY
+    PATH — same relpaths, bytes untouched on disk — and (c) rewrite
+    only the touched partition."""
+    import hashlib
+    import json
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(spark, path, ev)
+    with open(os.path.join(path, "manifest_v1.json")) as fh:
+        m1 = json.load(fh)
+
+    def sha(rel):
+        with open(os.path.join(path, rel), "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+
+    pre = {f: sha(f) for f in m1["files"]}
+
+    day = "2024-01-10"
+    updates = ev.filter(F.to_date("ts") == F.lit(day).cast("date")).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    assert updates.count() > 0
+    versioned.upsert_version_cow(spark, path, updates, ["event_id"])
+    with open(os.path.join(path, "manifest_v2.json")) as fh:
+        m2 = json.load(fh)
+
+    untouched_v1 = [f for f in m1["files"] if m1["partitions"][f] != day]
+    assert set(untouched_v1) <= set(m2["files"])
+    for f in untouched_v1:
+        assert sha(f) == pre[f], f
+    for f in m2["files"]:
+        if m2["partitions"][f] == day:
+            assert f.startswith(os.path.join("data", "v2")), f
+
+    cur = {r.event_id: r.value for r in versioned.read_version(spark, path).collect()}
+    for r in ev.collect():
+        bump = 1000.0 if r.ts.date().isoformat() == day else 0.0
+        assert cur[r.event_id] == r.value + bump, r.event_id
+
+
+def test_pruned_read_selects_only_requested_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(spark, path, ev)
+    day = "2024-01-10"
+    got = versioned.read_version_pruned(spark, path, [day])
+    assert got.count() == ev.filter(F.to_date("ts") == F.lit(day).cast("date")).count()
+    # metadata pruning: the scan's file list contains ONLY the
+    # requested partition's files
+    files = got.inputFiles()
+    assert files and all(f"{versioned.PART_COL}={day}" in f for f in files)
