@@ -548,51 +548,43 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached each stage IN ORDER (a later stage counts only after the
     user's FIRST completion of the previous one).
 
-    "First click after first signup" is min(ts | ts > t1) — a
-    conditional minimum against a per-user threshold, so each stage
-    is one equi-join on user_id against that stage's events followed
-    by a filtered min; all three joins and aggregates share the
-    user_id shuffle key, and the event scan is pre-filtered to the
-    stage's type. Output is one row per stage (3 rows), produced
-    declaratively by a union of aggregates — no driver-side counts.
+    ONE scan, two aggregates, zero joins: per user, collect the
+    (sorted) click and purchase timestamps next to the first signup
+    time, then resolve "first click after t1" / "first purchase after
+    t2" as array expressions — the conditional-min threshold logic
+    runs inside a row, not as a join. The per-user arrays are bounded
+    by that user's event count per stage type; for entities with
+    unbounded histories the join formulation (this function's r5
+    first draft — 6 scans of the event table) trades scans for
+    memory, and a min-above-threshold sketch is the streaming form.
+    The 3-row summary falls out of one stack() unpivot. PLANS.md
+    motivated the rewrite: the declarative union of three stage
+    counts re-scanned events six times; this shape scans once.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "t_purchase"
-        ),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
     )
-    # stage-2 time: first click after signup needs the conditional
-    # minimum, so recompute it against t1 with a second filtered agg
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("cts")
+    t1 = F.col("t1")
+    t2 = F.array_min(F.filter(F.col("clicks"), lambda c: c > t1))
+    t3_src = F.array_min(F.filter(F.col("purchases"), lambda p: p > F.col("t2")))
+    staged = per_user.withColumn("t2", t2).withColumn("t3", t3_src)
+    counts = staged.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts")
-    )
-    s2 = (
-        per_user.join(clicks, "user_id", "left")
-        .filter(F.col("cts") > F.col("t1"))
-        .groupBy("user_id", "t1")
-        .agg(F.min("cts").alias("t2"))
-    )
-    s3 = (
-        s2.join(purchases, "user_id", "left")
-        .filter(F.col("pts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("pts").alias("t3"))
-    )
-    def stage(df, name):
-        return df.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(name).alias("stage"), F.col("users")
+    return counts.select(
+        F.expr(
+            "stack(3, '1_signup', c1, '2_click_after_signup', c2, "
+            "'3_purchase_after_click', c3) AS (stage, users)"
         )
-
-    return (
-        stage(per_user.filter(F.col("t1").isNotNull()), "1_signup")
-        .unionByName(stage(s2, "2_click_after_signup"))
-        .unionByName(stage(s3, "3_purchase_after_click"))
     )
 
 
