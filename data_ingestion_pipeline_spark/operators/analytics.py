@@ -598,17 +598,30 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     wk = lambda c: F.date_trunc("week", c)  # noqa: E731
-    first_wk = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    # ONE event scan (PLANS.md caught the first draft's three): the
+    # cohort week derives from the distinct activity set via a
+    # per-user window — date_trunc is monotone, so trunc(min ts) ==
+    # min(trunc ts) — and cohort SIZES read off the aggregated grid
+    # itself: every user is active in their cohort week by
+    # construction, so the week_offset-0 cell IS the cohort size.
     active = ev.select("user_id", wk(F.col("ts")).alias("activity_week")).distinct()
-    cohort_sizes = first_wk.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_users")
+    w_user = Window.partitionBy("user_id")
+    coh = active.withColumn(
+        "cohort_week", F.min("activity_week").over(w_user)
     )
-    grid = (
-        active.join(first_wk, "user_id")
-        .groupBy("cohort_week", "activity_week")
-        .agg(F.count(F.lit(1)).alias("retained"))
+    grid = coh.groupBy("cohort_week", "activity_week").agg(
+        F.count(F.lit(1)).alias("retained")
     )
-    return grid.join(cohort_sizes, "cohort_week").select(
+    # sizes via a window over the (weeks²-sized) grid — a self-join
+    # would re-derive the whole grid chain a second time
+    w_cohort = Window.partitionBy("cohort_week")
+    grid = grid.withColumn(
+        "cohort_users",
+        F.max(
+            F.when(F.col("activity_week") == F.col("cohort_week"), F.col("retained"))
+        ).over(w_cohort),
+    )
+    return grid.select(
         "cohort_week",
         "activity_week",
         (
