@@ -463,53 +463,74 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Robertson-Spärck Jones; the tf-idf entry ranks terms within a
     doc, this ranks docs against a query).
 
-    Shape: document length is a map-only size() (no token-stream
-    shuffle for dl); only QUERY terms survive into the tf aggregate,
-    so the grouped state is |query|·|matching docs|, not
-    vocabulary-sized; df and the corpus stats are tiny broadcasts;
-    the final cut is orderBy+limit → TakeOrdered (each partition
-    ships K rows). Cross-engine floats: every per-(doc,term) input
-    (tf, df, dl, N, Σdl) is an integer, so the idf·tf-saturation
-    product is a deterministic IEEE expression mirrored
-    parenthesis-for-parenthesis in the oracle; ln is the one
-    libm-dependent op, so each term's score is quantized once to
-    DECIMAL(38,6) before the exact per-doc sum (the
-    doc_unigram_logprob pattern).
+    For a FIXED query set the (doc, token) explode+aggregate is
+    unnecessary: per-term tf is `size(filter(tokens, = term))` — a
+    per-row array expression — so the whole per-doc stage is ONE
+    map-only scan with no token-stream shuffle at all (the r5 first
+    draft exploded and paid 5 exchanges / 4 scans; PLANS.md caught
+    it). Corpus stats (N, Σdl, per-term df) collapse into a single
+    1-row aggregate broadcast back, and the cut plans as TakeOrdered.
+    Cross-engine floats: identical expression tree to the oracle;
+    each term's score quantizes once to DECIMAL(38,6) (ln is the one
+    libm-dependent op) and the 3-term decimal sum is exact, so the
+    ranking hash-matches.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(_tokens(), lambda t: t != "")
-    dl = docs.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
-    )
-    tok = docs.select("doc_id", F.explode(_tokens()).alias("token")).filter(
-        F.col("token").isin(*BM25_QUERY)
-    )
-    qtf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    qdf = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    terms = list(BM25_QUERY)
+    def _eq(term: str):
+        # a closure, NOT a default-arg lambda: pyspark treats a
+        # 2-parameter lambda as (element, index) and would pass the
+        # array index in place of the captured term
+        return lambda t: t == term
 
-    tf_d = F.col("tf").cast("double")
-    df_d = F.col("df").cast("double")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(term))).cast("bigint").alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.join(F.broadcast(stats))
+
     n_d = F.col("n_docs").cast("double")
     avgdl = F.col("total_tokens").cast("double") / n_d
-    idf = F.log((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)) + F.lit(1.0))
-    norm = tf_d + F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
-    )
-    term_score = (idf * (tf_d * F.lit(BM25_K1 + 1.0) / norm)).cast("decimal(38,6)")
 
-    scored = (
-        qtf.join(dl, "doc_id")
-        .join(F.broadcast(qdf), "token")
-        .join(F.broadcast(stats))
-        .select("doc_id", term_score.alias("s"))
+    def term_score(i: int):
+        tf_d = F.col(f"tf_{i}").cast("double")
+        df_d = F.col(f"df_{i}").cast("double")
+        idf = F.log((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)) + F.lit(1.0))
+        norm = tf_d + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        s = (idf * (tf_d * F.lit(BM25_K1 + 1.0) / norm)).cast("decimal(38,6)")
+        return F.when(F.col(f"tf_{i}") > 0, s).otherwise(
+            F.lit(0).cast("decimal(38,6)")
+        )
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("bigint") for i in range(len(terms))
     )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("s").cast("double").alias("score"),
-            F.count(F.lit(1)).alias("matched_terms"),
+        joined.select(
+            "doc_id",
+            score.cast("double").alias("score"),
+            matched.alias("matched_terms"),
         )
+        .filter(F.col("matched_terms") > 0)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
