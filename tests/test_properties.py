@@ -1,0 +1,106 @@
+"""Hypothesis property tests for the pure cores the distributed
+operators lean on. These run without a SparkSession, so they explore
+orders of magnitude more inputs per second than the end-to-end
+fixtures — and the properties they pin (batching invariance,
+bit-exact packing round-trips, bucket-edge validity) are exactly the
+claims the streaming/LSH/LTTB correctness arguments cite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_ingestion_pipeline_spark.streaming.pipeline import (
+    SESSION_GAP_US,
+    merge_sessions,
+)
+
+# ---- streaming sessionization: the associativity claim -------------
+
+_point = st.tuples(
+    st.integers(min_value=0, max_value=100 * SESSION_GAP_US),
+    st.integers(min_value=0, max_value=3),  # duration in gap units / 2
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=10_000),
+).map(lambda t: [t[0], t[0] + t[1] * SESSION_GAP_US // 2, t[2], t[3]])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    points=st.lists(_point, min_size=0, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_session_merge_batching_invariance(points, cuts, seed):
+    """Folding merge_sessions over ANY partition of ANY permutation
+    of the points equals one merge of everything — the exact property
+    that makes the streaming operator's drained state independent of
+    micro-batch boundaries and feed order."""
+    rng = np.random.default_rng(seed)
+    perm = [points[i] for i in rng.permutation(len(points))]
+    bounds = sorted({min(c, len(perm)) for c in cuts} | {0, len(perm)})
+    acc: list = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        acc = merge_sessions(acc, perm[lo:hi])
+    assert acc == merge_sessions([], points)
+
+
+@settings(max_examples=200, deadline=None)
+@given(points=st.lists(_point, min_size=0, max_size=40))
+def test_session_merge_output_is_canonical(points):
+    """Merged sessions are sorted, non-overlapping, separated by at
+    least the gap, and conserve event counts and value cents."""
+    out = merge_sessions([], points)
+    for a, b in zip(out, out[1:]):
+        assert b[0] >= a[1] + SESSION_GAP_US
+    assert sum(s[2] for s in out) == sum(p[2] for p in points)
+    assert sum(s[3] for s in out) == sum(p[3] for p in points)
+    for s in out:
+        assert s[1] >= s[0]
+
+
+# ---- signature packing: bit-exact round-trip -----------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=20),
+    nbits=st.integers(min_value=1, max_value=192),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_pack_words_roundtrip(n, nbits, seed):
+    """_pack_words packs bool rows into int64 words bit j of word i =
+    bit 64i+j; unpacking must reproduce the input exactly (two's
+    complement: bit 63 lands in the sign)."""
+    from data_ingestion_pipeline_spark.operators.similarity import _pack_words
+
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, size=(n, nbits)).astype(bool)
+    words = _pack_words(bits)
+    assert len(words) == -(-nbits // 64)
+    for j in range(nbits):
+        w, b = divmod(j, 64)
+        got = (words[w].view(np.uint64) >> np.uint64(b)) & np.uint64(1)
+        assert (got.astype(bool) == bits[:, j]).all()
+
+
+# ---- LTTB bucket edges: validity for every (n, k) ------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    n=st.integers(min_value=4, max_value=100_000),
+    k=st.integers(min_value=3, max_value=500),
+)
+def test_lttb_edges_always_valid(n, k):
+    """The integer bucket-edge construction must be strictly
+    increasing with first edge 1 and last edge n-1 whenever n > k —
+    the invariant that makes every argmax slice non-empty (the
+    linspace().round() edges this replaced could collapse)."""
+    if n <= k:
+        return
+    edges = np.arange(k - 1, dtype=np.int64) * (n - 2) // (k - 2) + 1
+    assert edges[0] == 1 and edges[-1] == n - 1
+    assert (np.diff(edges) >= 1).all()
