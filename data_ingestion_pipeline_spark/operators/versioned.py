@@ -380,3 +380,83 @@ def versioned_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, path).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change Data Feed between two snapshots — the Delta CDF /
+    Iceberg changelog analog, derived from the snapshots themselves:
+    rows only in v_to are inserts, rows only in v_from are deletes,
+    and key-matched rows whose non-key attributes changed emit an
+    update pre/post-image pair. `_change_type` uses the Delta CDF
+    vocabulary so downstream consumers port unchanged.
+
+    Shape: ONE full-outer equi-join on the key between the two
+    snapshot reads (each pruned to its manifest's files), with change
+    detection via a row fingerprint — the SCD2 construction pointed
+    at history instead of updates. At scale the join keys on the
+    table's partition/bucket key, and a COW table diff could prune to
+    partitions whose file sets differ between the manifests (pure
+    metadata) before reading any data.
+    """
+    attrs_df = read_version(spark, path, v_from)
+    attrs = [c for c in attrs_df.columns if c not in keys]
+
+    def fp(side: DataFrame):
+        return F.xxhash64(*[side[c].cast("string") for c in attrs])
+
+    a = read_version(spark, path, v_from).alias("a")
+    b = read_version(spark, path, v_to).alias("b")
+    cond = [a[k] == b[k] for k in keys]
+    j = a.join(b, cond, "full_outer").withColumn(
+        "_a_exists", a[keys[0]].isNotNull()
+    ).withColumn("_b_exists", b[keys[0]].isNotNull())
+
+    deletes = j.filter(F.col("_a_exists") & ~F.col("_b_exists")).select(
+        *[a[c].alias(c) for c in keys + attrs],
+        F.lit("delete").alias("_change_type"),
+    )
+    inserts = j.filter(~F.col("_a_exists") & F.col("_b_exists")).select(
+        *[b[c].alias(c) for c in keys + attrs],
+        F.lit("insert").alias("_change_type"),
+    )
+    changed = j.filter(
+        F.col("_a_exists") & F.col("_b_exists") & (fp(a) != fp(b))
+    )
+    pre = changed.select(
+        *[a[c].alias(c) for c in keys + attrs],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = changed.select(
+        *[b[c].alias(c) for c in keys + attrs],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return deletes.unionByName(inserts).unionByName(pre).unionByName(post)
+
+
+def versioned_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: CDF between the roundtrip fixture's v1 and the
+    v2 upsert (every 10th event's value +1000) — all changes are
+    update pairs by construction, plus nothing else; the oracle
+    re-derives the same pre/post-images from the source table."""
+    import shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("versioned_cdf", sf_name, "table")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev)
+    updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    upsert_version(spark, path, updates, ["event_id"])
+    return table_changes(spark, path, 1, 2, ["event_id"])

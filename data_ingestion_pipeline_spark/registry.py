@@ -24,6 +24,7 @@ from data_ingestion_pipeline_spark.operators import (
     analytics,
     corpus,
     dedup,
+    expectations,
     ingest,
     maintenance,
     multimodal,
@@ -691,6 +692,24 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "versioned_table_changes": QuerySpec(
+        versioned.versioned_table_changes,
+        # CDF between v1 and the +1000 upsert: every change is an
+        # update pre/post pair, nothing else
+        """
+        WITH u AS (
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events WHERE event_id % 10 = 0
+        )
+        SELECT event_id, ts, user_id, event_type, value,
+               'update_preimage' AS _change_type
+        FROM u
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value + 1000.0,
+               'update_postimage'
+        FROM u
+        """,
+    ),
     "versioned_cow_roundtrip": QuerySpec(
         versioned.versioned_cow_roundtrip,
         # COW upsert of one day's updates over the day-partitioned v1:
@@ -1011,6 +1030,33 @@ REGISTRY: dict[str, QuerySpec] = {
         analytics.hll_user_rollup,
         None,  # DataSketches HLL binaries are Spark-specific
         ground_truth="tests/test_analytics.py::test_hll_rollup_error_and_merge",
+    ),
+    "events_expectations": QuerySpec(
+        expectations.events_expectations,
+        """
+        WITH agg AS (
+            SELECT COUNT(*) AS total,
+                   COALESCE(SUM(CASE WHEN event_id IS NULL
+                        THEN 1 ELSE 0 END), 0) AS v0,
+                   COALESCE(SUM(CASE WHEN NOT COALESCE(
+                        ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+                               AND TIMESTAMP '2024-12-31 23:59:59', FALSE)
+                        THEN 1 ELSE 0 END), 0) AS v1,
+                   COALESCE(SUM(CASE WHEN NOT COALESCE(event_type IN
+                        ('click', 'view', 'purchase', 'signup', 'error'),
+                        FALSE) THEN 1 ELSE 0 END), 0) AS v2,
+                   COALESCE(SUM(CASE WHEN value IS NULL
+                        THEN 1 ELSE 0 END), 0) AS v3,
+                   COUNT(event_id) - COUNT(DISTINCT event_id) AS u0
+            FROM events
+        )
+        SELECT rule, CAST(violations AS BIGINT) AS violations,
+               CAST(total AS BIGINT) AS total, violations = 0 AS passed
+        FROM agg, LATERAL (VALUES
+            ('event_id_not_null', v0), ('ts_within_2024', v1),
+            ('event_type_known', v2), ('value_not_null', v3),
+            ('event_id_unique', u0)) t(rule, violations)
+        """,
     ),
     "event_transition_counts": QuerySpec(
         analytics.event_transition_counts,

@@ -198,3 +198,43 @@ def test_pruned_read_selects_only_requested_partitions(spark, tmp_path):
     # requested partition's files
     files = got.inputFiles()
     assert files and all(f"{versioned.PART_COL}={day}" in f for f in files)
+
+
+def test_cdf_insert_update_delete(spark, tmp_path):
+    """table_changes must classify all three change kinds: v2 deletes
+    some keys, updates others, and inserts a new one."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark).limit(20)
+    versioned.commit_version(spark, path, ev)
+
+    rows = ev.collect()
+    keep = [r for r in rows if r.event_id % 3 != 0]  # %3==0 deleted
+    v2 = spark.createDataFrame(keep, ev.schema)
+    v2 = v2.withColumn(
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.col("value") + 5.0).otherwise(
+            F.col("value")
+        ),
+    )
+    new_row = spark.createDataFrame(
+        [(10_000_000, rows[0].ts, 1, "click", 9.9)], ev.schema
+    )
+    versioned.commit_version(spark, path, v2.unionByName(new_row))
+
+    cdf = versioned.table_changes(spark, path, 1, 2, ["event_id"]).collect()
+    by_type: dict = {}
+    for r in cdf:
+        by_type.setdefault(r._change_type, set()).add(r.event_id)
+
+    assert by_type["delete"] == {r.event_id for r in rows if r.event_id % 3 == 0}
+    assert by_type["insert"] == {10_000_000}
+    updated = {
+        r.event_id for r in rows if r.event_id % 3 != 0 and r.event_id % 2 == 0
+    }
+    assert by_type["update_preimage"] == updated
+    assert by_type["update_postimage"] == updated
+    # unchanged rows emit nothing
+    silent = {r.event_id for r in rows if r.event_id % 3 != 0 and r.event_id % 2 == 1}
+    touched = set().union(*by_type.values())
+    assert not (silent & touched)
