@@ -134,6 +134,42 @@ class QueryAPI:
 
         return self._finish(latest_per_station(self.spark, self.sf_dir))
 
+    # The toolkit surface (a TimescaleDB user's `CREATE EXTENSION`
+    # territory) delegates to the oracle-verified operators — exposed
+    # here so the one facade covers everything an application calls.
+
+    def timeseries_gapfill(self) -> DataFrame:
+        """Gap-filled hourly series, locf (time_bucket_gapfill+locf)."""
+        from data_ingestion_pipeline_spark.operators.queries import (
+            timeseries_1h_gapfill,
+        )
+
+        return self._finish(timeseries_1h_gapfill(self.spark, self.sf_dir))
+
+    def timeseries_interpolate(self) -> DataFrame:
+        """Gap-filled hourly series, linear interpolation."""
+        from data_ingestion_pipeline_spark.operators.toolkit import (
+            timeseries_1h_interpolate,
+        )
+
+        return self._finish(timeseries_1h_interpolate(self.spark, self.sf_dir))
+
+    def candlestick(self) -> DataFrame:
+        """Hourly OHLC per station (candlestick_agg)."""
+        from data_ingestion_pipeline_spark.operators.toolkit import (
+            timeseries_ohlc_1h,
+        )
+
+        return self._finish(timeseries_ohlc_1h(self.spark, self.sf_dir))
+
+    def sessions(self) -> DataFrame:
+        """30-minute-gap session windows per station."""
+        from data_ingestion_pipeline_spark.operators.queries import (
+            session_windows_30m,
+        )
+
+        return self._finish(session_windows_30m(self.spark, self.sf_dir))
+
 
 def timeseries_30m_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the facade's generic-interval path at

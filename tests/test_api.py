@@ -72,3 +72,23 @@ def test_cache_hit_returns_same_result(spark, tmp_path, monkeypatch):
     # and a different parameterization must MISS, not collide
     other = _multiset(api.timeseries(STATION, START, END, "1 hour"))
     assert other != first
+
+
+def test_toolkit_delegates_match_twins(spark):
+    """The facade's toolkit methods must be the oracle-verified
+    operators, not reimplementations."""
+    from data_ingestion_pipeline_spark.operators import toolkit
+
+    api = QueryAPI(spark, SF_TEST)
+    assert _multiset(api.candlestick()) == _multiset(
+        toolkit.timeseries_ohlc_1h(spark, SF_TEST)
+    )
+    assert _multiset(api.timeseries_interpolate()) == _multiset(
+        toolkit.timeseries_1h_interpolate(spark, SF_TEST)
+    )
+    assert _multiset(api.sessions()) == _multiset(
+        queries.session_windows_30m(spark, SF_TEST)
+    )
+    assert _multiset(api.timeseries_gapfill()) == _multiset(
+        queries.timeseries_1h_gapfill(spark, SF_TEST)
+    )
