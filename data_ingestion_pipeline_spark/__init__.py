@@ -18,3 +18,13 @@ Design principles (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public surface: applications reach the facade without
+    # paying pyspark import cost at package-import time
+    if name == "QueryAPI":
+        from data_ingestion_pipeline_spark.api import QueryAPI
+
+        return QueryAPI
+    raise AttributeError(name)
