@@ -202,3 +202,37 @@ def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_cluster_table(
         spark, frag, out, target_bytes=table_bytes(frag) // 8
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    zorder_cols: tuple[str, str] | None = ("user_id", "ts"),
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """The standing OPTIMIZE pass as one call: size-targeted rewrite,
+    optionally Z-ordered on two columns, returning the before/after
+    report a maintenance scheduler logs (files, bytes, rows). Row
+    identity is the compact/zorder contract (oracle-checked by their
+    registry entries); this orchestrator just sequences them and
+    measures."""
+    before = {
+        "files": data_file_count(src_path),
+        "bytes": table_bytes(src_path),
+    }
+    if zorder_cols:
+        df = zorder_cluster_table(
+            spark, src_path, dst_path, cols=zorder_cols, target_bytes=target_bytes
+        )
+    else:
+        df = compact_table(spark, src_path, dst_path, target_bytes=target_bytes)
+    return {
+        "before": before,
+        "after": {
+            "files": data_file_count(dst_path),
+            "bytes": table_bytes(dst_path),
+        },
+        "rows": df.count(),
+        "zordered": bool(zorder_cols),
+    }

@@ -460,3 +460,36 @@ def versioned_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_version(spark, path, updates, ["event_id"])
     return table_changes(spark, path, 1, 2, ["event_id"])
+
+
+# ---- snapshot tags: named dataset releases -------------------------
+
+
+def tag_version(path: str, name: str, version: int | None = None) -> int:
+    """Attach a named ref to a snapshot (Iceberg tag / git-tag
+    analog): "corpus-v1.2" pins the exact file set a model trained
+    on, surviving any number of later commits until vacuumed. Tags
+    are one JSON file updated atomically; re-tagging a name moves
+    it."""
+    v = current_version(path) if version is None else version
+    if v == 0:
+        raise ValueError("cannot tag an empty table")
+    tags_p = os.path.join(path, "_TAGS.json")
+    try:
+        with open(tags_p) as fh:
+            tags = json.load(fh)
+    except FileNotFoundError:
+        tags = {}
+    tags[name] = v
+    tmp = tags_p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(tags, fh)
+    os.replace(tmp, tags_p)
+    return v
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read the snapshot a tag names."""
+    with open(os.path.join(path, "_TAGS.json")) as fh:
+        tags = json.load(fh)
+    return read_version(spark, path, tags[name])

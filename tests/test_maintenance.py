@@ -78,3 +78,25 @@ def test_zorder_tightens_per_file_ranges(spark):
         "event_id", "ts", "user_id", "event_type", "value"
     )
     assert sorted(map(tuple, out_df.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_optimize_table_reports_and_preserves_rows(spark, tmp_path):
+    from data_ingestion_pipeline_spark.operators.maintenance import (
+        optimize_table,
+        table_bytes,
+    )
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ev = load_table(spark, SF_TEST, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(src)
+    report = optimize_table(
+        spark, src, dst, target_bytes=table_bytes(src) // 4
+    )
+    assert report["before"]["files"] == 32
+    assert report["after"]["files"] < report["before"]["files"]
+    assert report["rows"] == ev.count()
+    assert report["zordered"]

@@ -238,3 +238,17 @@ def test_cdf_insert_update_delete(spark, tmp_path):
     silent = {r.event_id for r in rows if r.event_id % 3 != 0 and r.event_id % 2 == 1}
     touched = set().union(*by_type.values())
     assert not (silent & touched)
+
+
+def test_tags_pin_snapshots_across_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.limit(3))
+    versioned.tag_version(path, "corpus-v1.0")
+    versioned.commit_version(spark, path, ev.limit(9))
+    assert versioned.read_tag(spark, path, "corpus-v1.0").count() == 3
+    assert versioned.read_version(spark, path).count() == 9
+    # re-tagging moves the ref
+    versioned.tag_version(path, "corpus-v1.0")
+    assert versioned.read_tag(spark, path, "corpus-v1.0").count() == 9
