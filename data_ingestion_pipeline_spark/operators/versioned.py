@@ -170,22 +170,45 @@ def upsert_version(
 
 
 def vacuum(path: str, keep_from: int) -> list[str]:
-    """Drop manifests and data directories of versions < keep_from
-    (time-travel horizon). Returns what was removed. Safe order:
-    manifests first (no reader can resolve the version anymore), then
-    the data files they named."""
-    import shutil
+    """Drop manifests of versions < keep_from (the time-travel
+    horizon) unless a TAG pins them, then delete only data files no
+    RETAINED manifest references. Returns what was removed.
+
+    Reference-counting, not directory sweeping, is load-bearing for
+    correctness twice over: COW manifests carry files from OLDER
+    version directories by reference (removing `data/v1` wholesale
+    would corrupt every later snapshot that carried a v1 partition),
+    and tagged snapshots are release pins that must survive any
+    horizon. Safe order: unreachable manifests first (no reader can
+    resolve those versions anymore), then the now-unreferenced
+    files. Orphans from torn/aborted commits are reclaimed the same
+    way — they appear in no retained manifest.
+    """
+    try:
+        with open(os.path.join(path, "_TAGS.json")) as fh:
+            pinned = set(json.load(fh).values())
+    except FileNotFoundError:
+        pinned = set()
 
     removed = []
-    for v in range(1, keep_from):
-        m = _manifest_path(path, v)
-        if os.path.isfile(m):
-            os.remove(m)
-            removed.append(m)
-        d = os.path.join(path, "data", f"v{v}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-            removed.append(d)
+    keep_versions = set()
+    for v in range(1, current_version(path) + 1):
+        if not os.path.isfile(_manifest_path(path, v)):
+            continue
+        if v >= keep_from or v in pinned:
+            keep_versions.add(v)
+        else:
+            os.remove(_manifest_path(path, v))
+            removed.append(_manifest_path(path, v))
+
+    referenced = set()
+    for v in keep_versions:
+        referenced.update(_manifest(path, v)["files"])
+    data_root = os.path.join(path, "data")
+    for rel in _walk_rel_parquet(data_root, path) if os.path.isdir(data_root) else []:
+        if rel not in referenced:
+            os.remove(os.path.join(path, rel))
+            removed.append(os.path.join(path, rel))
     return removed
 
 

@@ -252,3 +252,41 @@ def test_tags_pin_snapshots_across_commits(spark, tmp_path):
     # re-tagging moves the ref
     versioned.tag_version(path, "corpus-v1.0")
     assert versioned.read_tag(spark, path, "corpus-v1.0").count() == 9
+
+
+def test_vacuum_preserves_cow_carried_files_and_tags(spark, tmp_path):
+    """Vacuum must reference-count, not sweep directories: a COW
+    snapshot carries v1 files by reference, so vacuuming v1's
+    manifest must keep exactly the carried files alive; and a tagged
+    old version survives any horizon."""
+    import json
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(spark, path, ev)
+    versioned.tag_version(path, "release-1")
+
+    day = "2024-01-10"
+    updates = ev.filter(F.to_date("ts") == F.lit(day).cast("date")).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    versioned.upsert_version_cow(spark, path, updates, ["event_id"])
+
+    # tag pins v1: nothing removable
+    assert versioned.vacuum(path, keep_from=2) == []
+    assert versioned.read_tag(spark, path, "release-1").count() == ev.count()
+
+    # retag to current, vacuum again: v1's manifest goes, but the v1
+    # files v2 carries MUST survive and v2 must still read in full
+    versioned.tag_version(path, "release-1")
+    removed = versioned.vacuum(path, keep_from=2)
+    assert os.path.join(path, "manifest_v1.json") in removed
+    with open(os.path.join(path, "manifest_v2.json")) as fh:
+        m2 = json.load(fh)
+    for f in m2["files"]:
+        assert os.path.isfile(os.path.join(path, f)), f
+    assert versioned.read_version(spark, path).count() == ev.count()
+    # and only v1's TOUCHED-day files were reclaimable
+    assert all(f"{versioned.PART_COL}={day}" in r or r.endswith(".json")
+               for r in removed), removed
