@@ -183,6 +183,11 @@ def vacuum(path: str, keep_from: int) -> list[str]:
     resolve those versions anymore), then the now-unreferenced
     files. Orphans from torn/aborted commits are reclaimed the same
     way — they appear in no retained manifest.
+
+    Do not run concurrently with an in-flight commit: its data files
+    are unreferenced until the pointer swap and would be reclaimed
+    (the table formats gate this with a file-age retention window;
+    the same `mtime > N hours` guard drops in here unchanged).
     """
     try:
         with open(os.path.join(path, "_TAGS.json")) as fh:
