@@ -638,3 +638,25 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)): the two
+    independent one-dimension summaries in one pass — the
+    non-hierarchical subset neither ROLLUP (prefix-only) nor CUBE
+    (all 2^n sets, wasteful when only two are wanted) expresses.
+    Spark plans it as a single expand + aggregate: one shuffle for
+    any number of sets, same as the cube/rollup twins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        li=li,
+    )

@@ -984,6 +984,17 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
     ),
+    "grouping_sets_pricing": QuerySpec(
+        analytics.grouping_sets_pricing,
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+    ),
     "props_json_extract": QuerySpec(
         analytics.props_json_extract,
         """
