@@ -310,3 +310,51 @@ def station_counter_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("is_reset"), F.lit(0)).cast("bigint").alias("resets"),
         F.count(F.lit(1)).alias("n_readings"),
     )
+
+
+def station_variance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev per station computed by RE-AGGREGATING
+    daily (n, Σx, Σx²) partials — the stats_agg two-level rollup for
+    the second moment, the same continuous-aggregate recomposition
+    rollup_multires_1d proves for averages.
+
+    Exactness: x as DECIMAL(18,6) squares to an exact DECIMAL(37,12);
+    both moment sums are exact decimal arithmetic, so the coarse
+    re-aggregation is bit-identical to summing the raw data directly
+    — which is what the single-level oracle computes. The final
+    variance is ONE double expression over those exact totals,
+    parenthesized identically in the oracle:
+    (n·Σx² − (Σx)²) / (n·(n−1)). Stations with a single reading are
+    excluded (sample variance undefined). Two shuffles: fine partials
+    on (station, day), coarse on station — at 100 TB the fine rollup
+    is the continuously-maintained table and this query reads it,
+    never the raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,6)")
+    fine = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("s"),
+        F.sum(xd * xd).alias("s2"),
+    )
+    coarse = fine.groupBy("user_id").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var = (n_d * s2_d - s_d * s_d) / (n_d * (n_d - F.lit(1.0)))
+    return (
+        coarse.filter(F.col("n") > 1)
+        .select(
+            "user_id",
+            "n",
+            (s_d / n_d).alias("mean_value"),
+            var.alias("var_value"),
+            F.sqrt(var).alias("stddev_value"),
+        )
+    )

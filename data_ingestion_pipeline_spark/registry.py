@@ -354,6 +354,33 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM paired GROUP BY user_id
         """,
     ),
+    "station_variance_rollup": QuerySpec(
+        toolkit.station_variance_rollup,
+        # single-level oracle: the two-level decimal partials
+        # recompose EXACTLY, so direct aggregation is bit-identical
+        """
+        WITH m AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                   SUM(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS s2
+            FROM events GROUP BY user_id
+            HAVING COUNT(*) > 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+               (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   AS var_value,
+               sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                   AS stddev_value
+        FROM m
+        """,
+    ),
     "lttb_downsample": QuerySpec(
         toolkit.lttb_downsample,
         None,  # sequential pick-dependent selection, not SQL-expressible
