@@ -16,7 +16,6 @@ is a listing, never a data read.
 
 from __future__ import annotations
 
-import datetime
 import math
 import os
 
@@ -155,19 +154,25 @@ def zorder_cluster_table(
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(src_path)
-    a, b = (F.col(c) for c in cols)
+    # Timestamp columns convert to epoch seconds IN-ENGINE (session
+    # timezone) on both the bounds aggregate and the per-row key.
+    # Collecting datetimes and calling .timestamp() would interpret
+    # them in the OS-local zone — off-UTC hosts would skew the bounds,
+    # push scaled values out of [0, top], and silently destroy the
+    # clustering (rows stay correct; skipping doesn't).
+    types = dict(df.dtypes)
+    a, b = (
+        _epoch(F.col(c)) if types[c].startswith("timestamp") else F.col(c)
+        for c in cols
+    )
     bounds = df.agg(
-        F.min(cols[0]).alias("a_min"),
-        F.max(cols[0]).alias("a_max"),
-        F.min(cols[1]).alias("b_min"),
-        F.max(cols[1]).alias("b_max"),
+        F.min(a).alias("a_min"),
+        F.max(a).alias("a_max"),
+        F.min(b).alias("b_min"),
+        F.max(b).alias("b_max"),
     ).first()
     a_min, a_max = bounds.a_min, bounds.a_max
     b_min, b_max = bounds.b_min, bounds.b_max
-    if isinstance(a_min, datetime.datetime):
-        a, a_min, a_max = _epoch(a), a_min.timestamp(), a_max.timestamp()
-    if isinstance(b_min, datetime.datetime):
-        b, b_min, b_max = _epoch(b), b_min.timestamp(), b_max.timestamp()
     n = max(1, math.ceil(table_bytes(src_path) / target_bytes))
     keyed = df.withColumn("_zkey", zorder_key(a, b, a_min, a_max, b_min, b_max))
     (

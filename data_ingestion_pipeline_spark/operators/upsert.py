@@ -200,6 +200,7 @@ def upsert_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD2_T1 = "2024-01-01 00:00:00"
 SCD2_T2 = "2024-06-01 00:00:00"
+SCD2_T3 = "2024-09-01 00:00:00"
 
 
 def scd2_apply(
@@ -215,19 +216,31 @@ def scd2_apply(
     `MERGE ... WHEN MATCHED/NOT MATCHED` shape on plain DataFrames.
 
     Change detection hashes every tracked (non-key, non-bookkeeping)
-    attribute, so callers never enumerate columns twice. Plan: ONE
-    equi-join on the key (broadcast while the batch is small, AQE's
-    call) plus a union — the dimension scans once however wide the
-    history grows, and the join key is the natural partition key of a
-    100 TB dimension.
+    attribute, so callers never enumerate columns twice. Each column
+    is null-sentineled BEFORE hashing: xxhash64 skips null arguments
+    without advancing position, so (x, NULL) and (NULL, x) would
+    otherwise collide and the update would be silently dropped.
+
+    Only the is_current slice participates in the join — historical
+    (closed) rows union through untouched. Joining the whole dimension
+    would emit one new "current" row per historical version on every
+    re-application, corrupting history; with the split, scd2_apply is
+    idempotent-safe to apply repeatedly, which is the defining SCD2
+    operation. Plan: ONE equi-join on the key over the current slice
+    (broadcast while the batch is small, AQE's call) plus unions — the
+    dimension scans once however deep the history grows, and the join
+    key is the natural partition key of a 100 TB dimension.
     """
     from pyspark.sql import functions as F
 
     attrs = [c for c in dim.columns if c not in (key, "version", "valid_from", "valid_to", "is_current")]
-    fp = lambda df: F.xxhash64(*[F.col(c).cast("string") for c in attrs])  # noqa: E731
+    fp = lambda df: F.xxhash64(  # noqa: E731
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in attrs]
+    )
     t2 = F.lit(as_of).cast("timestamp")
 
-    cur = dim.withColumn("_fp", fp(dim))
+    history = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current")).withColumn("_fp", fp(dim))
     upd = updates.withColumn("_fp_new", fp(updates)).select(
         F.col(key).alias("_k"),
         "_fp_new",
@@ -248,25 +261,36 @@ def scd2_apply(
         F.when(changed, t2).otherwise(cur["valid_to"]).alias("valid_to"),
         (~changed & cur["is_current"]).alias("is_current"),
     )
+    # every opened row has the update side present (changed requires a
+    # non-null update fingerprint; brand_new rows exist only on the
+    # update side of the full outer) — take update values directly, a
+    # coalesce against cur would resurrect old values when an update
+    # legitimately sets a column to NULL
     opened = joined.filter(changed | brand_new).select(
         F.coalesce(cur[key], upd["_k"]).alias(key),
-        *[F.coalesce(upd[f"_new_{c}"], cur[c]).alias(c) for c in attrs],
+        *[upd[f"_new_{c}"].alias(c) for c in attrs],
         F.when(brand_new, F.lit(1)).otherwise(cur["version"] + 1).alias("version"),
         t2.alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return kept.unionByName(opened)
+    return history.unionByName(kept).unionByName(opened)
 
 
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: seed a type-2 customer dimension at T1, apply a
     deterministic update batch at T2 (every 7th customer's balance
     +100.0 — one IEEE add, engine-identical — every 13th re-segmented,
-    plus one brand-new key past the max),
-    and return the full history. Every row/attribute is a pure
-    function of the customer table, so the oracle reproduces the
-    MERGE with plain SQL."""
+    plus one brand-new key past the max), then apply a SECOND batch at
+    T3 (every 7th customer's balance raised again to orig+200.0, the
+    new key re-segmented to MACHINERY) and return the full history.
+
+    The second application is the point: a dimension that already
+    holds closed history rows must version cleanly (one new current
+    row per changed key, historical rows untouched) — the exact shape
+    the pre-r6 whole-dimension join corrupted. Every row/attribute is
+    a pure function of the customer table, so the oracle reproduces
+    both MERGEs with plain SQL."""
     from pyspark.sql import functions as F
 
     cust = load_table(spark, sf_dir, "customer").select(
@@ -300,4 +324,23 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("c_acctbal"),
         F.lit("BUILDING").alias("c_mktsegment"),
     )
-    return scd2_apply(dim, changed.unionByName(fresh), "c_custkey", SCD2_T2)
+    dim2 = scd2_apply(dim, changed.unionByName(fresh), "c_custkey", SCD2_T2)
+
+    # T3 batch: %7 keys move again (orig+200, segment kept as of T2);
+    # the T2-era brand-new key re-segments. %13-only keys are absent,
+    # so their T2 rows must survive the second apply untouched.
+    changed3 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 200.0).alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("RESEGMENTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    fresh3 = mx.select(
+        (F.col("m") + 1).alias("c_custkey"),
+        F.lit("Customer#NEW").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+    )
+    return scd2_apply(dim2, changed3.unionByName(fresh3), "c_custkey", SCD2_T3)

@@ -110,7 +110,13 @@ def commit_version(
     )
     check()
     with open(_manifest_path(path, v), "w") as fh:
-        json.dump({"version": v, "files": files, "meta": meta or {}}, fh)
+        # schema rides in every manifest so an empty commit (zero part
+        # files) stays readable via _empty_snapshot
+        json.dump(
+            {"version": v, "files": files, "meta": meta or {},
+             "schema": df.schema.json()},
+            fh,
+        )
     check()
     tmp = os.path.join(path, POINTER + ".tmp")
     with open(tmp, "w") as fh:
@@ -197,7 +203,8 @@ def vacuum(path: str, keep_from: int) -> list[str]:
 
     removed = []
     keep_versions = set()
-    for v in range(1, current_version(path) + 1):
+    cur = current_version(path)
+    for v in range(1, cur + 1):
         if not os.path.isfile(_manifest_path(path, v)):
             continue
         if v >= keep_from or v in pinned:
@@ -205,6 +212,15 @@ def vacuum(path: str, keep_from: int) -> list[str]:
         else:
             os.remove(_manifest_path(path, v))
             removed.append(_manifest_path(path, v))
+    # Torn commits leave manifest_v{>cur}.json files the pointer never
+    # reached — unreachable by any reader, but if left behind while
+    # their data files are reclaimed below, read_version(path, v)
+    # would resolve them to missing files. Sweep them with the data.
+    v = cur + 1
+    while os.path.isfile(_manifest_path(path, v)):
+        os.remove(_manifest_path(path, v))
+        removed.append(_manifest_path(path, v))
+        v += 1
 
     referenced = set()
     for v in keep_versions:
@@ -436,7 +452,12 @@ def table_changes(
     attrs = [c for c in attrs_df.columns if c not in keys]
 
     def fp(side: DataFrame):
-        return F.xxhash64(*[side[c].cast("string") for c in attrs])
+        # null-sentineled per column: xxhash64 skips null args without
+        # advancing position, so (x, NULL) vs (NULL, x) would collide
+        # and the update would silently vanish from the feed
+        return F.xxhash64(
+            *[F.coalesce(side[c].cast("string"), F.lit("\x00NULL")) for c in attrs]
+        )
 
     a = read_version(spark, path, v_from).alias("a")
     b = read_version(spark, path, v_to).alias("b")

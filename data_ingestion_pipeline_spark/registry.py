@@ -786,11 +786,25 @@ REGISTRY: dict[str, QuerySpec] = {
                     ELSE c_acctbal END,
                CASE WHEN c_custkey % 13 = 0 THEN 'RESEGMENTED'
                     ELSE c_mktsegment END,
-               2, TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+               2, TIMESTAMP '2024-06-01 00:00:00',
+               CASE WHEN c_custkey % 7 = 0
+                    THEN TIMESTAMP '2024-09-01 00:00:00' END,
+               NOT (c_custkey % 7 = 0)
         FROM c WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0
         UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 200.0,
+               CASE WHEN c_custkey % 13 = 0 THEN 'RESEGMENTED'
+                    ELSE c_mktsegment END,
+               3, TIMESTAMP '2024-09-01 00:00:00', NULL, TRUE
+        FROM c WHERE c_custkey % 7 = 0
+        UNION ALL
         SELECT m + 1, 'Customer#NEW', 0.0, 'BUILDING',
-               1, TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+               1, TIMESTAMP '2024-06-01 00:00:00',
+               TIMESTAMP '2024-09-01 00:00:00', FALSE
+        FROM mx
+        UNION ALL
+        SELECT m + 1, 'Customer#NEW', 0.0, 'MACHINERY',
+               2, TIMESTAMP '2024-09-01 00:00:00', NULL, TRUE
         FROM mx
         """,
     ),
@@ -2100,12 +2114,13 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY = {
-    # r4 rewrites all got fresh clean verdicts in CORRECTNESS_r04.json
-    # and were pruned (VERDICT r4 §next 3).  r5 rewrites:
-    "vocab_top_tokens",  # r5: global-window rank → TakeOrdered limit
-    "doc_tfidf_topk",  # r5: unforced vocabulary broadcast
-    "ann_ivf_topk",  # r5: hash-ordered (unbiased) k-means training sample
-    "stream_session_windows",  # r5: changed-sessions delta emit + tombstones
+    # r5 rewrites all got fresh clean verdicts in CORRECTNESS_r05.json
+    # and were pruned (VERDICT r5 §next 1).  r6 rewrites:
+    "scd2_customer_history",  # r6: current/historical split fixes repeated apply
+    "versioned_table_changes",  # r6: null-sentineled row fingerprints
+    "zorder_roundtrip",  # r6: in-engine timestamp bounds (session-tz safe)
+    "ann_ivf_topk",  # r6: training sample folded into the signature pass
+    "dup_clusters",  # r6: reliable-checkpoint option in the propagation loop
 }
 
 

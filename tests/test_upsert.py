@@ -115,3 +115,66 @@ def test_upsert_after_empty_create_heals_layout(spark, tmp_path):
     got = read_table(spark, path)
     assert got.count() == 200
     assert set(got.columns) == {"event_id", "ts", "user_id", "event_type", "value"}
+
+
+def test_scd2_repeated_apply_keeps_history_clean(spark):
+    """The defining SCD2 operation is applying batch after batch to a
+    dimension that already holds history. Pin the invariants the
+    pre-r6 whole-dimension join broke: exactly one is_current row per
+    key, closed rows' valid_to never rewritten, versions contiguous,
+    and a no-op batch (identical attributes) changes nothing.
+    """
+    from data_ingestion_pipeline_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0, 1, "2024-01-01 00:00:00", None, True),
+         (2, "b", 20.0, 1, "2024-01-01 00:00:00", None, True)],
+        "k int, name string, bal double, version int, "
+        "valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "name", "bal", "version",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    b1 = spark.createDataFrame([(1, "a", 11.0)], "k int, name string, bal double")
+    b2 = spark.createDataFrame([(1, "a", 12.0)], "k int, name string, bal double")
+
+    d2 = scd2_apply(dim, b1, "k", "2024-02-01 00:00:00")
+    d3 = scd2_apply(d2, b2, "k", "2024-03-01 00:00:00")
+    rows = {(r.k, r.version): r for r in d3.collect()}
+
+    assert len(rows) == 4  # k=1 v1,v2,v3 + k=2 v1 — no duplicates
+    cur = [r for r in rows.values() if r.is_current]
+    assert sorted((r.k, r.version, r.bal) for r in cur) == [(1, 3, 12.0), (2, 1, 20.0)]
+    # closed rows keep their ORIGINAL close timestamps
+    assert rows[(1, 1)].valid_to.isoformat() == "2024-02-01T00:00:00"
+    assert rows[(1, 2)].valid_to.isoformat() == "2024-03-01T00:00:00"
+
+    # idempotence: re-applying the same attributes is a no-op
+    d4 = scd2_apply(d3, b2, "k", "2024-04-01 00:00:00")
+    assert d4.count() == 4
+    assert d4.filter(F.col("is_current")).count() == 2
+
+
+def test_scd2_fingerprint_sees_null_position(spark):
+    """(x, NULL) -> (NULL, x) must register as a change: naive
+    xxhash64 over nullable args skips nulls without advancing
+    position and would hash both rows identically."""
+    from data_ingestion_pipeline_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", None, 1, "2024-01-01 00:00:00", None, True)],
+        "k int, a string, b string, version int, "
+        "valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "a", "b", "version",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    upd = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
+    out = scd2_apply(dim, upd, "k", "2024-02-01 00:00:00")
+    assert out.count() == 2  # closed v1 + opened v2, not a silent no-op
+    cur = out.filter(F.col("is_current")).collect()
+    assert [(r.a, r.b, r.version) for r in cur] == [(None, "x", 2)]

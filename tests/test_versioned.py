@@ -290,3 +290,63 @@ def test_vacuum_preserves_cow_carried_files_and_tags(spark, tmp_path):
     # and only v1's TOUCHED-day files were reclaimable
     assert all(f"{versioned.PART_COL}={day}" in r or r.endswith(".json")
                for r in removed), removed
+
+
+def test_empty_commit_is_readable(spark, tmp_path):
+    """commit_version of a zero-row frame must stay readable even when
+    the write emits no part files: the manifest carries the schema for
+    the _empty_snapshot fallback (pre-r6 only the partitioned commit
+    recorded it)."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    empty = spark.createDataFrame([], "k int, v string")
+    v = versioned.commit_version(spark, path, empty)
+    # force the no-files path regardless of what the writer emitted
+    import json as _json
+
+    mp = versioned._manifest_path(path, v)
+    with open(mp) as fh:
+        m = _json.load(fh)
+    m["files"] = []
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    got = versioned.read_version(spark, path, v)
+    assert got.count() == 0
+    assert got.columns == ["k", "v"]
+
+
+def test_vacuum_sweeps_torn_manifests(spark, tmp_path):
+    """A torn commit (manifest written, pointer never swapped) leaves
+    manifest_v{cur+1}; vacuum must remove it along with its data,
+    or read_version(path, cur+1) dangles into deleted files."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    df = spark.range(10).select(F.col("id").alias("k"))
+    versioned.commit_version(spark, path, df)
+    v2 = versioned.commit_version(spark, path, df)
+    # simulate the torn commit: write manifest v3, crash before swap
+    import json as _json
+
+    with open(versioned._manifest_path(path, v2 + 1), "w") as fh:
+        _json.dump({"version": v2 + 1, "files": [], "meta": {},
+                    "schema": df.schema.json()}, fh)
+    removed = versioned.vacuum(path, keep_from=v2)
+    assert versioned._manifest_path(path, v2 + 1) in removed
+    assert not os.path.isfile(versioned._manifest_path(path, v2 + 1))
+    # current stays readable
+    assert versioned.read_version(spark, path).count() == 10
+
+
+def test_cdf_fingerprint_sees_null_position(spark, tmp_path):
+    """A value moving across a NULL column between snapshots is an
+    update, not a no-op: naive xxhash64 skips null args without
+    advancing position so (x, NULL) and (NULL, x) would collide."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    v1 = spark.createDataFrame([(1, "x", None)], "k int, a string, b string")
+    v2 = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
+    versioned.commit_version(spark, path, v1)
+    versioned.commit_version(spark, path, v2)
+    ch = versioned.table_changes(spark, path, 1, 2, ["k"]).collect()
+    kinds = sorted(r._change_type for r in ch)
+    assert kinds == ["update_postimage", "update_preimage"]
