@@ -261,28 +261,70 @@ def _ivf_params(n: int) -> tuple[int, int]:
     return n_cells, max(2, n_cells // 4)
 
 
-def _ivf_train_sample(emb: DataFrame, min_vec_id: int = N_QUERIES) -> list:
-    """Bounded deterministic training sample: first IVF_TRAIN_MAX
-    candidates ordered by md5(vec_id) — a TakeOrdered job, not a full
-    collect; at 100 TB the driver still holds ≤2048 rows. The hash
-    ordering (same gate pattern as operators/sampling.py) makes the
-    sample a uniform draw even when vec_id correlates with ingest
-    time or content — ordering by raw vec_id would train centroids on
-    the head of the corpus only — while staying fully reproducible:
-    md5 is seedless and portable, so the sample is a pure function of
-    the data. The collected sample is then re-sorted by vec_id: the
-    hash governs only SELECTION (which rows enter the bounded sample);
-    training init consumes a canonically-ordered list, so when the
-    corpus fits entirely inside IVF_TRAIN_MAX the sample — and hence
-    the trained centroids — are identical regardless of hash values."""
-    rows = (
+def _ivf_train_sample(
+    emb: DataFrame, min_vec_id: int = N_QUERIES
+) -> tuple[list, int]:
+    """(bounded deterministic training sample, exact candidate count)
+    in ONE scan of the candidates.
+
+    Selection is the first IVF_TRAIN_MAX candidates ordered by
+    (md5(vec_id), vec_id) — the hash ordering (same gate pattern as
+    operators/sampling.py) makes the sample a uniform draw even when
+    vec_id correlates with ingest time or content; md5 is seedless and
+    portable, so the sample is a pure function of the data. Ordering
+    by raw vec_id would train centroids on the head of the corpus.
+
+    Shape: one Arrow mapInPandas pass keeps a per-partition running
+    top-IVF_TRAIN_MAX (bounded memory however large the partition) and
+    rides the partition's exact row count along on its first emitted
+    row; the driver merges ≤IVF_TRAIN_MAX·partitions rows — the same
+    K·partitions driver exposure as the TakeOrdered this replaces,
+    but the separate count job IVF sizing used to need is gone: at
+    100 TB that is one full candidate scan saved. The Python-side
+    hashlib.md5 of str(vec_id) is bit-identical to the previous
+    in-engine F.md5(cast(vec_id as string)), so the selected sample
+    (and hence the trained centroids) are unchanged.
+
+    The sample is returned re-sorted by vec_id: the hash governs only
+    SELECTION; training init consumes a canonically-ordered list, so
+    when the corpus fits entirely inside IVF_TRAIN_MAX the sample is
+    identical regardless of hash values."""
+    schema = "vec_id bigint, embedding array<float>, h string, cnt bigint"
+
+    def local_top(batches):
+        import hashlib
+
+        import pandas as pd
+
+        best, total = None, 0
+        for pdf in batches:
+            total += len(pdf)
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.assign(
+                h=[
+                    hashlib.md5(str(int(v)).encode()).hexdigest()
+                    for v in pdf["vec_id"]
+                ]
+            )
+            best = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            best = best.sort_values(["h", "vec_id"]).head(IVF_TRAIN_MAX)
+        if best is None:
+            return
+        best = best.reset_index(drop=True)
+        best["cnt"] = 0
+        best.loc[0, "cnt"] = total
+        yield best[["vec_id", "embedding", "h", "cnt"]]
+
+    out = (
         emb.filter(F.col("vec_id") >= min_vec_id)
         .select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(IVF_TRAIN_MAX)
+        .mapInPandas(local_top, schema)
         .collect()
     )
-    return sorted(rows, key=lambda r: r.vec_id)
+    n = sum(r.cnt for r in out)
+    top = sorted(out, key=lambda r: (r.h, r.vec_id))[:IVF_TRAIN_MAX]
+    return sorted(top, key=lambda r: r.vec_id), n
 
 
 def _ivf_centroids(emb: DataFrame, rows: list, n_cells: int) -> np.ndarray:
@@ -376,12 +418,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cands = emb.filter(F.col("vec_id") >= N_QUERIES)
-    rows = _ivf_train_sample(emb)
-    # candidate count sizes the cell grid: free when the bounded
-    # sample already saw every candidate; otherwise one real count
-    # job (a vec_id-column scan, not metadata — the honest price of
-    # sizing from data)
-    n = len(rows) if len(rows) < IVF_TRAIN_MAX else cands.count()
+    # one scan yields BOTH the bounded training sample and the exact
+    # candidate count that sizes the cell grid — no separate count job
+    rows, n = _ivf_train_sample(emb)
     n_cells, nprobe = _ivf_params(n)
     Cq = _ivf_centroids(emb, rows, n_cells)
 
@@ -656,8 +695,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_of (null for kept representatives), and is_kept.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = _ivf_train_sample(emb, min_vec_id=0)
-    n = len(rows) if len(rows) < IVF_TRAIN_MAX else emb.count()
+    rows, n = _ivf_train_sample(emb, min_vec_id=0)
     n_cells, _ = _ivf_params(n)
     Cq = _ivf_centroids(emb, rows, n_cells)
 

@@ -94,9 +94,9 @@ def test_ann_ivf_prunes_candidates(spark):
 
     emb = load_table(spark, SF_TEST, "embeddings")
     cands = emb.filter(F.col("vec_id") >= similarity.N_QUERIES)
-    n = cands.count()
+    rows, n = similarity._ivf_train_sample(emb)
+    assert n == cands.count()  # the folded count is exact
     n_cells, nprobe = similarity._ivf_params(n)
-    rows = similarity._ivf_train_sample(emb)
     Cq = similarity._ivf_centroids(emb, rows, n_cells)
     cand_cells = similarity._ivf_assign(cands, Cq, nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
