@@ -163,12 +163,33 @@ class QueryAPI:
         return self._finish(timeseries_ohlc_1h(self.spark, self.sf_dir))
 
     def sessions(self) -> DataFrame:
-        """30-minute-gap session windows per station."""
+        """30-minute-gap session windows per station (batch)."""
         from data_ingestion_pipeline_spark.operators.queries import (
             session_windows_30m,
         )
 
         return self._finish(session_windows_30m(self.spark, self.sf_dir))
+
+    def streaming_sessions(
+        self, disorder_horizon_s: int = 3600
+    ) -> DataFrame:
+        """Streaming sessionization — ALWAYS the bounded variant for
+        deployments: watermark + EventTimeTimeout at the disorder
+        horizon, so state is bounded by stream rate × horizon instead
+        of growing with total session count. Size the horizon to the
+        source's real disorder (a Kafka topic's per-partition time
+        skew, typically minutes). The unbounded NoTimeout twin
+        (stream_session_windows with disorder_horizon_s=None) exists
+        as the adversarial-disorder replay fixture and is deliberately
+        NOT reachable from this facade — on an endless stream its
+        state never shrinks."""
+        from data_ingestion_pipeline_spark.streaming.pipeline import (
+            stream_session_windows,
+        )
+
+        return stream_session_windows(
+            self.spark, self.sf_dir, disorder_horizon_s=disorder_horizon_s
+        )
 
 
 def timeseries_30m_api(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -514,6 +514,60 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+HLL_REL_ERROR_BOUND = 0.05  # lgConfigK=12 → 3σ ≈ 2.4%; 5% is generous
+
+
+def hll_rollup_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin of hll_user_rollup with a QUANTITATIVE SQL oracle:
+    instead of emitting raw sketch estimates (engine-specific, never
+    hash-matchable), each row carries the exact distinct count and a
+    boolean verdict that the sketch estimate landed within the
+    documented relative-error bound — per day AND for the
+    union-of-daily-sketches total. The DuckDB oracle reproduces the
+    exact counts and asserts TRUE, so the driver's hash compare now
+    checks the sketch's accuracy contract, not just row counts.
+    The product-facing estimates stay in hll_user_rollup; both share
+    the one grouped sketch agg construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )
+    bound = F.lit(HLL_REL_ERROR_BOUND)
+    per_day = daily.select(
+        "bucket",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= bound * F.col("exact_users")
+        ).alias("within_bound"),
+    )
+    # union-of-sketches estimate vs a true global distinct: the exact
+    # side is NOT derivable from daily exacts (distincts don't sum) —
+    # one extra count_distinct scan is the honest audit price
+    total = (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+        )
+        .crossJoin(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+        .select(
+            F.lit(None).cast("timestamp").alias("bucket"),
+            "exact_users",
+            F.when(
+                F.col("exact_users") == 0,
+                F.col("approx").isNull() | (F.col("approx") == 0),
+            )
+            .otherwise(
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= bound * F.col("exact_users")
+            )
+            .alias("within_bound"),
+        )
+    )
+    return per_day.unionByName(total)
+
+
 def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: counts and row-normalized probabilities of event_type →

@@ -212,7 +212,9 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dup_clusters(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     "shares a word-4-gram" graph, labeling every clustered document
     with the minimum doc_id of its component — the step that turns
@@ -237,13 +239,28 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SlimPajama, RefinedWeb dedup) get away without the
     large-star/small-star variant, which this loop could swap in
     unchanged if kilometre-long chain components ever appeared.
-    `localCheckpoint` truncates the growing lineage each round; the
-    per-round `.count()` is the convergence test (iteration control,
-    not data movement — it moves one long to the driver).
+    Each round's result is checkpointed to truncate the growing
+    lineage; the per-round `.count()` is the convergence test
+    (iteration control, not data movement — it moves one long to the
+    driver). `checkpoint_dir=None` (local-mode default) uses
+    `localCheckpoint` — executor-memory-backed, zero-copy, but NOT
+    fault-tolerant: a lost executor loses blocks with no lineage left
+    to recompute them, killing the whole propagation loop. On a real
+    cluster pass a durable `checkpoint_dir` (HDFS/object store): the
+    loop then uses reliable `checkpoint()`, so a lost executor costs
+    one task retry that re-reads the checkpoint files instead of the
+    job. Iterative-graph jobs are exactly where this trade bites —
+    hours of rounds at 1000 executors make a lost-executor event
+    near-certain.
 
     Oracle: DuckDB recursive-CTE transitive closure over the same
     edge set — exact, engine-independent ground truth.
     """
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     docs = load_table(spark, sf_dir, "documents")
     # (doc_id, gh) is already distinct: shingles() array_distincts per
     # doc. Edge generation is ONE aggregation on the gram hash — each
@@ -270,8 +287,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
+    edges = ckpt(edges)
 
     # Round 0 folded into the init: label = min(self, direct
     # neighbors) is one aggregation over the symmetric edge set — no
@@ -280,8 +297,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .select(F.col("src").alias("node"), "label")
-        .localCheckpoint()
     )
+    labels = ckpt(labels)
     for _ in range(CLUSTER_MAX_ITERS):
         # Two propagation hops per materialization: halves the
         # fixed per-round job overhead (checkpoint + convergence
@@ -299,7 +316,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
             )
-        new_labels = cur.localCheckpoint()
+        new_labels = ckpt(cur)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

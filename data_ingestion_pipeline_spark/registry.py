@@ -1079,8 +1079,18 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "hll_user_rollup": QuerySpec(
-        analytics.hll_user_rollup,
-        None,  # DataSketches HLL binaries are Spark-specific
+        # quantitative oracle form: exact counts + within-bound verdict
+        # per day and for the sketch-union total (raw estimates stay in
+        # analytics.hll_user_rollup, ground-truthed by the same pytest)
+        analytics.hll_rollup_within_bound,
+        """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT NULL, COUNT(DISTINCT user_id), TRUE FROM events
+        """,
         ground_truth="tests/test_analytics.py::test_hll_rollup_error_and_merge",
     ),
     "events_expectations": QuerySpec(
@@ -2121,6 +2131,7 @@ _REVERIFY = {
     "zorder_roundtrip",  # r6: in-engine timestamp bounds (session-tz safe)
     "ann_ivf_topk",  # r6: training sample folded into the signature pass
     "dup_clusters",  # r6: reliable-checkpoint option in the propagation loop
+    "hll_user_rollup",  # r6: quantitative within-bound oracle replaces rows-only
 }
 
 

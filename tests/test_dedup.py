@@ -241,3 +241,27 @@ def test_doc_repetition_matches_python_reference(spark):
             max(Counter(bigs).values()) if bigs else 0,
         )
         assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
+
+
+def test_dup_clusters_reliable_checkpoint_path(spark, tmp_path):
+    """The cluster-deployment path (durable checkpoint dir instead of
+    executor-memory localCheckpoint) must produce the identical
+    labeling and actually write checkpoint files."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    default = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dup_clusters(spark, SF_TEST).collect()
+    }
+    reliable = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dup_clusters(spark, SF_TEST, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == default
+    found = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert found, "reliable path must persist checkpoint files"

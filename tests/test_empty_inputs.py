@@ -29,7 +29,9 @@ _GENERATES_ROWS = {
 # on empty input — the rows are the report's schema, not data
 _SUMMARY_ROWS = {
     "funnel_conversion": lambda rows: all(r.users == 0 for r in rows),
-    "hll_user_rollup": lambda rows: all(r.approx_users == 0.0 for r in rows),
+    "hll_user_rollup": lambda rows: all(
+        r.exact_users == 0 and r.within_bound for r in rows
+    ),
     "events_expectations": lambda rows: all(
         r.violations == 0 and r.total == 0 and r.passed for r in rows
     ),
