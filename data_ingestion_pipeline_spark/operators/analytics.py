@@ -435,6 +435,32 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-station pivot back to long
+    (user_id, event_type, avg_value) rows — the wide→long reshape
+    every report/export pipeline needs. Spark's native ``unpivot``
+    compiles to an Expand node: each input row fans out to one row per
+    value column IN PLACE — map-side, zero shuffle beyond the pivot's
+    own aggregate, column count fixed at plan time. NULL cells (a
+    station that never emitted a type) are dropped, matching the melt
+    convention (and the oracle's WHERE avg IS NOT NULL).
+    """
+    wide = event_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"{t}_avg" for t in PIVOT_TYPES],
+            "event_type",
+            "avg_value",
+        )
+        .filter(F.col("avg_value").isNotNull())
+        .withColumn(
+            "event_type",
+            F.expr("substring(event_type, 1, length(event_type) - 4)"),
+        )
+    )
+
+
 def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: every customer and every order-aggregate row
     survives — the reconciliation shape (find customers with no

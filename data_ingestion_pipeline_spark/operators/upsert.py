@@ -196,6 +196,67 @@ def upsert_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply(
+    base: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Apply a change-data-capture feed (Delta CDF vocabulary:
+    ``_change_type`` ∈ insert / update_postimage / update_preimage /
+    delete) to a snapshot — the CONSUMER side of
+    versioned.table_changes: downstream replicas stay in sync by
+    applying the feed instead of re-copying the table.
+
+    Semantics: deletes remove their key, postimages replace their
+    key's row, inserts add theirs; preimages are audit-only and
+    ignored. Shape: ONE anti-join on the key (every touched key —
+    whatever the change kind — evicts the old row) plus a union of the
+    surviving additions; identical cost to the LWW upsert, keyed on
+    the table's natural partition key at 100 TB. Feeds are assumed
+    key-consistent (at most one terminal change per key per feed),
+    which table_changes guarantees per snapshot pair.
+    """
+    from pyspark.sql import functions as F
+
+    touched = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    ).select(*keys).distinct()
+    additions = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    return base.join(touched, keys, "left_anti").unionByName(additions)
+
+
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: apply a deterministic CDC feed to the events
+    table — every 10th event (not also 17th) gets an update postimage
+    (value +1000), every 17th a delete, and every 23rd is cloned as an
+    insert with a shifted key — and return the synced replica. The
+    oracle replays the same feed in SQL."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    is_upd = (F.col("event_id") % 10 == 0) & (F.col("event_id") % 17 != 0)
+    is_del = F.col("event_id") % 17 == 0
+    upd = ev.filter(is_upd).select(
+        "event_id", "ts", "user_id", "event_type",
+        (F.col("value") + 1000.0).alias("value"),
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    dele = ev.filter(is_del).select(
+        "*", F.lit("delete").alias("_change_type")
+    )
+    ins = ev.filter(F.col("event_id") % 23 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts", "user_id",
+        F.lit("replay").alias("event_type"),
+        "value",
+        F.lit("insert").alias("_change_type"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(ev, changes, ["event_id"])
+
+
 # ---- SCD2: slowly-changing-dimension history maintenance -----------
 
 SCD2_T1 = "2024-01-01 00:00:00"
@@ -325,6 +386,16 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("BUILDING").alias("c_mktsegment"),
     )
     dim2 = scd2_apply(dim, changed.unionByName(fresh), "c_custkey", SCD2_T2)
+    # Between batches the dimension is AT REST in a table — a real
+    # deployment writes each apply's result before the next batch
+    # arrives. Materializing here mirrors that and keeps the second
+    # apply's plan reading a table, not re-deriving the first apply's
+    # whole lazy chain once per branch (current/historical/join).
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    rest = scratch_path("scd2", sf_name, "dim_t2")
+    shutil.rmtree(rest, ignore_errors=True)
+    dim2.write.parquet(rest)
+    dim2 = spark.read.parquet(rest)
 
     # T3 batch: %7 keys move again (orig+200, segment kept as of T2);
     # the T2-era brand-new key re-segments. %13-only keys are absent,

@@ -712,6 +712,39 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "stream_enriched_revenue": QuerySpec(
+        streaming.stream_enriched_revenue,
+        # stream-static broadcast enrich + daily segment revenue ==
+        # the batch join-aggregate (exact decimal sums)
+        """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               c_mktsegment,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_purchases
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+        """,
+    ),
+    "stream_click_purchase_join": QuerySpec(
+        streaming.stream_click_purchase_join,
+        # watermarked stream-stream inner join == the batch range join
+        # (the feed's disorder is inside the 2h horizon, so eviction
+        # never drops a matchable row)
+        """
+        WITH c AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        """,
+    ),
     "stream_versioned_ingest": QuerySpec(
         streaming.stream_versioned_ingest,
         # exactly-once versioned sink: drained snapshot == source
@@ -806,6 +839,35 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT m + 1, 'Customer#NEW', 0.0, 'MACHINERY',
                2, TIMESTAMP '2024-09-01 00:00:00', NULL, TRUE
         FROM mx
+        """,
+    ),
+    "debounce_events": QuerySpec(
+        queries.debounce_events,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM (
+            SELECT *, EPOCH(ts) - LAG(EPOCH(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS gap
+            FROM events
+        ) WHERE gap IS NULL OR gap >= 60
+        """,
+    ),
+    "cdc_apply_events": QuerySpec(
+        upsert.cdc_apply_events,
+        # replay the same deterministic CDC feed in SQL: updates win,
+        # deletes vanish, inserts append, untouched rows carry over
+        """
+        WITH ev AS (
+            SELECT event_id, ts, user_id, event_type, value FROM events
+        )
+        SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value
+        FROM ev WHERE event_id % 10 = 0 AND event_id % 17 <> 0
+        UNION ALL
+        SELECT event_id + 10000000, ts, user_id, 'replay', value
+        FROM ev WHERE event_id % 23 = 0
+        UNION ALL
+        SELECT * FROM ev
+        WHERE event_id % 10 <> 0 AND event_id % 17 <> 0
         """,
     ),
     "upsert_table_roundtrip": QuerySpec(
@@ -1484,6 +1546,63 @@ REGISTRY: dict[str, QuerySpec] = {
         QUALIFY rank <= 5
         """,
     ),
+    "hard_negative_mining": QuerySpec(
+        similarity.hard_negative_mining,
+        # cosine_topk's oracle with the cross-label predicate
+        """
+        WITH e AS (
+            SELECT vec_id, label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id,
+                   SQRT(CAST(SUM(CAST(floor(
+                       (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+            FROM e GROUP BY vec_id
+        ), dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ANY_VALUE(c.label) AS c_label,
+                   CAST(SUM(CAST(floor(
+                       (CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+            FROM e q JOIN e c ON q.i = c.i
+            WHERE q.vec_id < 10 AND c.vec_id >= 10 AND q.label <> c.label
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, c_label,
+               dot / (nq.nrm * nc.nrm) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INTEGER) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+        QUALIFY rank <= 5
+        """,
+    ),
+    "embedding_quantize_int8": QuerySpec(
+        # long (exploded) form: every quantized element individually
+        # value-hashed — the quantizer itself is contract-checked, not
+        # just its downstream recall (that floor is pytest-pinned)
+        similarity.embedding_quantize_int8_long,
+        """
+        WITH m AS (
+            SELECT vec_id,
+                   list_max(list_transform(
+                       embedding, x -> ABS(CAST(x AS DOUBLE)))) AS max_abs,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        )
+        SELECT vec_id, max_abs, i,
+               CASE WHEN max_abs = 0 THEN 0
+               ELSE CAST(floor(
+                   CAST(x AS DOUBLE) / max_abs * 127.0) AS INT)
+               END AS q
+        FROM m
+        """,
+    ),
     "ann_hamming_topk": QuerySpec(
         similarity.ann_hamming_topk,
         None,  # approximate by construction; recall vs exact cosine_topk
@@ -2062,6 +2181,18 @@ REGISTRY: dict[str, QuerySpec] = {
                CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'error') AS DOUBLE)
                    / COUNT(value) FILTER (WHERE event_type = 'error') AS error_avg
         FROM events GROUP BY user_id
+        """,
+    ),
+    "event_type_unpivot": QuerySpec(
+        analytics.event_type_unpivot,
+        # pivot → melt with NULL cells dropped == plain long-form agg
+        """
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(value) AS avg_value
+        FROM events
+        WHERE event_type IN ('click','view','purchase','signup','error')
+        GROUP BY 1, 2
         """,
     ),
 }

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQueryListener
 
-from data_ingestion_pipeline_spark.functions.exact import dec_avg
+from data_ingestion_pipeline_spark.functions.exact import dec_avg, dec_sum
 from data_ingestion_pipeline_spark.operators.ingest import _with_injected_duplicates
 from data_ingestion_pipeline_spark.operators.upsert import (
     read_table,
@@ -419,6 +419,163 @@ def stream_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination()
     return read_table(spark, table).select(
         "bucket", "open", "high", "low", "close", "n_readings"
+    )
+
+
+def stream_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — in-flight dimension enrichment: the
+    purchase stream joins the customer dimension INSIDE the streaming
+    plan (broadcast hash join, re-planned per micro-batch, so a
+    dimension refresh is picked up on the next batch without
+    restarting the query), then aggregates daily revenue per market
+    segment. The canonical "enrich events with a dimension while they
+    flow" pattern — at 100 TB the stream side never shuffles for the
+    join; only the segment-day aggregate exchanges, and that is
+    segment × day sized.
+
+    Update-mode + keyed upsert sink: the drained table equals the
+    batch join-aggregate over the whole feed (same last-write-wins
+    convergence argument as stream_timeseries_1h); exact decimal sums
+    keep it hash-identical to the SQL oracle.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_ts1h", sf_name, "feed")  # shared dup-free fixture
+    table = scratch_path("stream_enrich", sf_name, "table")
+    ckpt = scratch_path("stream_enrich", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    build_feed(spark, sf_dir, feed, with_dups=False)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .withWatermark("ts", "30 days")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("c_mktsegment")
+        )
+        .agg(
+            dec_sum("value").alias("revenue"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "c_mktsegment",
+            "revenue",
+            "n_purchases",
+        )
+    )
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        upsert_into_table(
+            spark, table, bdf, ["bucket", "c_mktsegment"], ts_col="bucket"
+        )
+
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return read_table(spark, table).select(
+        "bucket", "c_mktsegment", "revenue", "n_purchases"
+    )
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the attribution shape: every purchase
+    a station makes within one hour AFTER one of its clicks, joined
+    while BOTH sides are unbounded streams (the reference queries this
+    only at rest; Spark's watermarked stream-stream join maintains it
+    continuously).
+
+    Construction: the ordered feed is read as two independent file
+    streams (clicks / purchases), each event-time-watermarked at a
+    2-hour disorder horizon; the join condition is the equi-key
+    (user_id) PLUS the event-time range purchase_ts ∈
+    [click_ts, click_ts + 1 h]. Spark derives the state-retention
+    bound from exactly that pair: a buffered click is dropped once the
+    purchase-side watermark passes click_ts + 1 h + horizon, so state
+    is rate × (join window + disorder horizon) — bounded on an endless
+    stream, never total-history. That state math is THE reason the
+    range condition must live in the join clause (a post-join filter
+    would force unbounded buffering). Inner join → append mode → plain
+    parquet sink; the checkpointed availableNow drain makes replays
+    exactly-once (same file-idempotent contract as the parquet sink's
+    _spark_metadata log).
+
+    Matches the batch oracle exactly because the feed's disorder (one
+    file boundary) is far inside the horizon — the same
+    disorder-covering argument as stream_session_windows_bounded.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    table = scratch_path("stream_ssjoin", sf_name, "table")
+    ckpt = scratch_path("stream_ssjoin", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    feed = scratch_path("stream_ordered", sf_name, "feed")
+    build_ordered_feed(spark, sf_dir, feed)
+
+    def _side(etype: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(feed)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{id_alias[:-3]}_user"),
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    clicks = _side("click", "click_id", "click_ts")
+    purchases = _side("purchase", "purchase_id", "purchase_ts")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+    with _stream_shuffle(spark):
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    out_schema = (
+        "user_id bigint, click_id bigint, click_ts timestamp, "
+        "purchase_id bigint, purchase_ts timestamp"
+    )
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(table, "*.parquet")):
+        # zero matches across the whole drain: the parquet stream sink
+        # wrote only its metadata log — return the empty typed frame
+        return spark.createDataFrame([], out_schema)
+    return spark.read.parquet(table).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
     )
 
 

@@ -22,6 +22,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 def norm(v):
     if isinstance(v, float): return "NaN" if math.isnan(v) else v
     if isinstance(v, datetime.datetime): return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, list): return tuple(norm(x) for x in v)
     return v
 
 results = {}

@@ -457,7 +457,7 @@ def test_span_dedup_first_occurrence_is_partial_agg(spark):
 
 def test_no_accidental_cross_joins_anywhere(spark):
     """Standing audit: EVERY batch entry's physical plan is free of
-    CartesianProduct and BroadcastNestedLoopJoin, except the six
+    CartesianProduct and BroadcastNestedLoopJoin, except the eight
     deliberate crosses — a new operator that silently plans a cross
     join fails here even before anyone writes it a dedicated test.
     Streaming entries are excluded (constructing them runs a full
@@ -474,6 +474,10 @@ def test_no_accidental_cross_joins_anywhere(spark):
         # broadcast-queries × candidate-stream exact scorers
         "cosine_topk",
         "ann_hamming_topk",
+        # same broadcast-queries cross, theta'd on label mismatch
+        "hard_negative_mining",
+        # 1-row total-distinct broadcast for the union-audit row
+        "hll_user_rollup",
     }
     flagged = {}
     for name, spec in REGISTRY.items():

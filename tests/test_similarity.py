@@ -201,3 +201,45 @@ def test_semantic_dedup_verdicts_and_determinism(spark):
 
     again = similarity.semantic_dedup(spark, SF_TEST).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_int8_quantization_preserves_topk(spark):
+    """The quantizer's usefulness claim: cosine top-5 computed on the
+    dequantized int8 vectors overlaps the exact float top-5 (recall
+    floor), and reconstruction error respects the 1/127 bound."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    q = similarity.embedding_quantize_int8(spark, SF_TEST).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_TEST, "embeddings").collect()
+    }
+    deq = {}
+    for r in q:
+        orig = emb[r.vec_id]
+        rec = np.array(r.qvec, dtype=np.float64) * r.max_abs / 127.0
+        # floor quantization: error within one quantum per element
+        assert np.max(np.abs(rec - orig)) <= r.max_abs / 127.0 + 1e-12, r.vec_id
+        deq[r.vec_id] = rec
+
+    def topk(vectors, qid, k=5):
+        qv = vectors[qid]
+        scores = sorted(
+            (
+                (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), -i)
+                for i, v in vectors.items()
+                if i >= similarity.N_QUERIES
+            ),
+            reverse=True,
+        )[:k]
+        return {-i for _, i in scores}
+
+    hits = total = 0
+    for qid in range(similarity.N_QUERIES):
+        exact = topk(emb, qid)
+        approx = topk(deq, qid)
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.8, f"int8 top-5 recall {recall:.2f}"

@@ -350,3 +350,26 @@ def test_cdf_fingerprint_sees_null_position(spark, tmp_path):
     ch = versioned.table_changes(spark, path, 1, 2, ["k"]).collect()
     kinds = sorted(r._change_type for r in ch)
     assert kinds == ["update_postimage", "update_preimage"]
+
+
+def test_cdc_apply_closes_the_loop(spark, tmp_path):
+    """The CDF consumer contract: applying table_changes(v1→v2) onto
+    the v1 snapshot reconstructs v2 exactly — inserts, deletes, and
+    update postimages all round-trip."""
+    from data_ingestion_pipeline_spark.operators.upsert import cdc_apply
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k int, s string, v double"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0)], "k int, s string, v double"
+    )
+    versioned.commit_version(spark, path, v1)
+    versioned.commit_version(spark, path, v2)
+    ch = versioned.table_changes(spark, path, 1, 2, ["k"])
+    applied = cdc_apply(versioned.read_version(spark, path, 1), ch, ["k"])
+    got = sorted(map(tuple, applied.collect()))
+    want = sorted(map(tuple, versioned.read_version(spark, path, 2).collect()))
+    assert got == want
