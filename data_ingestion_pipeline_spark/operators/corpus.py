@@ -370,3 +370,82 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("exact_dup_rate"),
     )
+
+
+BUDGET_TOKENS_PER_SOURCE = 30_000  # per-source whitespace-token budget
+BUDGET_SALT = "tokbudget"
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget capping: every source contributes at
+    most ~BUDGET_TOKENS_PER_SOURCE whitespace tokens to the training
+    mix, enforced as a deterministic hash-gated downsample at rate
+    min(1, budget / source_tokens) — the "don't let one crawl dominate
+    the mixture" curation step (the dual of corpus_mix_resample's
+    upweighting).
+
+    Shape: one aggregate to source-domain-sized totals, broadcast back
+    onto the corpus scan, then the same map-only integer-draw gate as
+    weighted_sample_docs (draw < floor(rate·2^32); rate 1.0 keeps all
+    — the 32-bit draw is always < 2^32). Expected kept tokens per
+    gated source ≈ the budget; exact capping would need a sequential
+    running sum (pack_sequences territory) for no curation benefit.
+    Every step is engine-exact, so the oracle reproduces the kept set
+    row-for-row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(_tokens()).cast("bigint")
+    per_source = (
+        docs.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("source_tokens"))
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(BUDGET_TOKENS_PER_SOURCE))
+        / F.col("source_tokens").cast("double"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(BUDGET_SALT + ":"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(per_source), "source")
+        .filter(draw < F.floor(rate * F.lit(float(2**32))))
+        .select("doc_id", "source", "source_tokens", toks.alias("ws_tokens"))
+    )
+
+
+def token_budget_oracle_sql() -> str:
+    """DuckDB twin: nibble-reassembled 32-bit draw (shared pattern
+    with weighted_sample_docs) against the per-source rate."""
+    digest = f"md5('{BUDGET_SALT}:' || CAST(doc_id AS VARCHAR))"
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr({digest}, {k + 1}, 1)) - 1) "
+        f"* {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+            FROM documents
+        ), s AS (
+            SELECT source, SUM(ws_tokens) AS source_tokens
+            FROM t GROUP BY source
+        )
+        SELECT doc_id, t.source, source_tokens, ws_tokens
+        FROM t JOIN s ON t.source = s.source
+        WHERE ({nibbles}) < FLOOR(
+            LEAST(1.0, {float(BUDGET_TOKENS_PER_SOURCE)}
+                        / CAST(source_tokens AS DOUBLE)) * {float(2**32)})
+    """

@@ -712,6 +712,24 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1
         """,
     ),
+    "stream_validate_fanout": QuerySpec(
+        streaming.stream_validate_fanout,
+        # one drain, two idempotent sinks: the union view reproduces
+        # the batch validity split exactly (routes disjoint + complete)
+        f"""
+        SELECT CASE WHEN value BETWEEN 0.0 AND 300.0
+                     AND event_type IN {_KNOWN_TYPES_SQL}
+                    THEN 'valid' ELSE 'dlq' END AS route,
+               event_id, ts, user_id, event_type, value,
+               CASE WHEN value IS NULL THEN 'value: missing'
+                    WHEN value NOT BETWEEN 0.0 AND 300.0
+                    THEN 'value out of range: ' || CAST(value AS VARCHAR)
+                    WHEN event_type NOT IN {_KNOWN_TYPES_SQL}
+                    THEN 'unknown event_type: ' || event_type
+               END AS error
+        FROM events
+        """,
+    ),
     "stream_enriched_revenue": QuerySpec(
         streaming.stream_enriched_revenue,
         # stream-static broadcast enrich + daily segment revenue ==
@@ -1645,6 +1663,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "shuffle_shard_docs": QuerySpec(
         sampling.shuffle_shard_docs,
         sampling.shuffle_shard_oracle_sql(),
+    ),
+    "corpus_token_budget": QuerySpec(
+        corpus.corpus_token_budget,
+        corpus.token_budget_oracle_sql(),
     ),
     "weighted_sample_docs": QuerySpec(
         sampling.weighted_sample_docs,

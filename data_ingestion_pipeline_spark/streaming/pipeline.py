@@ -422,6 +422,78 @@ def stream_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_validate_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the validate/DLQ split (P2/K2): ONE drain,
+    TWO idempotent sinks from the same micro-batch — valid rows upsert
+    into the day-partitioned readings table, rejects land in a
+    dead-letter table WITH their error envelope. The fan-out happens
+    inside foreachBatch, so both routes observe the identical batch
+    (no second subscription, no divergence window) — the reference
+    does this with a Kafka DLQ produce per bad record
+    (services/consumer/main.py:163-187); here both sides are
+    replay-idempotent keyed upserts, so at-least-once delivery still
+    yields exactly-once tables.
+
+    Returns the union view (route = valid | dlq) so one oracle checks
+    BOTH routes and their disjointness.
+    """
+    from data_ingestion_pipeline_spark.operators.ingest import _validity
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_ts1h", sf_name, "feed")  # shared dup-free fixture
+    vt = scratch_path("stream_fanout", sf_name, "valid")
+    dt = scratch_path("stream_fanout", sf_name, "dlq")
+    ckpt = scratch_path("stream_fanout", sf_name, "ckpt")
+    for p in (vt, dt, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    build_feed(spark, sf_dir, feed, with_dups=False)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        v = _validity(bdf).localCheckpoint(eager=True)  # evaluate rules once
+        upsert_into_table(
+            spark,
+            vt,
+            v.filter(F.col("validation_error").isNull()).select(*FEED_COLS),
+            ["user_id", "ts"],
+        )
+        upsert_into_table(
+            spark,
+            dt,
+            v.filter(F.col("validation_error").isNotNull()).select(
+                *FEED_COLS, F.col("validation_error").alias("error")
+            ),
+            ["user_id", "ts"],
+        )
+
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(feed)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    def _route(path: str, route: str, with_err: bool) -> DataFrame:
+        if not os.path.isdir(path):
+            return spark.createDataFrame(
+                [],
+                "route string, event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, error string",
+            )
+        df = read_table(spark, path)
+        err = F.col("error") if with_err else F.lit(None).cast("string")
+        return df.select(
+            F.lit(route).alias("route"), *FEED_COLS, err.alias("error")
+        )
+
+    return _route(vt, "valid", False).unionByName(_route(dt, "dlq", True))
+
+
 def stream_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join — in-flight dimension enrichment: the
     purchase stream joins the customer dimension INSIDE the streaming

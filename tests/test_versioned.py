@@ -373,3 +373,26 @@ def test_cdc_apply_closes_the_loop(spark, tmp_path):
     got = sorted(map(tuple, applied.collect()))
     want = sorted(map(tuple, versioned.read_version(spark, path, 2).collect()))
     assert got == want
+
+
+def test_versioned_schema_evolution(spark, tmp_path):
+    """Adding a column between commits must leave every snapshot
+    readable WITH ITS OWN schema (manifests list only their own
+    files, so time travel never mixes layouts), and vacuum keeps both
+    readable while horizons allow."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    v2 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+        "k int, v string, extra double",
+    )
+    versioned.commit_version(spark, path, v1)
+    versioned.commit_version(spark, path, v2)
+    r1 = versioned.read_version(spark, path, 1)
+    r2 = versioned.read_version(spark, path, 2)
+    assert r1.columns == ["k", "v"] and r1.count() == 2
+    assert r2.columns == ["k", "v", "extra"] and r2.count() == 3
+    versioned.vacuum(path, keep_from=1)
+    assert versioned.read_version(spark, path, 1).count() == 2
+    assert versioned.read_version(spark, path, 2).count() == 3
