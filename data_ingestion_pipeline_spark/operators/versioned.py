@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,10 +112,12 @@ def commit_version(
     check()
     with open(_manifest_path(path, v), "w") as fh:
         # schema rides in every manifest so an empty commit (zero part
-        # files) stays readable via _empty_snapshot
+        # files) stays readable via _empty_snapshot; committed_at backs
+        # AS-OF-timestamp time travel (wall clock — an audit attribute,
+        # never a correctness input to any query result)
         json.dump(
             {"version": v, "files": files, "meta": meta or {},
-             "schema": df.schema.json()},
+             "schema": df.schema.json(), "committed_at": time.time()},
             fh,
         )
     check()
@@ -147,6 +150,34 @@ def read_version(
     if not files:
         return _empty_snapshot(spark, manifest)
     return spark.read.parquet(*files)
+
+
+def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel: the snapshot current at wall-clock
+    ``ts`` (unix seconds) — ``SELECT ... TIMESTAMP AS OF`` on the
+    version chain. Resolution walks the retained manifests' recorded
+    commit times (falling back to manifest file mtime for pre-upgrade
+    tables) and picks the highest version committed at or before ts;
+    versions vacuumed past the horizon or torn commits beyond the
+    pointer are never candidates. Commit times are audit attributes
+    (wall clock, host-dependent): use version pins for reproducible
+    reads; AS OF answers "what did readers see at 3pm".
+    """
+    cur = current_version(path)
+    best = None
+    for v in range(1, cur + 1):
+        mp = _manifest_path(path, v)
+        if not os.path.isfile(mp):
+            continue  # vacuumed
+        with open(mp) as fh:
+            committed = json.load(fh).get("committed_at") or os.path.getmtime(mp)
+        if committed <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path} existed at {ts} (earliest retained is newer)"
+        )
+    return read_version(spark, path, best)
 
 
 def _empty_snapshot(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -322,6 +353,7 @@ def commit_version_partitioned(
              # (the write_time_partitioned issue); the recorded schema
              # lets read_version serve the empty snapshot correctly
              "schema": df.schema.json(),
+             "committed_at": time.time(),
              "meta": meta or {}},
             fh,
         )
@@ -337,6 +369,85 @@ def _manifest(path: str, version: int | None = None) -> dict:
     v = current_version(path) if version is None else version
     with open(_manifest_path(path, v)) as fh:
         return json.load(fh)
+
+
+def purge_rows(
+    spark: SparkSession, path: str, key_col: str, key_values: list
+) -> dict:
+    """HARD-DELETE rows across EVERY retained snapshot — the
+    GDPR/right-to-be-forgotten maintenance pass. An ordinary delete
+    commit only hides rows from the NEW version; history (time
+    travel, tags, CDF) still serves them until vacuum passes the
+    horizon. Purge is the deliberate immutability exception the table
+    formats carve out: every retained data file containing a matching
+    row is rewritten without it, and every manifest referencing that
+    file (COW manifests share files across versions) is repointed to
+    the rewrite — version structure, tags, and untouched files stay
+    byte-identical.
+
+    Shape: one Spark filter-rewrite job per AFFECTED file (membership
+    probed file-by-file — parquet row-group stats prune unaffected
+    files cheaply at scan level; production parallelizes the per-file
+    loop). Files rewritten to emptiness drop out of their manifests.
+    Returns {relpath: new_relpath_or_None} for the audit log a real
+    deletion workflow must keep.
+    """
+    cur = current_version(path)
+    # file → versions referencing it (shared COW files rewritten once)
+    refs: dict[str, list[int]] = {}
+    for v in range(1, cur + 1):
+        if not os.path.isfile(_manifest_path(path, v)):
+            continue
+        for f in _manifest(path, v)["files"]:
+            refs.setdefault(f, []).append(v)
+
+    vals = [str(x) for x in key_values]
+    rewritten: dict[str, str | None] = {}
+    for rel in sorted(refs):
+        absf = os.path.join(path, rel)
+        df = spark.read.parquet(absf)
+        hit = df.filter(F.col(key_col).cast("string").isin(vals)).limit(1)
+        if not hit.take(1):
+            continue  # untouched file stays byte-identical
+        kept = df.filter(~F.col(key_col).cast("string").isin(vals))
+        tmp = absf + ".purge.tmp"
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if parts and kept.take(1):
+            new_rel = rel[: -len(".parquet")] + ".purged.parquet"
+            os.replace(os.path.join(tmp, parts[0]), os.path.join(path, new_rel))
+            rewritten[rel] = new_rel
+        else:
+            rewritten[rel] = None  # every row matched: file vanishes
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(absf)
+
+    # repoint every retained manifest, preserving partition tags
+    for v in range(1, cur + 1):
+        mp = _manifest_path(path, v)
+        if not os.path.isfile(mp):
+            continue
+        m = _manifest(path, v)
+        if not any(f in rewritten for f in m["files"]):
+            continue
+        files, parts_map = [], m.get("partitions", {})
+        for f in m["files"]:
+            if f not in rewritten:
+                files.append(f)
+            elif rewritten[f] is not None:
+                files.append(rewritten[f])
+                if f in parts_map:
+                    parts_map[rewritten[f]] = parts_map.pop(f)
+            else:
+                parts_map.pop(f, None)
+        m["files"] = sorted(files)
+        if "partitions" in m:
+            m["partitions"] = parts_map
+        with open(mp, "w") as fh:
+            json.dump(m, fh)
+    return rewritten
 
 
 def read_version_pruned(
@@ -542,3 +653,33 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
     with open(os.path.join(path, "_TAGS.json")) as fh:
         tags = json.load(fh)
     return read_version(spark, path, tags[name])
+
+
+def purge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: seed a versioned events table (v1), COW-upsert
+    one day (v2, sharing every other day's files), hard-purge two
+    deterministic station ids across history, and return v1 — which
+    must equal the source MINUS the purged stations on BOTH the
+    carried and rewritten files (the oracle reproduces the filter).
+    The audit/byte-identity invariants are pinned in
+    tests/test_versioned.py::test_purge_rows_erases_across_history."""
+    import shutil as _shutil
+
+    from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("purge", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version_partitioned(spark, path, ev)
+    upd = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    upsert_version_cow(spark, path, upd, ["event_id"])
+    purge_rows(spark, path, "user_id", [7, 11])
+    return read_version(spark, path, 1).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

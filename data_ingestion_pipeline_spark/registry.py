@@ -763,11 +763,39 @@ REGISTRY: dict[str, QuerySpec] = {
          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         """,
     ),
+    "stream_click_purchase_left_join": QuerySpec(
+        streaming.stream_click_purchase_left_join,
+        # sentinel-flushed outer join == the batch LEFT JOIN: matched
+        # pairs plus every matchless click with NULL purchase columns
+        """
+        WITH c AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id AS p_user, event_id AS purchase_id,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts
+        FROM c LEFT JOIN p ON c.user_id = p.p_user
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        """,
+    ),
     "stream_versioned_ingest": QuerySpec(
         streaming.stream_versioned_ingest,
         # exactly-once versioned sink: drained snapshot == source
         """
         SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+    ),
+    "purge_roundtrip": QuerySpec(
+        versioned.purge_roundtrip,
+        # hard purge across history: time-traveled v1 == source minus
+        # the purged stations (COW-shared and rewritten files alike)
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE user_id NOT IN (7, 11)
         """,
     ),
     "versioned_table_changes": QuerySpec(

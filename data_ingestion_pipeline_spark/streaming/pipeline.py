@@ -153,6 +153,47 @@ def build_ordered_feed(
         fh.write(key)
 
 
+def build_ordered_feed_with_sentinel(
+    spark: SparkSession, sf_dir: str, feed_dir: str
+) -> None:
+    """Ordered feed + a FINAL file holding two far-future sentinel
+    rows (a click and, 4 h later, a purchase — user_id −1, matching
+    nothing real and not each other: 4 h > the 1 h join window).
+
+    Why: an outer stream-stream join emits an unmatched row only when
+    the watermark passes its join-window end, and the watermark is
+    max(event time seen) − delay — after the LAST real batch it sits
+    2 h behind the newest event, so the newest unmatched rows would
+    stay buffered forever (measured: 204 of 205 unmatched clicks at
+    sf0.001 without the sentinel). The sentinel drags the final
+    watermark past every real row's window; real deployments do
+    exactly this with heartbeat/punctuation events on idle partitions.
+    The sentinel rows are filtered from the join output by user_id."""
+    marker = os.path.join(feed_dir, "_FEED_COMPLETE")
+    key = f"{_FEED_VERSION}:ordered-sentinel:{sf_dir}"
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read() == key:
+                return
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    build_ordered_feed(spark, sf_dir, feed_dir)
+    os.remove(os.path.join(feed_dir, "_FEED_COMPLETE"))
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .filter(F.col("m").isNotNull())
+    )
+    sent = mx.selectExpr(
+        "stack(2,"
+        " -1L, m + INTERVAL 240 HOURS, -1L, 'click',    0.0D,"
+        " -2L, m + INTERVAL 244 HOURS, -1L, 'purchase', 0.0D)"
+        " AS (event_id, ts, user_id, event_type, value)"
+    ).select(*FEED_COLS)
+    sent.coalesce(1).write.mode("append").parquet(feed_dir)
+    with open(marker, "w") as fh:
+        fh.write(key)
+
+
 def prewarm_feeds(spark: SparkSession, sf_dir: str) -> None:
     """Build (or reuse) the stream-source fixture directories for every
     streaming entry. The feed simulates a Kafka topic's backlog — it is
@@ -645,6 +686,92 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _glob.glob(os.path.join(table, "*.parquet")):
         # zero matches across the whole drain: the parquet stream sink
         # wrote only its metadata log — return the empty typed frame
+        return spark.createDataFrame([], out_schema)
+    return spark.read.parquet(table).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+    )
+
+
+def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join — attribution WITH the misses:
+    every click, paired with its within-1-hour purchase or with NULLs
+    if none ever arrives. Harder than the inner form: an unmatched
+    click can only be emitted once the watermark PROVES no matching
+    purchase can still arrive (purchase-side watermark past
+    click_ts + 1 h), so correctness depends on watermark advancement,
+    not just state retention. The feed therefore ends with a
+    far-future sentinel file (see build_ordered_feed_with_sentinel) —
+    the punctuation/heartbeat pattern real deployments use — so the
+    final no-data batch flushes every pending unmatched click and the
+    drained table equals the batch LEFT JOIN exactly.
+
+    The watermark is applied BEFORE the event-type filter on each
+    side: Catalyst pushes the type predicate below the watermark
+    operator, so ordering them the other way would filter the
+    sentinel out before it ever advanced the clock.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    table = scratch_path("stream_ssleft", sf_name, "table")
+    ckpt = scratch_path("stream_ssleft", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    feed = scratch_path("stream_ordered_sent", sf_name, "feed")
+    build_ordered_feed_with_sentinel(spark, sf_dir, feed)
+
+    def _side(etype: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(feed)
+            .withWatermark("ts", "2 hours")
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{etype}_user"),
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    clicks = _side("click", "click_id", "click_ts")
+    purchases = _side("purchase", "purchase_id", "purchase_ts")
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        )
+        .filter(F.col("click_user") >= 0)  # drop the sentinel click
+        .select(
+            F.col("click_user").alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
+
+    with _stream_shuffle(spark):
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    out_schema = (
+        "user_id bigint, click_id bigint, click_ts timestamp, "
+        "purchase_id bigint, purchase_ts timestamp"
+    )
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(table, "*.parquet")):
         return spark.createDataFrame([], out_schema)
     return spark.read.parquet(table).select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"

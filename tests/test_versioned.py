@@ -396,3 +396,72 @@ def test_versioned_schema_evolution(spark, tmp_path):
     versioned.vacuum(path, keep_from=1)
     assert versioned.read_version(spark, path, 1).count() == 2
     assert versioned.read_version(spark, path, 2).count() == 3
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """AS-OF-timestamp resolution: a time between two commits reads
+    the earlier snapshot; after the latest commit reads the latest;
+    before the first retained commit raises."""
+    import time as _time
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    versioned.commit_version(
+        spark, path, spark.createDataFrame([(1,)], "k int")
+    )
+    t_between = _time.time()
+    _time.sleep(0.05)
+    versioned.commit_version(
+        spark, path, spark.createDataFrame([(1,), (2,)], "k int")
+    )
+    assert versioned.read_as_of(spark, path, t_between).count() == 1
+    assert versioned.read_as_of(spark, path, _time.time()).count() == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        versioned.read_as_of(spark, path, 0.0)
+
+
+def test_purge_rows_erases_across_history(spark, tmp_path):
+    """GDPR purge: the key disappears from EVERY retained snapshot
+    (including via COW-shared files), untouched files stay
+    byte-identical, and table structure (versions, partitions map)
+    survives."""
+    import glob
+
+    from data_ingestion_pipeline_spark.operators.versioned import purge_rows
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    rows = [(i, f"2024-01-{(i % 3) + 1:02d} 00:00:00", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k int, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    versioned.commit_version_partitioned(spark, path, df)
+    # COW upsert touching only one day: other days' files are SHARED
+    upd = df.filter(F.col("k") == 1).withColumn("v", F.col("v") + 100.0)
+    versioned.upsert_version_cow(spark, path, upd, ["k"])
+
+    before = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+    }
+    audit = purge_rows(spark, path, "k", [7, 1])
+    assert audit, "purge must have rewritten at least one file"
+
+    for v in (1, 2):
+        got = versioned.read_version(spark, path, v)
+        assert got.filter(F.col("k").isin(7, 1)).count() == 0, v
+        # everything else survives
+        assert got.count() == 28, v
+    # untouched files byte-identical (not rewritten)
+    untouched = [
+        p for p in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+        if p in before
+    ]
+    assert untouched, "some files must have been untouched"
+    for p in untouched:
+        assert (os.path.getmtime(p), os.path.getsize(p)) == before[p], p
+    # vacuum still reference-counts correctly after the repoint
+    versioned.vacuum(path, keep_from=2)
+    assert versioned.read_version(spark, path, 2).count() == 28
