@@ -440,7 +440,7 @@ def token_budget_oracle_sql() -> str:
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
             FROM documents
         ), s AS (
-            SELECT source, SUM(ws_tokens) AS source_tokens
+            SELECT source, CAST(SUM(ws_tokens) AS BIGINT) AS source_tokens
             FROM t GROUP BY source
         )
         SELECT doc_id, t.source, source_tokens, ws_tokens

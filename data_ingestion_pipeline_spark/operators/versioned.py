@@ -385,13 +385,34 @@ def purge_rows(
     the rewrite — version structure, tags, and untouched files stay
     byte-identical.
 
-    Shape: one Spark filter-rewrite job per AFFECTED file (membership
-    probed file-by-file — parquet row-group stats prune unaffected
-    files cheaply at scan level; production parallelizes the per-file
-    loop). Files rewritten to emptiness drop out of their manifests.
-    Returns {relpath: new_relpath_or_None} for the audit log a real
-    deletion workflow must keep.
+    Shape: exactly TWO Spark jobs regardless of file count — never a
+    per-file driver loop (the r6 version ran up to three blocking jobs
+    per file; O(files) serial driver passes are a 100 TB scale-killer).
+      1. MEMBERSHIP PROBE: one scan of every referenced file at once,
+         `input_file_name()` + the key column only (column pruning),
+         with the key predicate expressed as `isin` so parquet
+         row-group statistics skip unaffected files inside the scan;
+         aggregate to the distinct affected-file set.
+      2. REWRITE: one job reading only the affected files, tagging
+         each row with its source-file index (a broadcast literal
+         map), anti-filtering the purge keys, and writing every
+         rewrite in a single `partitionBy(file-index)` action —
+         `repartition(n, idx)` puts each source file's survivors in
+         one task, so each index directory holds exactly one part
+         file with the ORIGINAL schema (the index column is consumed
+         by partitionBy).
+    Driver work after that is pure metadata: one rename per affected
+    file and the manifest repoint. Files rewritten to emptiness drop
+    out of their manifests. Returns {relpath: new_relpath_or_None}
+    for the audit log a real deletion workflow must keep.
+
+    For purge sets too large for an in-filter (millions of subjects),
+    swap the isin for a broadcast anti-join — that trades row-group
+    pruning for predicate scalability; the two-job shape is unchanged.
     """
+    import shutil as _shutil
+    from urllib.parse import unquote, urlparse
+
     cur = current_version(path)
     # file → versions referencing it (shared COW files rewritten once)
     refs: dict[str, list[int]] = {}
@@ -400,29 +421,66 @@ def purge_rows(
             continue
         for f in _manifest(path, v)["files"]:
             refs.setdefault(f, []).append(v)
+    if not refs:
+        return {}
 
     vals = [str(x) for x in key_values]
+    abs_of = {rel: os.path.abspath(os.path.join(path, rel)) for rel in refs}
+
+    def _to_abs(uri: str) -> str:
+        return os.path.abspath(unquote(urlparse(uri).path))
+
+    # Job 1: one probe over ALL referenced files (mergeSchema tolerates
+    # evolved snapshots: a file predating key_col reads as null → kept).
+    probe = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*abs_of.values())
+        .filter(F.col(key_col).cast("string").isin(vals))
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+    )
+    hit_abs = {_to_abs(r["_f"]) for r in probe.collect()}
+    rel_of_abs = {a: r for r, a in abs_of.items()}
+    affected = sorted(rel_of_abs[a] for a in hit_abs)
+
     rewritten: dict[str, str | None] = {}
-    for rel in sorted(refs):
-        absf = os.path.join(path, rel)
-        df = spark.read.parquet(absf)
-        hit = df.filter(F.col(key_col).cast("string").isin(vals)).limit(1)
-        if not hit.take(1):
-            continue  # untouched file stays byte-identical
-        kept = df.filter(~F.col(key_col).cast("string").isin(vals))
-        tmp = absf + ".purge.tmp"
-        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-        parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        if parts and kept.take(1):
+    if not affected:
+        return rewritten
+
+    # Job 2: rewrite every affected file in one parallel action.
+    idx_pairs = []
+    for i, rel in enumerate(affected):
+        idx_pairs.extend([F.lit(abs_of[rel]), F.lit(i)])
+    idx_map = F.create_map(*idx_pairs)
+    norm_path = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    kept = (
+        spark.read.parquet(*[abs_of[r] for r in affected])
+        .withColumn("_purge_idx", idx_map[norm_path])
+        .filter(~F.col(key_col).cast("string").isin(vals))
+    )
+    tmp = os.path.join(path, "_purge_tmp")
+    _shutil.rmtree(tmp, ignore_errors=True)
+    (
+        kept.repartition(len(affected), "_purge_idx")
+        .write.partitionBy("_purge_idx")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i, rel in enumerate(affected):
+        pdir = os.path.join(tmp, f"_purge_idx={i}")
+        parts = (
+            [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if os.path.isdir(pdir)
+            else []
+        )
+        if parts:
             new_rel = rel[: -len(".parquet")] + ".purged.parquet"
-            os.replace(os.path.join(tmp, parts[0]), os.path.join(path, new_rel))
+            os.replace(os.path.join(pdir, parts[0]), os.path.join(path, new_rel))
             rewritten[rel] = new_rel
         else:
             rewritten[rel] = None  # every row matched: file vanishes
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp, ignore_errors=True)
-        os.remove(absf)
+        os.remove(abs_of[rel])
+    _shutil.rmtree(tmp, ignore_errors=True)
 
     # repoint every retained manifest, preserving partition tags
     for v in range(1, cur + 1):

@@ -889,9 +889,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "debounce_events": QuerySpec(
         queries.debounce_events,
+        # gap on WHOLE seconds (FLOOR(EPOCH) = Spark's ts CAST AS LONG
+        # truncation for positive epochs) so the contract is
+        # engine-exact by construction, not coincidental to the feed's
+        # minute-scale cadence: a 59.4 s gap straddling a second
+        # boundary must debounce identically in both engines.
         """
         SELECT event_id, ts, user_id, event_type, value FROM (
-            SELECT *, EPOCH(ts) - LAG(EPOCH(ts)) OVER (
+            SELECT *, CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                      - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
                 PARTITION BY user_id, event_type
                 ORDER BY ts, event_id) AS gap
             FROM events
@@ -2305,14 +2311,12 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY = {
-    # r5 rewrites all got fresh clean verdicts in CORRECTNESS_r05.json
-    # and were pruned (VERDICT r5 §next 1).  r6 rewrites:
-    "scd2_customer_history",  # r6: current/historical split fixes repeated apply
-    "versioned_table_changes",  # r6: null-sentineled row fingerprints
-    "zorder_roundtrip",  # r6: in-engine timestamp bounds (session-tz safe)
-    "ann_ivf_topk",  # r6: training sample folded into the signature pass
-    "dup_clusters",  # r6: reliable-checkpoint option in the propagation loop
-    "hll_user_rollup",  # r6: quantitative within-bound oracle replaces rows-only
+    # r6 rewrites all got fresh clean verdicts in CORRECTNESS_r06.json
+    # and were pruned (VERDICT r6 §next 4).  r7 rewrites:
+    "stream_click_purchase_left_join",  # r7: sentinel filter moved to read-back
+    "corpus_token_budget",  # r7: oracle SUM cast to BIGINT (HUGEINT hash bug)
+    "purge_roundtrip",  # r7: purge_rows rewritten as two parallel jobs
+    "debounce_events",  # r7: oracle aligned to truncated-seconds gap rule
 }
 
 

@@ -490,21 +490,30 @@ def stream_validate_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_feed(spark, sf_dir, feed, with_dups=False)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
-        v = _validity(bdf).localCheckpoint(eager=True)  # evaluate rules once
-        upsert_into_table(
-            spark,
-            vt,
-            v.filter(F.col("validation_error").isNull()).select(*FEED_COLS),
-            ["user_id", "ts"],
-        )
-        upsert_into_table(
-            spark,
-            dt,
-            v.filter(F.col("validation_error").isNotNull()).select(
-                *FEED_COLS, F.col("validation_error").alias("error")
-            ),
-            ["user_id", "ts"],
-        )
+        # persist(), not localCheckpoint(eager=True): both evaluate the
+        # validation rules once for the two-sink fan-out, but
+        # localCheckpoint truncates lineage into executor-pinned blocks
+        # — on a real cluster a lost executor kills the query instead
+        # of recomputing. persist keeps lineage, so the cached split is
+        # an optimization, never a failure domain.
+        v = _validity(bdf).persist()
+        try:
+            upsert_into_table(
+                spark,
+                vt,
+                v.filter(F.col("validation_error").isNull()).select(*FEED_COLS),
+                ["user_id", "ts"],
+            )
+            upsert_into_table(
+                spark,
+                dt,
+                v.filter(F.col("validation_error").isNotNull()).select(
+                    *FEED_COLS, F.col("validation_error").alias("error")
+                ),
+                ["user_id", "ts"],
+            )
+        finally:
+            v.unpersist()
 
     with _stream_shuffle(spark):
         query = (
@@ -708,7 +717,16 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
     The watermark is applied BEFORE the event-type filter on each
     side: Catalyst pushes the type predicate below the watermark
     operator, so ordering them the other way would filter the
-    sentinel out before it ever advanced the clock.
+    sentinel out before it ever advanced the clock. For the same
+    reason the sentinel CLICK must NOT be filtered inside the
+    streaming plan at all: a post-join `click_user >= 0` predicate
+    references only the left side, so Catalyst pushes it below the
+    clicks-side EventTimeWatermark and the sentinel click never
+    advances the clicks-side clock — the global watermark stalls at
+    min(sides) and the last `horizon` hours of unmatched clicks stay
+    buffered forever (the exact r6 failure: 1999/2006 rows). The
+    sentinel rows instead flow through the join and are dropped on
+    the drained READ-BACK, where no watermark exists to poison.
     """
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     table = scratch_path("stream_ssleft", sf_name, "table")
@@ -745,7 +763,6 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
             ),
             "left_outer",
         )
-        .filter(F.col("click_user") >= 0)  # drop the sentinel click
         .select(
             F.col("click_user").alias("user_id"),
             "click_id",
@@ -773,8 +790,13 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
 
     if not _glob.glob(os.path.join(table, "*.parquet")):
         return spark.createDataFrame([], out_schema)
-    return spark.read.parquet(table).select(
-        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+    # Sentinel rows (user_id < 0) are dropped HERE, on the batch
+    # read-back — never inside the streaming plan, where the filter
+    # would be pushed below the watermark operator (see docstring).
+    return (
+        spark.read.parquet(table)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
     )
 
 

@@ -54,6 +54,20 @@ def test_oracle_parity(spark, name, spec):
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_con(SF_DIR)
+    # Driver-fidelity type gate: the driver compares via pandas/Arrow
+    # conversion, where DuckDB HUGEINT (e.g. an uncast SUM(BIGINT))
+    # silently becomes float64 and hash-mismatches Spark's int64 even
+    # when every value is identical (the r6 corpus_token_budget bug).
+    # fetchall() here returns Python ints and cannot see it, so gate
+    # on the declared types instead.
+    otypes = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+    hugeint_cols = [r[0] for r in otypes if "HUGEINT" in str(r[1]).upper()]
+    assert not hugeint_cols, (
+        f"{name}: oracle emits HUGEINT column(s) {hugeint_cols} — the "
+        f"driver's pandas conversion turns these into float64 and the "
+        f"value-hash diverges from Spark's int64; add an explicit "
+        f"CAST(... AS BIGINT) in the oracle SQL"
+    )
     res = con.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
