@@ -740,3 +740,121 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+# --- count-min sketch heavy hitters -----------------------------------
+# The frequency analog of the HLL rollup: re-mergeable per-day count
+# sketches whose estimates never undercount. Dimensioned so collisions
+# actually occur at test scale (true key domain ≈ stations × types ≫ w
+# at sf0.1) — the overcount path is exercised, not just the identity.
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 64  # counters per row
+_CMS_HEX = "0123456789abcdef"
+
+
+def _cms_bucket(key_col, depth_col):
+    """Portable bucket: first 8 md5 nibbles of 'cms<d>:<key>' mod w —
+    the repo's engine-exact hash idiom (no xxhash in DuckDB, no
+    DuckDB hash() in Spark)."""
+    digest = F.md5(
+        F.concat(F.lit("cms"), depth_col.cast("string"), F.lit(":"), key_col)
+    )
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+    ).alias("bucket")
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates, built RE-MERGEABLY: one
+    grouped agg produces per-DAY (depth, bucket) counter cells, a
+    second domain-sized agg sums the daily sketches into the global
+    sketch — the same partial-recomposition contract as
+    hll_user_rollup, but for point frequencies (Cormode &
+    Muthukrishnan's CM sketch): est(key) = min over depths of
+    cell[d][h_d(key)], and est ≥ true count always, by construction.
+
+    Because the hashes are the portable md5 idiom, the ESTIMATES
+    themselves are engine-exact — the DuckDB oracle reproduces every
+    overcount bit-for-bit, a stronger verdict than a within-bound
+    boolean. Output: every (station, type) key with its exact count
+    and its sketch estimate.
+
+    Scale shape: sketch build is ONE shuffle from events to
+    depth × width ≈ 256 cells (map-side partial counts); the merged
+    sketch is broadcast into the estimate join (cells ≪ keys); exact
+    counts ride one more grouped agg — at 100 TB the sketch is the
+    production path and the exact column is the audit, computable
+    only at test scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+    ).alias("key")
+    depths = F.explode(
+        F.array([F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("depth")
+    # per-day partial sketches → merged global sketch (re-merge step)
+    daily_cells = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), key)
+        .select("day", "key", depths)
+        .groupBy("day", "depth", _cms_bucket(F.col("key"), F.col("depth")))
+        .count()
+    )
+    cells = daily_cells.groupBy("depth", "bucket").agg(
+        F.sum("count").alias("c")
+    )
+    keys = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    probes = keys.select(
+        "user_id",
+        "event_type",
+        "n_exact",
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+        ).alias("key"),
+    ).select("user_id", "event_type", "n_exact", "key", depths)
+    est = (
+        probes.withColumn("bucket", _cms_bucket(F.col("key"), F.col("depth")))
+        .join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("user_id", "event_type", "n_exact")
+        .agg(F.min("c").cast("bigint").alias("n_est"))
+    )
+    return est.select("user_id", "event_type", "n_exact", "n_est")
+
+
+def cms_oracle_sql() -> str:
+    """DuckDB twin: identical md5-nibble buckets, identical min-over-
+    depths arithmetic (the daily/merge split collapses — summing daily
+    cell counts equals counting directly)."""
+    digest = "md5('cms' || CAST(d AS VARCHAR) || ':' || k)"
+    nibbles = " + ".join(
+        f"(strpos('{_CMS_HEX}', substr({digest}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+        WITH ev AS (
+            SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+                   user_id, event_type
+            FROM events
+        ), cells AS (
+            SELECT d, ({nibbles}) % {CMS_WIDTH} AS bucket,
+                   COUNT(*) AS c
+            FROM ev CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d)
+            GROUP BY 1, 2
+        ), keys AS (
+            SELECT user_id, event_type,
+                   CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+                   COUNT(*) AS n_exact
+            FROM ev GROUP BY 1, 2, 3
+        ), probes AS (
+            SELECT keys.*, d, ({nibbles}) % {CMS_WIDTH} AS bucket
+            FROM keys CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d)
+        )
+        SELECT p.user_id, p.event_type,
+               CAST(p.n_exact AS BIGINT) AS n_exact,
+               CAST(MIN(c.c) AS BIGINT) AS n_est
+        FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+        GROUP BY 1, 2, 3
+    """

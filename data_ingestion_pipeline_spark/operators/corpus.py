@@ -449,3 +449,101 @@ def token_budget_oracle_sql() -> str:
             LEAST(1.0, {float(BUDGET_TOKENS_PER_SOURCE)}
                         / CAST(source_tokens AS DOUBLE)) * {float(2**32)})
     """
+
+
+# --- PII detection / redaction ---------------------------------------
+# Pattern subset chosen to mean THE SAME THING in Java regex (Spark)
+# and RE2 (DuckDB): bounded repeats and plain character classes only —
+# no lookaround, no backreferences, no \b (word-boundary semantics
+# differ at string edges across engines).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"  # NNN-NNN-NNNN
+PII_ID = "[0-9]{3}-[0-9]{2}-[0-9]{4}"  # NNN-NN-NNNN (SSN shape)
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII detection + redaction — the scrubbing pass a
+    training-data pipeline runs before text leaves quarantine
+    (complements doc_pseudonymize's token-blocklist approach with
+    pattern-shaped entities: emails, phone numbers, SSN-like ids).
+
+    The synthetic corpus contains no organic PII, so the entry first
+    DERIVES a contaminated twin of each document — a deterministic
+    contact trailer appended from doc_id (same construction in the
+    oracle SQL, the duplicate-injector pattern of sources/generator) —
+    then detects and redacts. Counts come from the DETECTION pass
+    (regexp_extract_all length), the redacted text from three chained
+    regexp_replace calls; ID before PHONE so the 3-2-4 shape is
+    consumed before the 3-3-4 pattern scans. Everything is a per-row
+    JVM string expression: map-only, one scan, zero shuffles —
+    at 100 TB this runs at I/O speed like every other quality gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((F.col("doc_id") % 900).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 90).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 9000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii_text, PII_EMAIL, "<EMAIL>"),
+            PII_ID,
+            "<ID>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(pii_text, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(pii_text, F.lit(PII_ID), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ids"),
+        F.size(F.regexp_extract_all(pii_text, F.lit(PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        redacted.alias("text_redacted"),
+    )
+
+
+def pii_redact_oracle_sql() -> str:
+    """DuckDB twin: identical derived trailer, identical patterns,
+    identical replace order (ID consumed before PHONE)."""
+    trailer = (
+        "text || ' Contact: user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com tel 555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ssn '"
+        " || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 90 AS VARCHAR), 2, '0') || '-'"
+        " || lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0')"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {trailer} AS pii FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii, '{PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(pii, '{PII_ID}')) AS BIGINT)
+                   AS n_ids,
+               CAST(len(regexp_extract_all(pii, '{PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(pii, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_ID}', '<ID>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+        FROM t
+    """

@@ -149,6 +149,14 @@ def read_version(
     files = [os.path.join(path, f) for f in manifest["files"]]
     if not files:
         return _empty_snapshot(spark, manifest)
+    if manifest.get("project_schema"):
+        # snapshot schema is WIDER than some data files (metadata-only
+        # evolution, see evolve_schema): project every file through the
+        # manifest schema — Spark null-fills columns a file predates.
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -204,6 +212,168 @@ def upsert_version(
         base.join(updates.select(keys).distinct(), on=keys, how="left_anti")
     )
     return commit_version(spark, path, merged, meta=meta)
+
+
+def evolve_schema(
+    spark: SparkSession, path: str, added_cols: list[tuple[str, str]]
+) -> int:
+    """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit — the
+    lakehouse schema-evolution contract (Delta/Iceberg add-column
+    touches no data file): the new manifest references every current
+    data file UNCHANGED and records only a widened schema; readers
+    project old files through it, null-filling the added columns
+    (`read_version`'s project_schema path). Cost is O(manifest), zero
+    data movement — at 100 TB this is the difference between an
+    instant DDL and a full-table rewrite. Columns must be new names;
+    added columns are always nullable (the only widening that needs
+    no rewrite). Returns the new version.
+    """
+    from pyspark.sql import types as T
+
+    cur = current_version(path)
+    if cur == 0:
+        raise ValueError("cannot evolve an empty table")
+    m = _manifest(path, cur)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    existing = {f.name for f in schema.fields}
+    for name, dtype in added_cols:
+        if name in existing:
+            raise ValueError(f"column {name} already exists")
+        schema = schema.add(name, dtype, nullable=True)
+    v = cur + 1
+    with open(_manifest_path(path, v), "w") as fh:
+        json.dump(
+            {
+                "version": v,
+                "files": m["files"],  # by reference — no data write
+                **({"partitions": m["partitions"]} if "partitions" in m else {}),
+                "schema": schema.json(),
+                "project_schema": True,
+                "committed_at": time.time(),
+                "meta": {"evolved": [c for c, _ in added_cols]},
+            },
+            fh,
+        )
+    tmp = os.path.join(path, POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, POINTER))
+    return v
+
+
+# --- per-file bloom index: point-lookup pruning on a NON-partition,
+# NON-clustered key. Partition pruning needs the partition key and
+# min/max stats need clustering (Z-order); a bloom filter per data
+# file prunes point lookups on any key with NO data reorganization —
+# Iceberg/Parquet expose the same structure as column bloom filters.
+BLOOM_BITS = 1 << 16  # 8 KiB bitmap per file
+BLOOM_HASHES = 2
+
+
+def _bloom_positions(value) -> list[int]:
+    """Driver-side twin of the Spark bit expression — identical md5
+    arithmetic, so index build (cluster) and probe (driver) agree."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"bloom{s}:{value}".encode()).hexdigest()[:8], 16
+        )
+        % BLOOM_BITS
+        for s in range(BLOOM_HASHES)
+    ]
+
+
+def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
+    """ONE Spark job over the current snapshot: every file's distinct
+    bloom bit positions (k salted md5 hashes per key), aggregated per
+    file, packed into an 8 KiB bitmap each, persisted as index
+    metadata beside the manifests. The scan is column-pruned to the
+    key; the shuffle carries ≤ min(2·rows, m) bits per file — index
+    size is files × 8 KiB regardless of row count. At 100 TB the
+    per-file bitmaps would be written distributed (one index shard
+    per task) instead of collected; the probe protocol is identical.
+    """
+    import base64
+    from urllib.parse import unquote, urlparse
+
+    m = _manifest(path)
+    abs_of = {rel: os.path.abspath(os.path.join(path, rel)) for rel in m["files"]}
+    rel_of = {a: r for r, a in abs_of.items()}
+    salts = F.explode(
+        F.array([F.lit(s) for s in range(BLOOM_HASHES)])
+    ).alias("salt")
+    digest = F.md5(
+        F.concat(
+            F.lit("bloom"),
+            F.col("salt").cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    bit = (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % BLOOM_BITS)
+    per_file = (
+        spark.read.parquet(*abs_of.values())
+        .select(F.input_file_name().alias("_f"), F.col(key_col))
+        .select("_f", key_col, salts)
+        .select("_f", bit.alias("bit"))
+        .groupBy("_f")
+        .agg(F.collect_set("bit").alias("bits"))
+        .collect()
+    )
+    bitmaps = {}
+    for row in per_file:
+        buf = bytearray(BLOOM_BITS // 8)
+        for b in row["bits"]:
+            buf[b >> 3] |= 1 << (b & 7)
+        rel = rel_of[os.path.abspath(unquote(urlparse(row["_f"]).path))]
+        bitmaps[rel] = base64.b64encode(bytes(buf)).decode()
+    index = {
+        "key_col": key_col,
+        "version": m["version"],
+        "bits": BLOOM_BITS,
+        "hashes": BLOOM_HASHES,
+        "files": bitmaps,
+    }
+    with open(os.path.join(path, f"_BLOOM_{key_col}.json"), "w") as fh:
+        json.dump(index, fh)
+    return index
+
+
+def bloom_candidate_files(path: str, key_col: str, values: list) -> list[str]:
+    """Metadata-only probe: relpaths whose bitmap has every bit set
+    for AT LEAST ONE probed value (bloom guarantees no false
+    negatives, so the pruned files provably contain no match)."""
+    import base64
+
+    with open(os.path.join(path, f"_BLOOM_{key_col}.json")) as fh:
+        index = json.load(fh)
+    pos = [_bloom_positions(v) for v in values]
+    out = []
+    for rel, b64 in index["files"].items():
+        buf = base64.b64decode(b64)
+        if any(
+            all(buf[p >> 3] & (1 << (p & 7)) for p in ps) for ps in pos
+        ):
+            out.append(rel)
+    return sorted(out)
+
+
+def bloom_lookup(
+    spark: SparkSession, path: str, key_col: str, values: list
+) -> DataFrame:
+    """Point lookup through the bloom index: read ONLY candidate
+    files, then the exact filter (bloom false positives are removed
+    here; false negatives cannot exist). Lookup I/O ∝ matching files
+    + fp rate, not table size."""
+    cand = bloom_candidate_files(path, key_col, values)
+    if not cand:
+        m = _manifest(path)
+        return _empty_snapshot(spark, m)
+    vals = [str(v) for v in values]
+    return spark.read.parquet(
+        *[os.path.join(path, rel) for rel in cand]
+    ).filter(F.col(key_col).cast("string").isin(vals))
 
 
 def vacuum(path: str, keep_from: int) -> list[str]:
@@ -740,4 +910,59 @@ def purge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     purge_rows(spark, path, "user_id", [7, 11])
     return read_version(spark, path, 1).select(
         "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+BLOOM_LOOKUP_IDS = [7, 123, 555, 901]  # present at every test SF
+
+
+def bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: seed a versioned events table spread over 8
+    arbitrary-content files (round-robin repartition — deliberately
+    NOT clustered on the key, so min/max stats could never prune),
+    build the per-file bloom index on event_id, and point-look-up
+    four ids through it. The oracle is the plain filter; the pruning
+    itself (candidate files ≪ total) is pinned in
+    tests/test_versioned.py::test_bloom_index_prunes_files."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("bloomidx", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(8))
+    build_bloom_index(spark, path, "event_id")
+    return bloom_lookup(spark, path, "event_id", BLOOM_LOOKUP_IDS).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: v1 commits the events snapshot, v2 ADDs a
+    `quality` column as a METADATA-ONLY commit (no data file written
+    or touched — pinned in tests/test_versioned.py), v3 upserts
+    quality='checked' onto every 10th event. The current read
+    projects v1-era rows through the widened schema (quality NULL)
+    and serves the upserted values — the oracle reproduces exactly
+    that CASE."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("evolve", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev)
+    evolve_schema(spark, path, [("quality", "string")])
+    upd = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "quality", F.lit("checked")
+    )
+    upsert_version(spark, path, upd, ["event_id"])
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value", "quality"
     )

@@ -2251,6 +2251,32 @@ REGISTRY: dict[str, QuerySpec] = {
         GROUP BY 1, 2
         """,
     ),
+    "doc_pii_redact": QuerySpec(
+        corpus.doc_pii_redact,
+        corpus.pii_redact_oracle_sql(),
+    ),
+    "bloom_index_lookup": QuerySpec(
+        versioned.bloom_index_lookup,
+        # the oracle is the plain filter; the file PRUNING is pinned in
+        # tests/test_versioned.py::test_bloom_index_prunes_files
+        """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE event_id IN (7, 123, 555, 901)
+        """,
+    ),
+    "versioned_schema_evolution": QuerySpec(
+        versioned.versioned_schema_evolution,
+        # v2 adds `quality` metadata-only; v3 upserts every 10th event
+        """
+        SELECT event_id, ts, user_id, event_type, value,
+               CASE WHEN event_id % 10 = 0 THEN 'checked' END AS quality
+        FROM events
+        """,
+    ),
+    "cms_heavy_hitters": QuerySpec(
+        analytics.cms_heavy_hitters,
+        analytics.cms_oracle_sql(),
+    ),
 }
 
 

@@ -95,3 +95,15 @@ def test_hll_rollup_error_and_merge(spark):
 
     again = hll_user_rollup(spark, SF_TEST).collect()
     assert sorted(map(tuple, rows), key=repr) == sorted(map(tuple, again), key=repr)
+
+
+def test_cms_never_undercounts_and_collides(spark):
+    """The count-min invariant: est ≥ exact for EVERY key (a sketch
+    can only overcount), and at w=64 against the test key domain the
+    overcount path is actually exercised — at least one key must
+    collide in all four hash rows, otherwise the fixture degenerates
+    to an identity test."""
+    rows = analytics.cms_heavy_hitters(spark, SF_TEST).collect()
+    assert rows
+    assert all(r.n_est >= r.n_exact for r in rows)
+    assert any(r.n_est > r.n_exact for r in rows)

@@ -492,3 +492,22 @@ def test_no_accidental_cross_joins_anywhere(spark):
         if tags:
             flagged[name] = tags
     assert not flagged, flagged
+
+
+def test_pii_redact_is_map_only_jvm(spark):
+    """PII detection/redaction is a per-row regex pass: no shuffle, no
+    Python — runs at scan cost like the other quality gates."""
+    from data_ingestion_pipeline_spark.operators import corpus
+
+    plan = plan_of(corpus.doc_pii_redact(spark, SF_TEST))
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_cms_estimate_join_broadcasts_sketch(spark):
+    """The CMS estimate join must broadcast the depth×width cell table
+    (≈256 rows) into the key-domain side — shuffling keys against a
+    constant-size sketch would be backwards at scale."""
+    plan = plan_of(analytics.cms_heavy_hitters(spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

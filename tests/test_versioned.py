@@ -465,3 +465,68 @@ def test_purge_rows_erases_across_history(spark, tmp_path):
     # vacuum still reference-counts correctly after the repoint
     versioned.vacuum(path, keep_from=2)
     assert versioned.read_version(spark, path, 2).count() == 28
+
+
+def test_evolve_schema_is_metadata_only(spark, tmp_path):
+    """ADD COLUMN must touch no data file (the lakehouse DDL
+    contract): same file set, same bytes, same mtimes — only a new
+    manifest + pointer. Old rows read back null-filled."""
+    import glob
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    versioned.commit_version(spark, path, df)
+    before = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+    }
+    v = versioned.evolve_schema(spark, path, [("note", "string")])
+    assert v == 2
+    after = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+    }
+    assert after == before, "evolution must not write or touch data files"
+    got = versioned.read_version(spark, path)
+    assert got.columns == ["k", "v", "note"]
+    assert got.filter(F.col("note").isNull()).count() == 10
+    # an upsert carrying the new column then serves mixed rows
+    upd = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("x").alias("note")
+    )
+    versioned.upsert_version(spark, path, upd, ["k"])
+    got = versioned.read_version(spark, path)
+    assert got.filter(F.col("note") == "x").count() == 3
+    assert got.filter(F.col("note").isNull()).count() == 7
+    # duplicate column name refused
+    try:
+        versioned.evolve_schema(spark, path, [("note", "string")])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_bloom_index_prunes_files(spark, tmp_path):
+    """The point of the index: a point lookup reads a strict subset
+    of the files (no false negatives — every true match present; the
+    exact filter removes false positives)."""
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(8))
+    versioned.build_bloom_index(spark, path, "event_id")
+    cand = versioned.bloom_candidate_files(path, "event_id", [7, 901])
+    total = len(versioned._manifest(path)["files"])
+    assert total == 8
+    assert 0 < len(cand) < total, (len(cand), total)
+    got = versioned.bloom_lookup(spark, path, "event_id", [7, 901])
+    rows = {r.event_id for r in got.collect()}
+    assert rows == {7, 901}
+    # a key that exists nowhere: candidates may be fp-nonempty but the
+    # lookup is exactly empty
+    assert versioned.bloom_lookup(
+        spark, path, "event_id", [10**12]
+    ).count() == 0
