@@ -824,3 +824,161 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+
+
+# ---- PQ (product quantization) ANN: the memory-compression path ----
+# FAISS's PQ construction re-expressed relationally: vectors become
+# M 4-bit codes (here M bytes as int array), queries score candidates
+# through a per-query lookup table — the corpus-side scan touches
+# CODES ONLY (M bytes/vector instead of 4·dim), which at 100 TB is
+# the difference between an in-memory index and a disk-bound scan.
+PQ_M = 16  # subspaces (dsub = dim / M)
+PQ_KS = 16  # codewords per subspace → 4-bit codes
+PQ_ITERS = 8
+
+
+def _pq_codebooks(rows: list, dim: int) -> np.ndarray:
+    """Per-subspace L2 k-means over the UNIT-NORMALIZED bounded
+    training sample (normalizing before encoding makes the ADC dot a
+    cosine numerator — candidate norms must not distort the ranking).
+    Same exactness discipline as _ivf_centroids: sample quantized at
+    EMB_SCALE, centroids floored to integers each iteration, every
+    distance term an integer-valued float64 < 2^53, argmin ties to
+    the lowest codeword — the codebook is a bit-reproducible pure
+    function of the data. Shape (M, KS, dsub) int64."""
+    dsub = dim // PQ_M
+    if not rows:
+        return np.zeros((PQ_M, PQ_KS, max(dsub, 1)), dtype=np.int64)
+    E = np.stack([r.embedding for r in rows]).astype(np.float64)
+    norms = np.sqrt((E * E).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    Eq = np.floor(E / norms * EMB_SCALE)
+    books = np.zeros((PQ_M, PQ_KS, dsub), dtype=np.int64)
+    for m in range(PQ_M):
+        X = Eq[:, m * dsub : (m + 1) * dsub]
+        init = np.linspace(0, len(X) - 1, PQ_KS).round().astype(int)
+        C = X[init].astype(np.float64)
+        for _ in range(PQ_ITERS):
+            Ci = np.floor(C)
+            d = (
+                (X * X).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ Ci.T)
+                + (Ci * Ci).sum(axis=1)
+            )
+            assign = d.argmin(axis=1)  # ties → lowest codeword
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=PQ_KS).astype(np.float64)
+            ne = counts > 0
+            C[ne] = sums[ne] / counts[ne, None]
+        books[m] = np.floor(C).astype(np.int64)
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes[M]) — one Arrow map pass, codebooks broadcast by
+    closure; no shuffle, codes computed where the vectors live. Each
+    subspace assignment is the same exact integer-L2 argmin the
+    trainer used."""
+    M, KS, dsub = books.shape
+    schema = "vec_id bigint, codes array<int>"
+    Bf = books.astype(np.float64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((E * E).sum(axis=1, keepdims=True))
+            norms[norms == 0.0] = 1.0
+            Eq = np.floor(E / norms * EMB_SCALE)
+            codes = np.zeros((len(Eq), M), dtype=np.int32)
+            for m in range(M):
+                X = Eq[:, m * dsub : (m + 1) * dsub]
+                d = (
+                    (X * X).sum(axis=1, keepdims=True)
+                    - 2.0 * (X @ Bf[m].T)
+                    + (Bf[m] * Bf[m]).sum(axis=1)
+                )
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via PQ + ADC (asymmetric distance
+    computation), then exact rerank of the shortlist:
+
+    1. TRAIN — per-subspace codebooks on the same bounded driver-side
+       sample the IVF path uses (one scan, shared discipline).
+    2. ENCODE — map-only Arrow pass: each candidate becomes M small
+       codes; the persisted "index" is M bytes/vector.
+    3. ADC — each query precomputes a (M × KS) lookup table of
+       subspace dots DRIVER-side; candidate scoring is then pure JVM:
+       zip the code array with the broadcast LUT, element_at-gather,
+       sum — approx cosine numerator without touching a single
+       embedding byte. Broadcast 10-row LUT table against the code
+       stream (the cosine_topk broadcast-queries shape).
+    4. SHORTLIST + RERANK — per-query top-SHORTLIST by ADC (window
+       over the broadcast cross), exact fixed-point cosine on those
+       only (_exact_rerank, same as the Hamming/IVF paths).
+
+    vs IVF: PQ compresses the SCAN (read M bytes, not the vector);
+    IVF prunes WHICH rows scan. Production composes them (IVF-PQ);
+    here they stay separate entries so each mechanism is verified in
+    isolation. Recall vs cosine_topk asserted in
+    tests/test_similarity.py::test_ann_pq_recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _vector_dim(emb)
+    rows, _ = _ivf_train_sample(emb)
+    books = _pq_codebooks(rows, dim)
+    M, KS, dsub = books.shape
+
+    codes = pq_encode(emb.filter(F.col("vec_id") >= N_QUERIES), books).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: N_QUERIES rows
+    lut_rows = []
+    for r in qrows:
+        Q = np.floor(np.asarray(r.embedding, dtype=np.float64) * EMB_SCALE)
+        lut = [
+            [
+                float(np.dot(Q[m * dsub : (m + 1) * dsub], books[m][k]))
+                for k in range(KS)
+            ]
+            for m in range(M)
+        ]
+        lut_rows.append((int(r.vec_id), lut))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, lut array<array<double>>"
+    )
+
+    adc = codes.join(F.broadcast(lut_df)).withColumn(
+        "adc",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, shortlist)

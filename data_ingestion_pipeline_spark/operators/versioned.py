@@ -966,3 +966,67 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, path).select(
         "event_id", "ts", "user_id", "event_type", "value", "quality"
     )
+
+
+RETENTION_CUTOFF = "2024-01-12"  # drop chunks strictly before this day
+
+
+def drop_partitions_before(spark: SparkSession, path: str, cutoff: str) -> int:
+    """TimescaleDB `drop_chunks` / `ALTER TABLE DROP PARTITION` as a
+    METADATA-ONLY commit: the new manifest simply omits every file
+    whose partition tag precedes the cutoff — zero data I/O, O(files)
+    manifest work, and the dropped days stay time-travelable until
+    vacuum passes the horizon (soft retention, exactly the lakehouse
+    posture; purge_rows is the hard variant). The reference runs on
+    TimescaleDB, where retention is chunk-level DDL
+    (drop_chunks; README.md's hypertable design) — this is the same
+    operation against the manifest-versioned layout. At 100 TB
+    retention is THE reason day partitioning exists: expiring a
+    petabyte costs one manifest write.
+    """
+    m = _manifest(path)
+    parts = m.get("partitions")
+    if parts is None:
+        raise ValueError("retention needs a partitioned table")
+    keep = [f for f in m["files"] if (parts.get(f) is None or parts[f] >= cutoff)]
+    v = m["version"] + 1
+    with open(_manifest_path(path, v), "w") as fh:
+        json.dump(
+            {
+                "version": v,
+                "files": keep,
+                "partitions": {f: parts[f] for f in keep if f in parts},
+                "schema": m["schema"],
+                **({"project_schema": True} if m.get("project_schema") else {}),
+                "committed_at": time.time(),
+                "meta": {"retention_dropped_before": cutoff},
+            },
+            fh,
+        )
+    tmp = os.path.join(path, POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, POINTER))
+    return v
+
+
+def retention_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: day-partitioned events table, then a retention
+    pass drops every chunk before RETENTION_CUTOFF metadata-only
+    (byte-identity of surviving files and time travel to v1 pinned in
+    tests/test_versioned.py::test_retention_is_metadata_only). The
+    current snapshot equals the batch filter on whole days."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("retention", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version_partitioned(spark, path, ev)
+    drop_partitions_before(spark, path, RETENTION_CUTOFF)
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

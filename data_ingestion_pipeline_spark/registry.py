@@ -782,6 +782,24 @@ REGISTRY: dict[str, QuerySpec] = {
          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         """,
     ),
+    "stream_trending_topk": QuerySpec(
+        streaming.stream_trending_topk,
+        # append-mode finalized windows == the batch hourly counts;
+        # top-K per window ranked (count DESC, type ASC) for a
+        # deterministic tiebreak
+        """
+        WITH c AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT bucket, event_type, n, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY bucket ORDER BY n DESC, event_type
+            ) AS INT) AS rk FROM c
+        ) WHERE rk <= 3
+        """,
+    ),
     "stream_versioned_ingest": QuerySpec(
         streaming.stream_versioned_ingest,
         # exactly-once versioned sink: drained snapshot == source
@@ -1665,6 +1683,11 @@ REGISTRY: dict[str, QuerySpec] = {
         None,  # approximate by construction; recall vs exact cosine_topk
         ground_truth="tests/test_similarity.py::test_ann_ivf_recall",
     ),
+    "ann_pq_topk": QuerySpec(
+        similarity.ann_pq_topk,
+        None,  # approximate by construction; recall vs exact cosine_topk
+        ground_truth="tests/test_similarity.py::test_ann_pq_recall",
+    ),
     # ---- round-4 additions: window/range-join/sampling surface ----
     "user_running_total": QuerySpec(
         queries.user_running_total,
@@ -2262,6 +2285,15 @@ REGISTRY: dict[str, QuerySpec] = {
         """
         SELECT event_id, ts, user_id, event_type, value
         FROM events WHERE event_id IN (7, 123, 555, 901)
+        """,
+    ),
+    "retention_roundtrip": QuerySpec(
+        versioned.retention_roundtrip,
+        # drop_chunks before the cutoff == whole-day filter; the
+        # metadata-only mechanics are pinned in tests/test_versioned.py
+        """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-12'
         """,
     ),
     "versioned_schema_evolution": QuerySpec(

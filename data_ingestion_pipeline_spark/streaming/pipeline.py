@@ -1404,3 +1404,80 @@ def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return V.read_version(spark, table).select(*FEED_COLS)
+
+
+TRENDING_TOPK = 3
+
+
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-MODE windowed counts — the missing window-FINALITY
+    lifecycle: every (1-hour window × event type) count is emitted
+    EXACTLY ONCE, when the watermark proves the window complete
+    (update-mode twins like stream_timeseries_1h re-emit and rely on
+    an upsert sink; append mode needs no keyed sink at all — a plain
+    parquet append is already correct, which is why finalized-window
+    output is the cheapest streaming shape at scale: state drops as
+    windows close, sink is append-only blob storage).
+
+    Watermark mechanics shared with the outer stream-stream join: the
+    feed ends with far-future sentinel rows that drag the final
+    watermark past every real window's end, so the drain's last batch
+    flushes them all. Sentinels stay IN the streaming plan (filtering
+    them pre-watermark would stall the clock — the r6 left-join
+    lesson); their own far-future windows are dropped on the batch
+    read-back, bounded by the real feed's max event time.
+
+    The trending rank (top-K types per window) is a post-pass on the
+    drained, window-domain-sized table — rank-over-finalized-windows,
+    not a streaming global sort.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    table = scratch_path("stream_trend", sf_name, "table")
+    ckpt = scratch_path("stream_trend", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    feed = scratch_path("stream_ordered_sent", sf_name, "feed")
+    build_ordered_feed_with_sentinel(spark, sf_dir, feed)
+
+    counts = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+    with _stream_shuffle(spark):
+        query = (
+            counts.writeStream.format("parquet")
+            .option("path", table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    import glob as _glob
+
+    out_schema = "bucket timestamp, event_type string, n bigint, rk int"
+    if not _glob.glob(os.path.join(table, "*.parquet")):
+        return spark.createDataFrame([], out_schema)
+    # sentinel windows (far past the real feed) drop here, on the
+    # batch read-back — never inside the watermarked plan
+    max_real = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("bucket").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        spark.read.parquet(table)
+        .filter(F.col("bucket") <= F.lit(max_real))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= TRENDING_TOPK)
+        .select("bucket", "event_type", F.col("n").cast("bigint").alias("n"), "rk")
+    )

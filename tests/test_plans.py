@@ -476,6 +476,8 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "ann_hamming_topk",
         # same broadcast-queries cross, theta'd on label mismatch
         "hard_negative_mining",
+        # broadcast 10-row ADC lookup table × candidate code stream
+        "ann_pq_topk",
         # 1-row total-distinct broadcast for the union-audit row
         "hll_user_rollup",
     }

@@ -243,3 +243,48 @@ def test_int8_quantization_preserves_topk(spark):
         total += len(exact)
     recall = hits / total
     assert recall >= 0.8, f"int8 top-5 recall {recall:.2f}"
+
+
+def test_ann_pq_recall(spark):
+    """The PQ-ADC ANN must recover ≥60% of the true top-5 while
+    scoring candidates through M-byte codes only (no embedding bytes
+    in the coarse pass). Measured: 0.96 at sf0.001 AND sf0.01 with
+    M=16 × 4-bit codes, SHORTLIST=64 — ADC tracks the cosine far
+    tighter than Hamming bits (0.82/0.88) on these near-random
+    embeddings because it preserves magnitude per subspace."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, SF_TEST).collect()
+    }
+    pq_rows = similarity.ann_pq_topk(spark, SF_TEST).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.6, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    per_q = {}
+    for r in pq_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), qid
+
+
+def test_pq_codes_are_compact_and_deterministic(spark):
+    """Every candidate encodes to exactly PQ_M codes in [0, PQ_KS);
+    re-encoding yields identical codes (pure function of the data)."""
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    rows, _ = similarity._ivf_train_sample(emb)
+    books = similarity._pq_codebooks(rows, similarity._vector_dim(emb))
+    a = {
+        r.vec_id: tuple(r.codes)
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    b = {
+        r.vec_id: tuple(r.codes)
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert a == b
+    assert all(
+        len(c) == similarity.PQ_M and all(0 <= x < similarity.PQ_KS for x in c)
+        for c in a.values()
+    )

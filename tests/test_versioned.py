@@ -530,3 +530,37 @@ def test_bloom_index_prunes_files(spark, tmp_path):
     assert versioned.bloom_lookup(
         spark, path, "event_id", [10**12]
     ).count() == 0
+
+
+def test_retention_is_metadata_only(spark, tmp_path):
+    """drop_chunks must write no data file and touch none: surviving
+    files byte-identical, dropped days still served by time travel to
+    the pre-retention version, and vacuum reclaims them only past the
+    horizon."""
+    import glob
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(spark, path, ev)
+    before = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+    }
+    n_all = ev.count()
+    v = versioned.drop_partitions_before(spark, path, "2024-01-12")
+    assert v == 2
+    after = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+    }
+    assert after == before, "retention must not write or touch data files"
+    kept = versioned.read_version(spark, path)
+    n_kept = kept.count()
+    assert 0 < n_kept < n_all
+    assert kept.filter(F.col("ts") < "2024-01-12 00:00:00").count() == 0
+    # time travel: v1 still serves the dropped days
+    assert versioned.read_version(spark, path, 1).count() == n_all
+    # vacuum past the horizon reclaims the dropped chunks' files
+    versioned.vacuum(path, keep_from=2)
+    assert versioned.read_version(spark, path).count() == n_kept
