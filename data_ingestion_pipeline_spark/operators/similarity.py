@@ -982,3 +982,77 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(emb, shortlist)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two mechanisms COMPOSED, FAISS's production
+    layout: IVF cells prune WHICH rows are scanned (partition
+    pruning), PQ codes compress WHAT each scanned row costs (M bytes,
+    no embedding I/O in the coarse pass). The stored index is one
+    table (vec_id, cell, codes) — at rest partitioned by cell, so a
+    probe reads nprobe/√n of the partitions and scores them through
+    the broadcast per-query ADC lookup tables; only the final
+    shortlist pulls embedding bytes for the exact fixed-point rerank.
+    Train/assign/encode reuse the verified single-mechanism parts
+    (one shared bounded sample; same exactness discipline), so this
+    entry verifies exactly the COMPOSITION: recall floor in
+    tests/test_similarity.py::test_ann_ivfpq_recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _vector_dim(emb)
+    rows, n = _ivf_train_sample(emb)
+    n_cells, nprobe = _ivf_params(n)
+    Cq = _ivf_centroids(emb, rows, n_cells)
+    books = _pq_codebooks(rows, dim)
+    M, KS, dsub = books.shape
+
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES)
+    index = _ivf_assign(cands, Cq, nprobe=1).join(
+        pq_encode(cands, books), "vec_id"
+    )  # (vec_id, cell, codes): the persisted IVF-PQ index table
+    query_cells = _ivf_assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), Cq, nprobe=nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        Q = np.floor(np.asarray(r.embedding, dtype=np.float64) * EMB_SCALE)
+        lut = [
+            [
+                float(np.dot(Q[m * dsub : (m + 1) * dsub], books[m][k]))
+                for k in range(KS)
+            ]
+            for m in range(M)
+        ]
+        lut_rows.append((int(r.vec_id), lut))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, lut array<array<double>>"
+    )
+
+    probed = query_cells.join(index, "cell").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    adc = probed.join(F.broadcast(lut_df), "query_id").withColumn(
+        "adc",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, shortlist)

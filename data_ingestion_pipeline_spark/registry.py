@@ -782,6 +782,14 @@ REGISTRY: dict[str, QuerySpec] = {
          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         """,
     ),
+    "stream_dedup_within_watermark": QuerySpec(
+        streaming.stream_dedup_within_watermark,
+        # first-wins on exact-copy duplicates keyed by event_id ==
+        # the plain events table, arrival-order-independent
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+    ),
     "stream_trending_topk": QuerySpec(
         streaming.stream_trending_topk,
         # append-mode finalized windows == the batch hourly counts;
@@ -1687,6 +1695,11 @@ REGISTRY: dict[str, QuerySpec] = {
         similarity.ann_pq_topk,
         None,  # approximate by construction; recall vs exact cosine_topk
         ground_truth="tests/test_similarity.py::test_ann_pq_recall",
+    ),
+    "ann_ivfpq_topk": QuerySpec(
+        similarity.ann_ivfpq_topk,
+        None,  # approximate by construction; recall vs exact cosine_topk
+        ground_truth="tests/test_similarity.py::test_ann_ivfpq_recall",
     ),
     # ---- round-4 additions: window/range-join/sampling surface ----
     "user_running_total": QuerySpec(

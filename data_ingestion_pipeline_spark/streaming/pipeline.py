@@ -1481,3 +1481,55 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TRENDING_TOPK)
         .select("bucket", "event_type", F.col("n").cast("bigint").alias("n"), "rk")
     )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — the
+    BOUNDED-STATE twin of stream_dedup_to_table's state-store dedup:
+    first arrival of each event_id is emitted immediately (append
+    mode, plain parquet sink — no keyed upsert needed), duplicates
+    arriving within the watermark horizon are dropped, and the
+    operator GUARANTEES state eviction once the watermark passes a
+    key's event time — state ∝ rate × horizon by API contract, the
+    dial real deployments tune.
+
+    The horizon must cover the feed's DISORDER: this replay fixture
+    interleaves duplicates across the whole month in arbitrary file
+    order, so the horizon is the full span (31 days — same posture as
+    stream_timeseries_1h's 30-day watermark; an ordered production
+    stream runs the same code with a horizon of hours). Keyed by
+    event_id: injected duplicates are exact row copies, so first-wins
+    is arrival-order-independent and the drained table equals the
+    events table exactly.
+    """
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_dedup", sf_name, "feed")  # shared dup fixture
+    table = scratch_path("stream_dedupww", sf_name, "table")
+    ckpt = scratch_path("stream_dedupww", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    build_feed(spark, sf_dir, feed, with_dups=True)
+
+    deduped = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed)
+        .withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with _stream_shuffle(spark):
+        query = (
+            deduped.writeStream.format("parquet")
+            .option("path", table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(table, "*.parquet")):
+        return spark.createDataFrame([], FEED_SCHEMA)
+    return spark.read.parquet(table).select(*FEED_COLS)

@@ -288,3 +288,25 @@ def test_pq_codes_are_compact_and_deterministic(spark):
         len(c) == similarity.PQ_M and all(0 <= x < similarity.PQ_KS for x in c)
         for c in a.values()
     )
+
+
+def test_ann_ivfpq_recall(spark):
+    """The composed IVF-PQ path must recover ≥55% of the true top-5 —
+    the IVF cell pruning dominates the loss (its own recall floor is
+    0.6 at ~25% probe fraction on these near-random embeddings); the
+    ADC stage barely loses on top of it (PQ alone: 0.96). Measured:
+    0.62 at sf0.01 — within noise of plain IVF's 0.62, i.e. the
+    composition costs nothing beyond the prune it buys."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, SF_TEST).collect()
+    }
+    got_rows = similarity.ann_ivfpq_topk(spark, SF_TEST).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.55, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    per_q = {}
+    for r in got_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), qid
