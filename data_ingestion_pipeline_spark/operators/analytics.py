@@ -18,6 +18,8 @@ Scale design, per query:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -858,3 +860,151 @@ def cms_oracle_sql() -> str:
         FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
         GROUP BY 1, 2, 3
     """
+
+
+HIST_BIN_WIDTH = 1.0  # value-domain units; quantile error <= width/2
+
+
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-mergeable fixed-bin histogram sketch for quantiles — the
+    family's third sketch after HLL (distincts) and count-min
+    (frequencies): exact quantiles need a full sort of the raw data,
+    but a histogram of floor(value/w) bins is ONE map-side-combinable
+    aggregate whose partial states (per event_type × day here) merge
+    by adding counts. The merged sketch answers any quantile with
+    error <= w/2 by construction: the rank-r order statistic provably
+    sits inside the first bin whose cumulative count reaches
+    r = ceil(q*n), and the midpoint estimate can't miss it by more
+    than half a bin.
+
+    Quantitative-oracle form (same pattern as hll_user_rollup): every
+    arithmetic step — binning, cumulative crossing, ceil(q*n) rank,
+    midpoint — is deterministic integer/IEEE math that DuckDB
+    reproduces bit-for-bit, and each row also carries the EXACT
+    discrete quantile (a raw data value, no arithmetic) plus the
+    within-bound verdict, so the driver hash checks the sketch's
+    error contract, not just its shape. The exact columns are the
+    audit side: at 100 TB they'd be dropped and only the sketch path
+    would run (daily states are ~bins-sized, the merge touches no raw
+    rows); the audit's per-type row_number sort is the one
+    deliberately-unscalable piece, exactly like hll's one extra
+    count_distinct scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    # the sketch: per (type, day) partial states, then the re-merge
+    daily = ev.groupBy(
+        "event_type", "day", F.floor(F.col("value") / HIST_BIN_WIDTH).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    totals = merged.groupBy("event_type").agg(F.sum("c").alias("n"))
+    w_cum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.withColumn("cum", F.sum("c").over(w_cum)).join(totals, "event_type")
+    r50 = F.ceil(F.lit(0.5) * F.col("n"))
+    r95 = F.ceil(F.lit(0.95) * F.col("n"))
+    est = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= r50, F.col("bin"))).alias("bin50"),
+        F.min(F.when(F.col("cum") >= r95, F.col("bin"))).alias("bin95"),
+    )
+    # exact discrete quantiles: rank-r order statistics (audit side)
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(w_rank)).join(
+        totals, "event_type"
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == r50, F.col("value"))).alias("p50_disc"),
+        F.max(F.when(F.col("rn") == r95, F.col("value"))).alias("p95_disc"),
+    )
+    half = HIST_BIN_WIDTH / 2.0
+    mid = lambda b: b * F.lit(HIST_BIN_WIDTH) + F.lit(half)  # noqa: E731
+    return (
+        totals.join(est, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p50_disc",
+            mid(F.col("bin50")).alias("p50_est"),
+            (F.abs(mid(F.col("bin50")) - F.col("p50_disc")) <= half).alias(
+                "p50_ok"
+            ),
+            "p95_disc",
+            mid(F.col("bin95")).alias("p95_est"),
+            (F.abs(mid(F.col("bin95")) - F.col("p95_disc")) <= half).alias(
+                "p95_ok"
+            ),
+        )
+    )
+
+
+BUCKETED_JOIN_BUCKETS = 8
+
+
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-bucketed co-located join — the write-time answer to the
+    repo's most-repeated scale claim: orders⋈lineitem shuffles both
+    sides on orderkey UNLESS both tables were bucketed on it when
+    written, in which case the bucket layout satisfies the join's
+    (and the downstream groupBy's) required distribution and the scan
+    feeds the sort-merge join with NO Exchange at all. At 100 TB the
+    fact-table shuffle is THE dominant cost of every such query;
+    bucketing pays it once at ingest and amortizes it over every
+    subsequent join on the key. This entry does the full roundtrip
+    per invocation — bucketBy writes of both sides, metastore
+    registration, exchange-free join, per-order rollup — and
+    `tests/test_bucketing.py` pins the no-Exchange plan property.
+
+    Broadcast is disabled for the join ONLY via a scoped conf so the
+    plan exercises the bucketed SMJ path (a broadcast join would also
+    skip the shuffle, but stops being available the moment the dim
+    side outgrows the driver; bucketing is the strategy that survives
+    both sides growing).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_lineitem = f"orders_bj_{sf_tag}", f"lineitem_bj_{sf_tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_lineitem):
+        # DROP alone is not enough: a FRESH session's in-memory
+        # catalog has no such table, so DROP no-ops while the managed
+        # location from a previous session still exists on disk and
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.bucketBy(BUCKETED_JOIN_BUCKETS, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable(t_orders)
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).write.bucketBy(BUCKETED_JOIN_BUCKETS, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable(t_lineitem)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(t_lineitem)
+            .join(
+                spark.table(t_orders),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderkey", "o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dec_sum("l_quantity").alias("sum_qty"),
+            )
+        )
+        # materialize while the scoped conf is active: the returned
+        # frame reads checkpointed blocks, so restoring the conf can't
+        # re-plan the join behind the caller's back
+        return joined.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -415,3 +415,54 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("MACHINERY").alias("c_mktsegment"),
     )
     return scd2_apply(dim2, changed3.unionByName(fresh3), "c_custkey", SCD2_T3)
+
+
+def pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: enrich a fact row with the
+    dimension attributes that were CURRENT at the fact's own event
+    time — the read-side counterpart of SCD2 (reference analogue: the
+    consumer's PK-upserted table answers only "latest"; a versioned
+    dimension answers "as of when", `services/query/main.py`'s
+    latest-only reads are the degenerate case).
+
+    Probes are a pure function of orders (o_orderkey % 3 picks the
+    T1/T2/T3 era) so the DuckDB oracle reproduces the whole pipeline.
+    Join shape: equi on c_custkey with the interval predicate
+    `valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)` as a
+    residual — SCD2 intervals are DISJOINT per key, so output
+    cardinality is exactly the fact count (no range-join explosion).
+    The dimension is customer-sized → broadcast; at 100 TB the fact
+    scan never shuffles: each task probes the broadcast history and
+    keeps the one interval covering its row's timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    dim = scd2_customer_history(spark, sf_dir)
+    probes = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(SCD2_T1))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(SCD2_T2))
+        .otherwise(F.lit(SCD2_T3))
+        .cast("timestamp")
+        .alias("probe_ts"),
+    )
+    return (
+        probes.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("valid_from") <= F.col("probe_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("probe_ts") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "probe_ts",
+            "version",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )

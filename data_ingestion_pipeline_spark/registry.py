@@ -913,6 +913,63 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM mx
         """,
     ),
+    "pit_join_orders": QuerySpec(
+        upsert.pit_join_orders,
+        # dim CTE = scd2_customer_history's oracle verbatim; probes
+        # pick their era from o_orderkey % 3, then the point-in-time
+        # interval match (disjoint per key -> exactly one row/probe).
+        """
+        WITH c AS (
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        ), mx AS (
+            SELECT MAX(c_custkey) AS m FROM c
+        ), dim AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment,
+                   1 AS version,
+                   TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                   CASE WHEN c_custkey % 7 = 0 OR c_custkey % 13 = 0
+                        THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+            FROM c
+            UNION ALL
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END,
+                   CASE WHEN c_custkey % 13 = 0 THEN 'RESEGMENTED'
+                        ELSE c_mktsegment END,
+                   2, TIMESTAMP '2024-06-01 00:00:00',
+                   CASE WHEN c_custkey % 7 = 0
+                        THEN TIMESTAMP '2024-09-01 00:00:00' END
+            FROM c WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0
+            UNION ALL
+            SELECT c_custkey, c_acctbal + 200.0,
+                   CASE WHEN c_custkey % 13 = 0 THEN 'RESEGMENTED'
+                        ELSE c_mktsegment END,
+                   3, TIMESTAMP '2024-09-01 00:00:00', NULL
+            FROM c WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT m + 1, 0.0, 'BUILDING',
+                   1, TIMESTAMP '2024-06-01 00:00:00',
+                   TIMESTAMP '2024-09-01 00:00:00'
+            FROM mx
+            UNION ALL
+            SELECT m + 1, 0.0, 'MACHINERY',
+                   2, TIMESTAMP '2024-09-01 00:00:00', NULL
+            FROM mx
+        ), probes AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE o_orderkey % 3
+                        WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+                        WHEN 1 THEN TIMESTAMP '2024-06-01 00:00:00'
+                        ELSE TIMESTAMP '2024-09-01 00:00:00' END AS probe_ts
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, probe_ts,
+               version, c_acctbal, c_mktsegment
+        FROM probes p JOIN dim d ON p.o_custkey = d.c_custkey
+         AND d.valid_from <= p.probe_ts
+         AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+        """,
+    ),
     "debounce_events": QuerySpec(
         queries.debounce_events,
         # gap on WHOLE seconds (FLOOR(EPOCH) = Spark's ts CAST AS LONG
@@ -1233,6 +1290,61 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         ground_truth="tests/test_analytics.py::test_hll_rollup_error_and_merge",
     ),
+    "bucketed_join_roundtrip": QuerySpec(
+        analytics.bucketed_join_roundtrip,
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """,
+    ),
+    "histogram_quantile_rollup": QuerySpec(
+        analytics.histogram_quantile_rollup,
+        # every estimate step is deterministic integer/IEEE math —
+        # the oracle REPRODUCES the sketch (not just bounds it), and
+        # the p*_ok verdicts audit it against the exact rank-r order
+        # statistics (raw data values — engine-identical).
+        """
+        WITH ev AS (SELECT event_type, value FROM events),
+        tot AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+        h AS (
+            SELECT event_type, CAST(FLOOR(value / 1.0) AS BIGINT) AS bin,
+                   COUNT(*) AS c
+            FROM ev GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+            FROM h
+        ),
+        est AS (
+            SELECT c.event_type,
+                   MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bin END) AS bin50,
+                   MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN bin END) AS bin95
+            FROM cum c JOIN tot t USING (event_type) GROUP BY 1
+        ),
+        rk AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY value) AS rn
+            FROM ev
+        ),
+        x AS (
+            SELECT r.event_type,
+                   MAX(CASE WHEN rn = CEIL(0.5 * n) THEN value END) AS p50_disc,
+                   MAX(CASE WHEN rn = CEIL(0.95 * n) THEN value END) AS p95_disc
+            FROM rk r JOIN tot t USING (event_type) GROUP BY 1
+        )
+        SELECT t.event_type, CAST(n AS BIGINT) AS n,
+               p50_disc, bin50 * 1.0 + 0.5 AS p50_est,
+               ABS(bin50 * 1.0 + 0.5 - p50_disc) <= 0.5 AS p50_ok,
+               p95_disc, bin95 * 1.0 + 0.5 AS p95_est,
+               ABS(bin95 * 1.0 + 0.5 - p95_disc) <= 0.5 AS p95_ok
+        FROM tot t JOIN est USING (event_type) JOIN x USING (event_type)
+        """,
+    ),
     "events_expectations": QuerySpec(
         expectations.events_expectations,
         """
@@ -1434,6 +1546,29 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- near-duplicate detection ----
     "ngram_jaccard_pairs": QuerySpec(
         dedup.ngram_jaccard_pairs,
+        """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        ) WHERE jaccard >= 0.5
+        """,
+    ),
+    "jaccard_prefix_join": QuerySpec(
+        dedup.jaccard_prefix_join,
+        # SAME oracle as ngram_jaccard_pairs by design: the prefix-
+        # filtered equi-join must reproduce the quadratic ground truth
+        # bit-for-bit (the oracle itself is all-pairs — fine at the
+        # driver's sf0.01, deselect from any sf0.1 parity sweep).
         """
         WITH sh AS (
             SELECT doc_id,

@@ -107,3 +107,16 @@ def test_cms_never_undercounts_and_collides(spark):
     assert rows
     assert all(r.n_est >= r.n_exact for r in rows)
     assert any(r.n_est > r.n_exact for r in rows)
+
+
+def test_histogram_quantile_within_half_bin(spark):
+    """The histogram sketch's midpoint estimates must sit within w/2
+    of the exact rank-r order statistics for EVERY group — the error
+    contract is by construction (the r-th value lives in the chosen
+    bin), so the verdicts must all be True, not just mostly."""
+    rows = analytics.histogram_quantile_rollup(spark, SF_TEST).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.p50_ok and r.p95_ok, r
+        assert abs(r.p50_est - r.p50_disc) <= analytics.HIST_BIN_WIDTH / 2
+        assert abs(r.p95_est - r.p95_disc) <= analytics.HIST_BIN_WIDTH / 2

@@ -265,3 +265,19 @@ def test_dup_clusters_reliable_checkpoint_path(spark, tmp_path):
         for f in fs
     ]
     assert found, "reliable path must persist checkpoint files"
+
+
+def test_jaccard_prefix_join_equals_exact(spark):
+    """The prefix-filtered equi-join variant must reproduce the
+    quadratic ground truth EXACTLY — same pairs, same jaccard values
+    (both compute |A∩B|/|A∪B| over the same shingle sets, so even the
+    float division is identical)."""
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, SF_TEST).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_prefix_join(spark, SF_TEST).collect()
+    }
+    assert fast == exact and len(exact) > 0

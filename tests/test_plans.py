@@ -513,3 +513,25 @@ def test_cms_estimate_join_broadcasts_sketch(spark):
     plan = plan_of(analytics.cms_heavy_hitters(spark, SF_TEST))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_prefix_join_is_not_allpairs(spark):
+    """Prefix filtering must make the exact Jaccard join an equi-join
+    on prefix tokens (length filter riding as residual) — never a
+    cartesian/nested-loop like its quadratic oracle twin."""
+    plan = plan_of(dedup.jaccard_prefix_join(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_join_is_broadcast(spark):
+    """The point-in-time probe must broadcast the dimension history:
+    the fact side stays unshuffled and the disjoint-interval residual
+    keeps output cardinality at exactly the fact count."""
+    from data_ingestion_pipeline_spark.operators import upsert
+
+    df = upsert.pit_join_orders(spark, SF_TEST)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    n_orders = spark.read.parquet(f"{SF_TEST}/orders.parquet").count()
+    assert df.count() == n_orders
