@@ -214,8 +214,22 @@ def upsert_version(
     return commit_version(spark, path, merged, meta=meta)
 
 
+def _occ_check(path: str, expected_current: int | None) -> None:
+    """commit_version's optimistic-concurrency re-check, shared by the
+    metadata-only DDL commits: re-run before every shared-name write
+    (manifest, pointer) so a losing writer never clobbers the winner's
+    manifest for the contested version number."""
+    if expected_current is not None and current_version(path) != expected_current:
+        raise ConcurrentCommitError(
+            f"expected v{expected_current}, found v{current_version(path)}"
+        )
+
+
 def evolve_schema(
-    spark: SparkSession, path: str, added_cols: list[tuple[str, str]]
+    spark: SparkSession,
+    path: str,
+    added_cols: list[tuple[str, str]],
+    expected_current: int | None = None,
 ) -> int:
     """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit — the
     lakehouse schema-evolution contract (Delta/Iceberg add-column
@@ -226,10 +240,14 @@ def evolve_schema(
     data movement — at 100 TB this is the difference between an
     instant DDL and a full-table rewrite. Columns must be new names;
     added columns are always nullable (the only widening that needs
-    no rewrite). Returns the new version.
+    no rewrite). Returns the new version. `expected_current` enables
+    the same optimistic-concurrency protocol as commit_version: the
+    DDL aborts before any shared-name write if another writer
+    published meanwhile.
     """
     from pyspark.sql import types as T
 
+    _occ_check(path, expected_current)
     cur = current_version(path)
     if cur == 0:
         raise ValueError("cannot evolve an empty table")
@@ -241,6 +259,7 @@ def evolve_schema(
             raise ValueError(f"column {name} already exists")
         schema = schema.add(name, dtype, nullable=True)
     v = cur + 1
+    _occ_check(path, expected_current)
     with open(_manifest_path(path, v), "w") as fh:
         json.dump(
             {
@@ -254,6 +273,7 @@ def evolve_schema(
             },
             fh,
         )
+    _occ_check(path, expected_current)
     tmp = os.path.join(path, POINTER + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(str(v))
@@ -340,14 +360,29 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     return index
 
 
+class StaleBloomIndexError(RuntimeError):
+    """The bloom index was built against a superseded snapshot."""
+
+
 def bloom_candidate_files(path: str, key_col: str, values: list) -> list[str]:
     """Metadata-only probe: relpaths whose bitmap has every bit set
     for AT LEAST ONE probed value (bloom guarantees no false
-    negatives, so the pruned files provably contain no match)."""
+    negatives, so the pruned files provably contain no match).
+
+    Raises StaleBloomIndexError when the index predates the current
+    version: serving it would miss rows committed since the build and
+    may reference files purge/vacuum already removed. bloom_lookup
+    rebuilds transparently; metadata-only callers must rebuild."""
     import base64
 
     with open(os.path.join(path, f"_BLOOM_{key_col}.json")) as fh:
         index = json.load(fh)
+    cur = current_version(path)
+    if index["version"] != cur:
+        raise StaleBloomIndexError(
+            f"bloom index on {key_col!r} built at v{index['version']}, "
+            f"table is at v{cur}; rebuild with build_bloom_index"
+        )
     pos = [_bloom_positions(v) for v in values]
     out = []
     for rel, b64 in index["files"].items():
@@ -365,8 +400,14 @@ def bloom_lookup(
     """Point lookup through the bloom index: read ONLY candidate
     files, then the exact filter (bloom false positives are removed
     here; false negatives cannot exist). Lookup I/O ∝ matching files
-    + fp rate, not table size."""
-    cand = bloom_candidate_files(path, key_col, values)
+    + fp rate, not table size. A stale index (any commit since the
+    build) is rebuilt transparently before probing — serving it
+    would miss newly committed rows or read purged files."""
+    try:
+        cand = bloom_candidate_files(path, key_col, values)
+    except StaleBloomIndexError:
+        build_bloom_index(spark, path, key_col)
+        cand = bloom_candidate_files(path, key_col, values)
     if not cand:
         m = _manifest(path)
         return _empty_snapshot(spark, m)
@@ -555,30 +596,42 @@ def purge_rows(
     the rewrite — version structure, tags, and untouched files stay
     byte-identical.
 
-    Shape: exactly TWO Spark jobs regardless of file count — never a
-    per-file driver loop (the r6 version ran up to three blocking jobs
-    per file; O(files) serial driver passes are a 100 TB scale-killer).
+    Shape: 1 + O(distinct file schemas) Spark jobs regardless of file
+    count — never a per-file driver loop (the r6 version ran up to
+    three blocking jobs per file; O(files) serial driver passes are a
+    100 TB scale-killer).
       1. MEMBERSHIP PROBE: one scan of every referenced file at once,
          `input_file_name()` + the key column only (column pruning),
          with the key predicate expressed as `isin` so parquet
          row-group statistics skip unaffected files inside the scan;
          aggregate to the distinct affected-file set.
-      2. REWRITE: one job reading only the affected files, tagging
-         each row with its source-file index (a broadcast literal
-         map), anti-filtering the purge keys, and writing every
-         rewrite in a single `partitionBy(file-index)` action —
-         `repartition(n, idx)` puts each source file's survivors in
-         one task, so each index directory holds exactly one part
-         file with the ORIGINAL schema (the index column is consumed
-         by partitionBy).
-    Driver work after that is pure metadata: one rename per affected
-    file and the manifest repoint. Files rewritten to emptiness drop
-    out of their manifests. Returns {relpath: new_relpath_or_None}
-    for the audit log a real deletion workflow must keep.
+      2. REWRITE: affected files grouped by their parquet-footer
+         schema (driver-side metadata reads, no job; one group for an
+         unevolved table) so each file's survivors keep that file's
+         ORIGINAL schema — a mergeSchema union write would force
+         evolved snapshots through one widened schema, silently
+         null-filling or dropping committed columns. Each group is
+         ONE job: tag each row with its source-file index (a
+         broadcast literal map keyed on the decoded file URI),
+         anti-filter the purge keys (NULL keys are never purge
+         targets and are kept explicitly — `~isin` alone is NULL for
+         them), and write every rewrite in a single
+         `partitionBy(file-index)` action; `repartition(n, idx)` puts
+         each source file's survivors in one task, so each index
+         directory holds exactly one part file.
+    Before ANY original is deleted, a NULL-index sentinel partition
+    (`__HIVE_DEFAULT_PARTITION__`) aborts the purge: it means the
+    URI→file map missed (encoding drift between input_file_name and
+    the driver-side paths) and proceeding would silently drop
+    survivors. Driver work after that is pure metadata: one rename
+    per affected file and the manifest repoint. Files rewritten to
+    emptiness drop out of their manifests. Returns
+    {relpath: new_relpath_or_None} for the audit log a real deletion
+    workflow must keep.
 
     For purge sets too large for an in-filter (millions of subjects),
     swap the isin for a broadcast anti-join — that trades row-group
-    pruning for predicate scalability; the two-job shape is unchanged.
+    pruning for predicate scalability; the job shape is unchanged.
     """
     import shutil as _shutil
     from urllib.parse import unquote, urlparse
@@ -617,35 +670,76 @@ def purge_rows(
     if not affected:
         return rewritten
 
-    # Job 2: rewrite every affected file in one parallel action.
-    idx_pairs = []
-    for i, rel in enumerate(affected):
-        idx_pairs.extend([F.lit(abs_of[rel]), F.lit(i)])
-    idx_map = F.create_map(*idx_pairs)
-    norm_path = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-    kept = (
-        spark.read.parquet(*[abs_of[r] for r in affected])
-        .withColumn("_purge_idx", idx_map[norm_path])
-        .filter(~F.col(key_col).cast("string").isin(vals))
-    )
+    # Job 2: rewrite every affected file, grouped by footer schema so
+    # each file's survivors keep that file's ORIGINAL schema. Footer
+    # reads are driver-side parquet metadata (no Spark job); job count
+    # is O(distinct schemas), 1 for an unevolved table.
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for rel in affected:
+        sig = tuple(str(f) for f in pq.read_schema(abs_of[rel]))
+        groups.setdefault(sig, []).append(rel)
+
     tmp = os.path.join(path, "_purge_tmp")
     _shutil.rmtree(tmp, ignore_errors=True)
-    (
-        kept.repartition(len(affected), "_purge_idx")
-        .write.partitionBy("_purge_idx")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    for i, rel in enumerate(affected):
-        pdir = os.path.join(tmp, f"_purge_idx={i}")
-        parts = (
-            [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            if os.path.isdir(pdir)
-            else []
+    staged: dict[str, str] = {}  # rel → staged rewrite part path
+    for gi, rels in enumerate(groups.values()):
+        idx_pairs = []
+        for i, rel in enumerate(rels):
+            idx_pairs.extend([F.lit(abs_of[rel]), F.lit(i)])
+        idx_map = F.create_map(*idx_pairs)
+        # input_file_name() returns a percent-encoded URI; pre-escape
+        # the one char url_decode mishandles ('+' → space), decode,
+        # then strip the scheme — byte-identical to Job 1's
+        # unquote(urlparse(...).path) for any path (spaces, '%',
+        # non-ASCII included).
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), r"\+", "%2B")
         )
-        if parts:
+        norm_path = F.regexp_replace(decoded, "^file:/+", "/")
+        kept = (
+            spark.read.parquet(*[abs_of[r] for r in rels])
+            .withColumn("_purge_idx", idx_map[norm_path])
+            .filter(
+                F.col(key_col).isNull()
+                | ~F.col(key_col).cast("string").isin(vals)
+            )
+        )
+        gdir = os.path.join(tmp, f"g{gi}")
+        (
+            kept.repartition(len(rels), "_purge_idx")
+            .write.partitionBy("_purge_idx")
+            .mode("overwrite")
+            .parquet(gdir)
+        )
+        # Fail fast BEFORE any original is deleted: survivors with a
+        # NULL index mean the URI→file map missed; aborting here loses
+        # nothing, proceeding would silently drop those rows.
+        if os.path.isdir(
+            os.path.join(gdir, "_purge_idx=__HIVE_DEFAULT_PARTITION__")
+        ):
+            _shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                "purge_rows: survivors mapped to no source file "
+                "(input_file_name encoding mismatch); purge aborted "
+                "before deleting any original"
+            )
+        for i, rel in enumerate(rels):
+            pdir = os.path.join(gdir, f"_purge_idx={i}")
+            parts = (
+                [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+                if os.path.isdir(pdir)
+                else []
+            )
+            if parts:
+                staged[rel] = os.path.join(pdir, parts[0])
+
+    # all rewrites staged and validated — now the metadata swap
+    for rel in affected:
+        if rel in staged:
             new_rel = rel[: -len(".parquet")] + ".purged.parquet"
-            os.replace(os.path.join(pdir, parts[0]), os.path.join(path, new_rel))
+            os.replace(staged[rel], os.path.join(path, new_rel))
             rewritten[rel] = new_rel
         else:
             rewritten[rel] = None  # every row matched: file vanishes
@@ -971,7 +1065,12 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETENTION_CUTOFF = "2024-01-12"  # drop chunks strictly before this day
 
 
-def drop_partitions_before(spark: SparkSession, path: str, cutoff: str) -> int:
+def drop_partitions_before(
+    spark: SparkSession,
+    path: str,
+    cutoff: str,
+    expected_current: int | None = None,
+) -> int:
     """TimescaleDB `drop_chunks` / `ALTER TABLE DROP PARTITION` as a
     METADATA-ONLY commit: the new manifest simply omits every file
     whose partition tag precedes the cutoff — zero data I/O, O(files)
@@ -982,14 +1081,18 @@ def drop_partitions_before(spark: SparkSession, path: str, cutoff: str) -> int:
     (drop_chunks; README.md's hypertable design) — this is the same
     operation against the manifest-versioned layout. At 100 TB
     retention is THE reason day partitioning exists: expiring a
-    petabyte costs one manifest write.
+    petabyte costs one manifest write. `expected_current` runs
+    commit_version's optimistic-concurrency protocol (re-checked
+    before the manifest write and the pointer swap).
     """
+    _occ_check(path, expected_current)
     m = _manifest(path)
     parts = m.get("partitions")
     if parts is None:
         raise ValueError("retention needs a partitioned table")
     keep = [f for f in m["files"] if (parts.get(f) is None or parts[f] >= cutoff)]
     v = m["version"] + 1
+    _occ_check(path, expected_current)
     with open(_manifest_path(path, v), "w") as fh:
         json.dump(
             {
@@ -1003,6 +1106,7 @@ def drop_partitions_before(spark: SparkSession, path: str, cutoff: str) -> int:
             },
             fh,
         )
+    _occ_check(path, expected_current)
     tmp = os.path.join(path, POINTER + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(str(v))

@@ -564,3 +564,122 @@ def test_retention_is_metadata_only(spark, tmp_path):
     # vacuum past the horizon reclaims the dropped chunks' files
     versioned.vacuum(path, keep_from=2)
     assert versioned.read_version(spark, path).count() == n_kept
+
+
+def test_purge_keeps_null_keys_and_decodes_uri_paths(spark, tmp_path):
+    """Two silent-loss regressions pinned at once: (1) rows whose key
+    is NULL are never purge targets and must survive every rewrite
+    (`~isin` alone evaluates to NULL for them); (2) a table path with
+    a space exercises input_file_name()'s percent-encoding — the
+    rewrite's URI→file map must decode it or survivors vanish into
+    the NULL-index partition."""
+    from data_ingestion_pipeline_spark.operators.versioned import purge_rows
+
+    path = str(tmp_path / "t with space")
+    os.makedirs(path)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "null-key-1"), (3, "c"), (None, "null-key-2")],
+        "k int, v string",
+    )
+    versioned.commit_version(spark, path, df.repartition(2))
+    audit = purge_rows(spark, path, "k", [2])
+    assert audit, "the key exists, so at least one file must rewrite"
+    got = versioned.read_version(spark, path)
+    assert got.filter(F.col("k") == 2).count() == 0
+    assert got.filter(F.col("k").isNull()).count() == 2, (
+        "NULL-keyed rows must survive a purge of other keys"
+    )
+    assert got.count() == 4
+
+
+def test_purge_preserves_per_file_original_schema(spark, tmp_path):
+    """Purge across a schema-evolved history: files written before the
+    ADD COLUMN must be rewritten WITHOUT the added column (their
+    original footer schema), files written after keep their values —
+    a single mergeSchema union write would widen/drop silently."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_pipeline_spark.operators.versioned import purge_rows
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "k int, v double")
+    versioned.commit_version(spark, path, df.coalesce(1))  # v1: (k, v)
+    versioned.evolve_schema(spark, path, [("q", "string")])  # v2: metadata-only
+    df2 = spark.createDataFrame(
+        [(i, float(i), "new") for i in range(10, 20)], "k int, v double, q string"
+    )
+    versioned.commit_version(spark, path, df2.coalesce(1))  # v3: (k, v, q)
+
+    # one purged key per schema generation → both files rewrite
+    audit = purge_rows(spark, path, "k", [3, 13])
+    assert sum(1 for v in audit.values() if v) == 2
+    # v1-era rewrite keeps the ORIGINAL two-column footer schema
+    schemas = {
+        tuple(pq.read_schema(p).names)
+        for p in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+    }
+    assert ("k", "v") in schemas and ("k", "v", "q") in schemas, schemas
+    got = versioned.read_version(spark, path)  # v3 current
+    assert got.filter(F.col("k").isin(3, 13)).count() == 0
+    assert got.filter(F.col("q") == "new").count() == 9, (
+        "post-evolution column values must survive the rewrite"
+    )
+    # time travel through the projected v2 still null-fills old rows
+    v2 = versioned.read_version(spark, path, 2)
+    assert v2.columns == ["k", "v", "q"]
+    assert v2.filter(F.col("k") == 3).count() == 0
+    assert v2.count() == 9
+
+
+def test_bloom_index_stale_after_commit(spark, tmp_path):
+    """A commit after the index build makes the index a wrong answer
+    (missing new rows / referencing purged files): the metadata probe
+    must refuse to serve it, and bloom_lookup must transparently
+    rebuild and serve current data."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(20)], "k int, v string")
+    versioned.commit_version(spark, path, df.repartition(4))
+    versioned.build_bloom_index(spark, path, "k")
+    assert versioned.bloom_candidate_files(path, "k", [7])  # fresh: serves
+    versioned.upsert_version(spark, path,
+        spark.createDataFrame([(99, "new")], "k int, v string"), ["k"])
+    with pytest.raises(versioned.StaleBloomIndexError):
+        versioned.bloom_candidate_files(path, "k", [7])
+    got = versioned.bloom_lookup(spark, path, "k", [99])  # rebuilds
+    assert [r.v for r in got.collect()] == ["new"]
+    # and the rebuilt index is current again
+    assert versioned.bloom_candidate_files(path, "k", [99])
+
+
+def test_metadata_ddl_occ_conflict(spark, tmp_path):
+    """evolve_schema / drop_partitions_before follow commit_version's
+    optimistic-concurrency protocol: a stale expected_current aborts
+    before any shared-name write (no manifest clobber, no version
+    skip)."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    rows = [(i, f"2024-01-{(i % 3) + 1:02d} 00:00:00", float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "k int, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    versioned.commit_version_partitioned(spark, path, df)  # v1
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.evolve_schema(spark, path, [("q", "string")], expected_current=0)
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.drop_partitions_before(
+            spark, path, "2024-01-02", expected_current=7
+        )
+    assert versioned.current_version(path) == 1, "loser must not publish"
+    assert not os.path.exists(versioned._manifest_path(path, 2))
+    # correct token commits fine
+    assert versioned.evolve_schema(
+        spark, path, [("q", "string")], expected_current=1
+    ) == 2
