@@ -2516,14 +2516,11 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # rotation treats them as never-verified. Staleness-by-name cannot see
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
-_REVERIFY = {
-    # r6 rewrites all got fresh clean verdicts in CORRECTNESS_r06.json
-    # and were pruned (VERDICT r6 §next 4).  r7 rewrites:
-    "stream_click_purchase_left_join",  # r7: sentinel filter moved to read-back
-    "corpus_token_budget",  # r7: oracle SUM cast to BIGINT (HUGEINT hash bug)
-    "purge_roundtrip",  # r7: purge_rows rewritten as two parallel jobs
-    "debounce_events",  # r7: oracle aligned to truncated-seconds gap rule
-}
+_REVERIFY: set[str] = set()
+# r7 rewrites (stream_click_purchase_left_join, corpus_token_budget,
+# purge_roundtrip, debounce_events) all hold clean r7 verdicts in
+# CORRECTNESS_r07.json and were pruned (VERDICT r7 §next 4).
+# r8 rewrites get added below as they land.
 
 
 def _verification_order(names: list[str]) -> list[str]:
