@@ -2516,11 +2516,22 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # rotation treats them as never-verified. Staleness-by-name cannot see
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
-_REVERIFY: set[str] = set()
+_REVERIFY: set[str] = {
+    # r8 commit e8047a1 rewrote purge_rows / bloom_candidate_files /
+    # evolve_schema / drop_partitions_before AFTER the r7 verdicts;
+    # CORRECTNESS_r08 never sampled these four, so their r7 verdicts
+    # prove pre-rewrite code only (VERDICT r8 §wrong 1).  Prune once
+    # CORRECTNESS_r09+ shows them green.
+    "purge_roundtrip",
+    "bloom_index_lookup",
+    "versioned_schema_evolution",
+    "retention_roundtrip",
+}
 # r7 rewrites (stream_click_purchase_left_join, corpus_token_budget,
-# purge_roundtrip, debounce_events) all hold clean r7 verdicts in
+# purge_roundtrip, debounce_events) all held clean r7 verdicts in
 # CORRECTNESS_r07.json and were pruned (VERDICT r7 §next 4).
-# r8 rewrites get added below as they land.
+# r9 oracle-upgrades (the former no_oracle family) get added below as
+# they land.
 
 
 def _verification_order(names: list[str]) -> list[str]:
