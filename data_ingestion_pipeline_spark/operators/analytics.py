@@ -220,12 +220,40 @@ def event_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def event_type_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct users (no oracle — sketch values
-    are engine-specific; correctness is bounded-error, tested in
-    tests/test_analytics.py against the exact count)."""
+    """HLL++ approximate distinct users — product-facing estimates
+    (sketch values are engine-specific, so the registry checks the
+    within-bound twin below; the raw estimate path is additionally
+    tested in tests/test_analytics.py against the exact count)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_distinct_users")
+    )
+
+
+def event_type_cardinality_within_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry twin of event_type_cardinality_approx with a
+    QUANTITATIVE SQL oracle (hll_rollup_within_bound pattern): each
+    row carries the exact per-type distinct count plus a verdict that
+    the HLL++ estimate (rsd=0.01) landed within the documented
+    relative-error bound. The DuckDB oracle reproduces the exact
+    counts and asserts TRUE, so the driver's hash compare checks the
+    sketch's accuracy contract, not just row counts. One grouped agg
+    computes sketch and exact side by side (single scan/shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.count_distinct(F.col("user_id")).alias("exact_distinct_users"),
+    )
+    bound = F.lit(HLL_REL_ERROR_BOUND)
+    return agg.select(
+        "event_type",
+        "exact_distinct_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct_users"))
+            <= bound * F.col("exact_distinct_users")
+        ).alias("within_bound"),
     )
 
 

@@ -161,28 +161,47 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+ROLLING_B = 1000003
+ROLLING_M = 2147483647  # 2^31 − 1
+
+
+def doc_rolling_hash(
+    spark: SparkSession, sf_dir: str, token_hash: str = "md5"
+) -> DataFrame:
     """Order-sensitive document fingerprint: Rabin-Karp-style
     polynomial rolling hash over the token stream,
-    h = fold(pmod(h·B + pmod(xxhash64(tok), M), M)).
+    h = fold(pmod(h·B + pmod(hash(tok), M), M)).
 
     Unlike the content SHA (doc_fingerprint), equal token MULTISETS
     with different order hash differently — the fingerprint for
     order-aware near-dup pipelines and shard-level content addressing.
     The explicit Mersenne-prime modulus keeps every intermediate ≤
     2^51, because Spark 4's ANSI mode makes silent 64-bit wraparound a
-    runtime ARITHMETIC_OVERFLOW error. One scan, no shuffle. xxhash64
-    is Spark-specific → no SQL oracle; order sensitivity and
-    determinism are asserted in tests/test_dedup.py.
+    runtime ARITHMETIC_OVERFLOW error. One scan, no shuffle.
+
+    The per-token leaf hash is a parameter; the fold is identical:
+    - "md5" (default): first 8 hex chars of md5 parsed as an int —
+      portable, so the DuckDB oracle reproduces the FULL fingerprint
+      bit-for-bit (list_reduce over the same fold).
+    - "xxhash64": fastest JVM-side hash for a 100 TB corpus scan; no
+      SQL twin (Spark-specific seed/finalization).
+    Order sensitivity and cross-variant determinism are asserted in
+    tests/test_dedup.py.
     """
     docs = load_table(spark, sf_dir, "documents")
-    B = 1000003
-    M = 2147483647  # 2^31 − 1
+    if token_hash == "md5":
+        def leaf(tok: F.Column) -> F.Column:
+            return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    elif token_hash == "xxhash64":
+        leaf = F.xxhash64
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     h = F.aggregate(
         _tokens(),
         F.lit(0).cast("long"),
         lambda acc, tok: F.pmod(
-            acc * F.lit(B) + F.pmod(F.xxhash64(tok), F.lit(M)), F.lit(M)
+            acc * F.lit(ROLLING_B) + F.pmod(leaf(tok), F.lit(ROLLING_M)),
+            F.lit(ROLLING_M),
         ),
     )
     return docs.select("doc_id", h.alias("rolling_hash"))

@@ -1450,8 +1450,16 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "event_type_cardinality_approx": QuerySpec(
-        analytics.event_type_cardinality_approx,
-        None,  # HLL++ sketch values are engine-specific
+        # quantitative oracle form (hll_user_rollup pattern): exact
+        # per-type distincts + within-bound verdict on the HLL++
+        # estimate; raw estimates stay in event_type_cardinality_approx
+        analytics.event_type_cardinality_within_bound,
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_distinct_users,
+               TRUE AS within_bound
+        FROM events GROUP BY 1
+        """,
         ground_truth="tests/test_analytics.py::test_approx_distinct_within_rsd",
     ),
     # ---- text analysis (north-star LLM-pipeline ops) ----
@@ -1516,7 +1524,21 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "doc_rolling_hash": QuerySpec(
         text.doc_rolling_hash,
-        None,  # xxhash64 token hashes are Spark-specific
+        # full-fingerprint oracle: the md5-leaf variant's fold is
+        # engine-portable, so DuckDB reproduces every hash bit-for-bit
+        # (the xxhash64-leaf production variant shares the fold and is
+        # pinned by the same pytest)
+        f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           tok -> CAST(concat('0x', substr(md5(tok), 1, 8))
+                                       AS BIGINT) % {text.ROLLING_M})),
+                   (acc, x) -> (acc * {text.ROLLING_B} + x) % {text.ROLLING_M}
+               ) AS rolling_hash
+        FROM documents
+        """,
         ground_truth="tests/test_dedup.py::test_rolling_hash_order_sensitive_and_deterministic",
     ),
     "docs_exact_dedup": QuerySpec(
@@ -2384,13 +2406,96 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "audio_window_rms": QuerySpec(
         multimodal.audio_window_rms,
-        None,  # pixel-pipeline analog for audio: decode → windowed RMS
+        # full decode → windowed-RMS oracle: samples are the payload's
+        # byte pairs as little-endian int16, rms = sqrt(Σs²/n) per
+        # 256-sample window — Σs² is an exact integer (≤256·2¹⁵² ≪ 2⁵³)
+        # in both engines, then one correctly-rounded divide + sqrt, so
+        # the doubles agree bit-for-bit; a zero-sample doc still emits
+        # frame 0 with n=0, rms=0 (the operator's max(len,1) loop)
+        """
+        WITH raw AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) // 2 AS ns
+            FROM documents
+        ), frames AS (
+            SELECT doc_id, ns, unnest(range(0,
+                CASE WHEN ns = 0 THEN 1 ELSE (ns + 255) // 256 END
+            )) AS frame_idx
+            FROM raw
+        ), samp AS (
+            SELECT doc_id, i // 256 AS frame_idx,
+                   (strpos('0123456789ABCDEF', substr(h, 4*i+1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(h, 4*i+2, 1)) - 1
+                   + ((strpos('0123456789ABCDEF', substr(h, 4*i+3, 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF', substr(h, 4*i+4, 1)) - 1
+                     ) * 256 AS u16
+            FROM (SELECT doc_id, h, unnest(range(0, ns)) AS i FROM raw)
+        ), sq AS (
+            SELECT doc_id, frame_idx, COUNT(*) AS n,
+                   SUM(CAST(
+                       (CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+                       * (CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+                   AS BIGINT)) AS ss
+            FROM samp GROUP BY 1, 2
+        )
+        SELECT f.doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+               CAST(COALESCE(s.n, 0) AS INTEGER) AS n,
+               CASE WHEN COALESCE(s.n, 0) = 0 THEN 0.0
+                    ELSE sqrt(CAST(s.ss AS DOUBLE) / s.n) END AS rms
+        FROM frames f
+        LEFT JOIN sq s ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx
+        """,
         ground_truth="tests/test_multimodal.py::test_audio_rms_matches_python",
     ),
     "decoded_image_stats": QuerySpec(
         multimodal.decoded_image_stats,
-        None,  # pixel pipeline (decode→resize→features), not SQL-expressible;
-        # the decode boundary's scalar half is hash-checked by decoded_image_meta
+        # the full pixel pipeline IS SQL-expressible because the
+        # stand-in codec is pure byte math: dims from the two leading
+        # bytes, pixel (y,x,c) of the 8×8 NN-resize = payload byte at
+        # ((⌊y·h/8⌋·w + ⌊x·w/8⌋)·3 + c) mod L, channel mean = exact
+        # integer sum / 64 (power-of-two divide — IEEE-exact in both
+        # engines; numpy's float64 mean of ≤64 uint8s is the same sum)
+        """
+        WITH raw AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS L
+            FROM documents
+        ), dims AS (
+            SELECT doc_id, h, L,
+                   16 + (CASE WHEN L > 0 THEN
+                       (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1
+                   ELSE 0 END) % 16 AS w,
+                   16 + (CASE WHEN L > 1 THEN
+                       (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1
+                   ELSE 0 END) % 16 AS hh
+            FROM raw
+        ), gy AS (
+            SELECT *, unnest(range(0, 8)) AS y FROM dims
+        ), gx AS (
+            SELECT *, unnest(range(0, 8)) AS x FROM gy
+        ), gc AS (
+            SELECT *, unnest(range(0, 3)) AS c FROM gx
+        ), px AS (
+            SELECT doc_id, c,
+                   CASE WHEN L = 0 THEN 0 ELSE
+                       (strpos('0123456789ABCDEF', substr(h,
+                           2 * ((((y * hh // 8) * w + (x * w // 8)) * 3 + c)
+                                % L) + 1, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF', substr(h,
+                           2 * ((((y * hh // 8) * w + (x * w // 8)) * 3 + c)
+                                % L) + 2, 1)) - 1
+                   END AS byte
+            FROM gc
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               SUM(CASE WHEN c = 0 THEN byte ELSE 0 END) / 64.0 AS mean_r,
+               SUM(CASE WHEN c = 1 THEN byte ELSE 0 END) / 64.0 AS mean_g,
+               SUM(CASE WHEN c = 2 THEN byte ELSE 0 END) / 64.0 AS mean_b
+        FROM px GROUP BY doc_id
+        """,
         ground_truth="tests/test_multimodal.py::test_image_pipeline_matches_python",
     ),
     "event_type_pivot": QuerySpec(
