@@ -1056,3 +1056,88 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(emb, shortlist)
+
+# ---- quantitative recall audits for the ANN family ------------------
+# Registry twins of the four ann_*_topk entries (hll_user_rollup
+# pattern): the ANN result is graded against the SQL-expressible exact
+# cosine top-k, and the output carries only engine-identical values —
+# per-query exact k and k-th cosine (fixed-point, the cosine_topk
+# oracle's own math) plus a recall verdict — so the DuckDB oracle
+# reproduces every non-verdict column and asserts TRUE. A recall drop
+# below the measured floor flips the verdict and the driver's hash
+# compare catches it. Floors are set from measured per-query recall at
+# sf0.001/0.01/0.1 with margin (everything is deterministic — fixed
+# data, seedless hashes, bit-reproducible k-means):
+#   measured min-hits / mean-recall @ sf0.01: hamming 2/0.86,
+#   ivf 1/0.62, pq 4/0.96, ivfpq 1/0.62 (sf0.1 means: 0.68/0.60/
+#   0.82/0.58). Raw top-k results stay in the ann_*_topk functions.
+ANN_AUDIT_FLOORS = {
+    "hamming": (1, 0.60),
+    "ivf": (1, 0.45),
+    "pq": (2, 0.75),
+    "ivfpq": (1, 0.45),
+}
+
+
+def _ann_recall_audit(
+    spark: SparkSession, sf_dir: str, ann_fn, min_hits: int, mean_floor: float
+) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir)
+    ann = (
+        ann_fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("found", F.lit(1))
+    )
+    per_q = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min("cosine").alias("kth_cosine"),
+            F.sum(F.coalesce(F.col("found"), F.lit(0))).alias("hits"),
+        )
+    )
+    per_row = per_q.select(
+        "query_id",
+        F.col("k").cast("long").alias("k"),
+        "kth_cosine",
+        (F.col("hits") >= F.least(F.lit(min_hits), F.col("k"))).alias(
+            "recall_ok"
+        ),
+    )
+    total = per_q.agg(
+        F.sum("k").alias("k"), F.sum("hits").alias("hits")
+    ).select(
+        F.lit(None).cast("long").alias("query_id"),
+        F.col("k").cast("long").alias("k"),
+        F.lit(None).cast("double").alias("kth_cosine"),
+        (
+            F.col("hits").cast("double")
+            >= F.lit(mean_floor) * F.col("k").cast("double")
+        ).alias("recall_ok"),
+    )
+    return per_row.unionByName(total)
+
+
+def ann_hamming_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_audit(
+        spark, sf_dir, ann_hamming_topk, *ANN_AUDIT_FLOORS["hamming"]
+    )
+
+
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_audit(
+        spark, sf_dir, ann_ivf_topk, *ANN_AUDIT_FLOORS["ivf"]
+    )
+
+
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_audit(
+        spark, sf_dir, ann_pq_topk, *ANN_AUDIT_FLOORS["pq"]
+    )
+
+
+def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_audit(
+        spark, sf_dir, ann_ivfpq_topk, *ANN_AUDIT_FLOORS["ivfpq"]
+    )

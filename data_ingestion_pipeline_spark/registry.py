@@ -58,6 +58,53 @@ class QuerySpec:
 
 
 _KNOWN_TYPES_SQL = "('click', 'view', 'purchase', 'signup', 'error')"
+
+# Exact cosine top-k in fixed-point (floor(x·y·1e12) summed as longs —
+# engine-identical; see operators/similarity.py module docstring).
+# Used directly by the cosine_topk entry and as the exact side of the
+# four ANN recall-audit oracles.
+_COSINE_TOPK_SQL = """
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id,
+                   SQRT(CAST(SUM(CAST(floor(
+                       (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+            FROM e GROUP BY vec_id
+        ), dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(CAST(floor(
+                       (CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+            FROM e q JOIN e c ON q.i = c.i
+            WHERE q.vec_id < 10 AND c.vec_id >= 10
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               dot / (nq.nrm * nc.nrm) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INTEGER) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+        QUALIFY rank <= 5
+"""
+
+# Shared oracle for the ANN recall audits: per-query exact k and k-th
+# cosine plus an all-TRUE recall verdict (the Spark side flips the
+# verdict if measured recall drops below the documented floor).
+_ANN_AUDIT_SQL = f"""
+        WITH topk AS ({_COSINE_TOPK_SQL})
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k,
+               MIN(cosine) AS kth_cosine, TRUE AS recall_ok
+        FROM topk GROUP BY 1
+        UNION ALL
+        SELECT NULL, CAST(COUNT(*) AS BIGINT), NULL, TRUE FROM topk
+"""
 _TIME_PRED = (
     "ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'"
 )
@@ -1750,36 +1797,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- similarity search over embeddings ----
     "cosine_topk": QuerySpec(
         similarity.cosine_topk,
-        """
-        WITH e AS (
-            SELECT vec_id, unnest(embedding) AS x,
-                   generate_subscripts(embedding, 1) AS i
-            FROM embeddings
-        ), norms AS (
-            SELECT vec_id,
-                   SQRT(CAST(SUM(CAST(floor(
-                       (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e12
-                   ) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
-            FROM e GROUP BY vec_id
-        ), dots AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   CAST(SUM(CAST(floor(
-                       (CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) * 1e12
-                   ) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-            FROM e q JOIN e c ON q.i = c.i
-            WHERE q.vec_id < 10 AND c.vec_id >= 10
-            GROUP BY 1, 2
-        )
-        SELECT query_id, neighbor_id,
-               dot / (nq.nrm * nc.nrm) AS cosine,
-               CAST(row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS INTEGER) AS rank
-        FROM dots
-        JOIN norms nq ON nq.vec_id = query_id
-        JOIN norms nc ON nc.vec_id = neighbor_id
-        QUALIFY rank <= 5
-        """,
+        _COSINE_TOPK_SQL,
     ),
     "hard_negative_mining": QuerySpec(
         similarity.hard_negative_mining,
@@ -1838,24 +1856,28 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM m
         """,
     ),
+    # approximate by construction → quantitative recall-audit form:
+    # each entry grades its ANN result against the exact fixed-point
+    # cosine top-k and emits only engine-identical columns + verdicts
+    # (similarity._ann_recall_audit); raw top-k stays in ann_*_topk
     "ann_hamming_topk": QuerySpec(
-        similarity.ann_hamming_topk,
-        None,  # approximate by construction; recall vs exact cosine_topk
+        similarity.ann_hamming_recall_audit,
+        _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_hamming_recall",
     ),
     "ann_ivf_topk": QuerySpec(
-        similarity.ann_ivf_topk,
-        None,  # approximate by construction; recall vs exact cosine_topk
+        similarity.ann_ivf_recall_audit,
+        _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_ivf_recall",
     ),
     "ann_pq_topk": QuerySpec(
-        similarity.ann_pq_topk,
-        None,  # approximate by construction; recall vs exact cosine_topk
+        similarity.ann_pq_recall_audit,
+        _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_pq_recall",
     ),
     "ann_ivfpq_topk": QuerySpec(
-        similarity.ann_ivfpq_topk,
-        None,  # approximate by construction; recall vs exact cosine_topk
+        similarity.ann_ivfpq_recall_audit,
+        _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_ivfpq_recall",
     ),
     # ---- round-4 additions: window/range-join/sampling surface ----
@@ -2631,6 +2653,17 @@ _REVERIFY: set[str] = {
     "bloom_index_lookup",
     "versioned_schema_evolution",
     "retention_roundtrip",
+    # r9 oracle upgrades: former no_oracle entries now emitting
+    # quantitative-verdict (or full hash-match) oracle forms — their
+    # historical rows-only verdicts prove nothing about the new shape
+    "doc_rolling_hash",
+    "event_type_cardinality_approx",
+    "decoded_image_stats",
+    "audio_window_rms",
+    "ann_hamming_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 }
 # r7 rewrites (stream_click_purchase_left_join, corpus_token_budget,
 # purge_roundtrip, debounce_events) all held clean r7 verdicts in
