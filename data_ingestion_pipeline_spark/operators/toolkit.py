@@ -358,3 +358,87 @@ def station_variance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(var).alias("stddev_value"),
         )
     )
+
+
+def _idiv(a: F.Column, b) -> F.Column:
+    """Exact integer division for non-negative longs: (a − a mod b)/b.
+    Avoids float-floor edge cases; every intermediate is an exact
+    integer-valued double."""
+    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def lttb_structure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative structural audit of lttb_downsample — the
+    SQL-checkable contract of the (inherently sequential) LTTB pick:
+
+    - per station, exactly min(n, LTTB_POINTS) picks;
+    - pick 0 is the series' first point and the last pick its last
+      (by the same (ts, event_id) order) — ts/value emitted and
+      hash-checked;
+    - when n ≤ LTTB_POINTS every point is its own pick (all emitted);
+    - every middle pick falls inside ITS bucket — index range
+      [⌊(p−1)(n−2)/(k−2)⌋+1, ⌊p(n−2)/(k−2)⌋+1), the operator's own
+      integer edges — certified by the verdict column (the triangle
+      choice INSIDE the bucket is pinned by the pure-Python pytest
+      twin; it is not SQL-expressible).
+
+    Output: (user_id, pick, n_points, sel_ts, sel_value, ok); sel_*
+    are NULL exactly where the sequential choice is not SQL-derivable
+    (middle picks of long series). The DuckDB oracle reproduces all
+    non-verdict values and asserts ok."""
+    k = LTTB_POINTS
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).cast("long"),
+        )
+        .select("user_id", "ts", "value", "idx", "n")
+    )
+    lt = lttb_downsample(spark, sf_dir)  # user_id, ts, value, pick
+    # map picks back to candidate source indices ((ts, value) ties keep
+    # every matching idx; the pick is in-bucket if ANY candidate is)
+    cand = lt.join(ranked, ["user_id", "ts", "value"])
+    p = F.col("pick").cast("long")
+    n = F.col("n")
+    m = F.least(n, F.lit(k))
+    known = (n <= k) | (p == 0) | (p == m - 1)
+    lo = (
+        F.when(n <= k, p)
+        .when(p == 0, F.lit(0).cast("long"))
+        .when(p == m - 1, n - 1)
+        .otherwise(_idiv((p - 1) * (n - 2), k - 2) + 1)
+    )
+    hi_excl = (
+        F.when(n <= k, p + 1)
+        .when(p == 0, F.lit(1).cast("long"))
+        .when(p == m - 1, n)
+        .otherwise(_idiv(p * (n - 2), k - 2) + 1)
+    )
+    graded = (
+        cand.withColumn(
+            "hit", ((F.col("idx") >= lo) & (F.col("idx") < hi_excl)).cast("int")
+        )
+        .groupBy("user_id", "pick")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("hit").alias("any_hit"),
+            F.first("ts").alias("ts"),
+            F.first("value").alias("value"),
+        )
+    )
+    known_out = (F.col("n") <= k) | (F.col("pick") == 0) | (
+        F.col("pick") == F.least(F.col("n"), F.lit(k)) - 1
+    )
+    return graded.select(
+        "user_id",
+        "pick",
+        F.col("n").alias("n_points"),
+        F.when(known_out, F.col("ts")).alias("sel_ts"),
+        F.when(known_out, F.col("value")).alias("sel_value"),
+        (F.col("any_hit") == 1).alias("ok"),
+    )

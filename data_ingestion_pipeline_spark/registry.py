@@ -105,6 +105,94 @@ _ANN_AUDIT_SQL = f"""
         UNION ALL
         SELECT NULL, CAST(COUNT(*) AS BIGINT), NULL, TRUE FROM topk
 """
+
+# Exact all-pairs embedding cosine at the near-dup threshold (same
+# fixed-point math as _COSINE_TOPK_SQL) — the ground-truth side of the
+# embedding near-dup / SemDeDup audits.
+_EMB_PAIRS_SQL = """
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id,
+                   SQRT(CAST(SUM(CAST(floor(
+                       (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+            FROM e GROUP BY vec_id
+        ), dots AS (
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   CAST(SUM(CAST(floor(
+                       (CAST(a.x AS DOUBLE) * CAST(c.x AS DOUBLE)) * 1e12
+                   ) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+            FROM e a JOIN e c ON a.i = c.i AND a.vec_id < c.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.45
+"""
+
+# Exact n-gram-shingle Jaccard pairs at the 0.5 threshold — shared by
+# ngram_jaccard_pairs, jaccard_prefix_join, and the MinHash audit.
+_NGRAM_JACCARD_SQL = """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        ) WHERE jaccard >= 0.5
+"""
+
+# SimHash fingerprints recomputed whole in SQL (md5-leaf variant):
+# per-token 64 bits from the first 16 md5 hex chars, majority vote per
+# bit, fingerprint + the four 16-bit bands rebuilt from the bits (no
+# signed-shift tricks — bit 63 lands via an explicit −2⁶³ term).
+_SIMHASH_FP_SQL = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+                   CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+            FROM toks
+        ), tb AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN j < 32 THEN (lo >> j) & 1
+                            ELSE (hi >> (j - 32)) & 1 END) AS c,
+                   COUNT(*) AS n
+            FROM th, (SELECT unnest(range(0, 64)) AS j) grid
+            GROUP BY 1, 2
+        ), bits AS (
+            SELECT doc_id, j,
+                   CAST(CASE WHEN 2 * c > n THEN 1 ELSE 0 END AS BIGINT) AS bit
+            FROM tb
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN j = 63
+                    THEN bit * (-9223372036854775807 - 1)
+                    ELSE bit << CAST(j AS INTEGER) END) AS BIGINT) AS simhash,
+               CAST(SUM(CASE WHEN j // 16 = 0
+                    THEN bit << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS band0,
+               CAST(SUM(CASE WHEN j // 16 = 1
+                    THEN bit << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS band1,
+               CAST(SUM(CASE WHEN j // 16 = 2
+                    THEN bit << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS band2,
+               CAST(SUM(CASE WHEN j // 16 = 3
+                    THEN bit << CAST(j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS band3
+        FROM bits GROUP BY doc_id
+"""
 _TIME_PRED = (
     "ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'"
 )
@@ -429,8 +517,34 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "lttb_downsample": QuerySpec(
-        toolkit.lttb_downsample,
-        None,  # sequential pick-dependent selection, not SQL-expressible
+        # structural-audit form (toolkit.lttb_structure_audit): pick
+        # counts, endpoints, n≤k series fully, and in-bucket verdicts
+        # are SQL-checkable; the sequential triangle choice itself is
+        # pinned by the pure-Python pytest twin. Raw picks stay in
+        # toolkit.lttb_downsample.
+        toolkit.lttb_structure_audit,
+        f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ), g AS (
+            SELECT user_id, n, least(n, {toolkit.LTTB_POINTS}) AS m
+            FROM s WHERE idx = 0
+        ), p AS (
+            SELECT user_id, n, m, unnest(range(0, m)) AS pick FROM g
+        )
+        SELECT p.user_id, CAST(p.pick AS INTEGER) AS pick,
+               CAST(p.n AS BIGINT) AS n_points,
+               s.ts AS sel_ts, s.value AS sel_value,
+               TRUE AS ok
+        FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.idx =
+            CASE WHEN p.n <= {toolkit.LTTB_POINTS} THEN p.pick
+                 WHEN p.pick = 0 THEN 0
+                 WHEN p.pick = p.m - 1 THEN p.n - 1 END
+        """,
         ground_truth="tests/test_toolkit.py::test_lttb_matches_reference",
     ),
     "timeseries_sliding_1h15m": QuerySpec(
@@ -1615,22 +1729,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- near-duplicate detection ----
     "ngram_jaccard_pairs": QuerySpec(
         dedup.ngram_jaccard_pairs,
-        """
-        WITH sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       generate_series(1, greatest(len(w) - 2, 0)),
-                       i -> array_to_string(w[i:i+2], ' '))) AS sh
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        ) WHERE jaccard >= 0.5
-        """,
+        _NGRAM_JACCARD_SQL,
     ),
     "jaccard_prefix_join": QuerySpec(
         dedup.jaccard_prefix_join,
@@ -1638,36 +1737,53 @@ REGISTRY: dict[str, QuerySpec] = {
         # filtered equi-join must reproduce the quadratic ground truth
         # bit-for-bit (the oracle itself is all-pairs — fine at the
         # driver's sf0.01, deselect from any sf0.1 parity sweep).
-        """
-        WITH sh AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       generate_series(1, greatest(len(w) - 2, 0)),
-                       i -> array_to_string(w[i:i+2], ' '))) AS sh
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        ) WHERE jaccard >= 0.5
-        """,
+        _NGRAM_JACCARD_SQL,
     ),
     "minhash_lsh_candidates": QuerySpec(
-        dedup.minhash_lsh_candidates,
-        None,  # xxhash64 family is Spark-specific; vs exact ngram_jaccard_pairs
+        # quantitative recall-audit form: exact Jaccard pairs + found
+        # verdicts + aggregate recall row (dedup.minhash_lsh_recall_audit);
+        # raw candidate pairs stay in dedup.minhash_lsh_candidates
+        dedup.minhash_lsh_recall_audit,
+        f"""
+        WITH ex AS ({_NGRAM_JACCARD_SQL})
+        SELECT 'pair' AS kind, doc_a, doc_b, jaccard,
+               CAST(NULL AS BIGINT) AS n, TRUE AS ok
+        FROM ex
+        UNION ALL
+        SELECT 'recall', NULL, NULL, NULL,
+               CAST(COUNT(*) AS BIGINT), TRUE
+        FROM ex
+        """,
         ground_truth="tests/test_dedup.py::test_minhash_lsh_vs_exact",
     ),
     "simhash_buckets": QuerySpec(
         dedup.simhash_buckets,
-        None,  # hash-family-specific fingerprints
+        # FULL hash-match oracle: the md5-leaf fingerprints are
+        # engine-portable, so DuckDB recomputes simhash + all four
+        # bands bit-for-bit (_SIMHASH_FP_SQL)
+        f"""
+        {_SIMHASH_FP_SQL}
+        """,
         ground_truth="tests/test_dedup.py::test_simhash_buckets_structure",
     ),
     "simhash_candidates": QuerySpec(
         dedup.simhash_candidates,
-        None,  # xxhash64-derived
+        # FULL exact oracle: band-bucket LSH at Hamming ≤ 3 has
+        # perfect recall by pigeonhole, so the result set EQUALS all
+        # pairs at Hamming ≤ 3 — reproduced by a quadratic
+        # bit_count(xor) join over the recomputed fingerprints (fine
+        # at the driver's 500-doc sf0.01)
+        f"""
+        WITH fp AS ({_SIMHASH_FP_SQL})
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.band0, b.band0))
+                      + bit_count(xor(a.band1, b.band1))
+                      + bit_count(xor(a.band2, b.band2))
+                      + bit_count(xor(a.band3, b.band3)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= 3
+        """,
         ground_truth="tests/test_dedup.py::test_simhash_candidates_find_near_identicals",
     ),
     "station_outliers": QuerySpec(
@@ -1714,13 +1830,40 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "embedding_near_dup_lsh": QuerySpec(
-        similarity.embedding_near_dup_lsh,
-        None,  # signature-pruned approximate candidates
+        # recall-audit form: exact ≥-threshold cosine pairs + found
+        # verdicts + aggregate recall row; raw banded pairs stay in
+        # similarity.embedding_near_dup_lsh
+        similarity.embedding_near_dup_recall_audit,
+        f"""
+        WITH ep AS ({_EMB_PAIRS_SQL})
+        SELECT 'pair' AS kind, vec_a, vec_b, cosine,
+               CAST(NULL AS BIGINT) AS n, TRUE AS ok
+        FROM ep
+        UNION ALL
+        SELECT 'recall', NULL, NULL, NULL,
+               CAST(COUNT(*) AS BIGINT), TRUE
+        FROM ep
+        """,
         ground_truth="tests/test_similarity.py::test_embedding_near_dup_lsh_recall_and_pruning",
     ),
     "semantic_dedup": QuerySpec(
-        similarity.semantic_dedup,
-        None,  # k-means cell structure is not SQL-expressible
+        # audit form: per-vector SQL-reproducible ground truth
+        # (has_true_dup from the exact pair SQL) + precision verdict
+        # (dropped ⇒ true dup, exact by construction) + aggregate
+        # recall row; raw keep/drop decisions stay in
+        # similarity.semantic_dedup
+        similarity.semantic_dedup_audit,
+        f"""
+        WITH ep AS ({_EMB_PAIRS_SQL}),
+        td AS (SELECT DISTINCT vec_b AS vec_id FROM ep)
+        SELECT 'vec' AS kind, v.vec_id,
+               (t.vec_id IS NOT NULL) AS has_true_dup,
+               CAST(NULL AS BIGINT) AS n, TRUE AS ok
+        FROM embeddings v LEFT JOIN td t USING (vec_id)
+        UNION ALL
+        SELECT 'recall', NULL, NULL, CAST(COUNT(*) AS BIGINT), TRUE
+        FROM td
+        """,
         ground_truth="tests/test_similarity.py::test_semantic_dedup_verdicts_and_determinism",
     ),
     # ---- multimodal binary columns (north-star scope) ----
@@ -2664,6 +2807,12 @@ _REVERIFY: set[str] = {
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "minhash_lsh_candidates",
+    "simhash_buckets",
+    "simhash_candidates",
+    "embedding_near_dup_lsh",
+    "semantic_dedup",
+    "lttb_downsample",
 }
 # r7 rewrites (stream_click_purchase_left_join, corpus_token_budget,
 # purge_roundtrip, debounce_events) all held clean r7 verdicts in

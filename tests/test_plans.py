@@ -480,6 +480,16 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "ann_pq_topk",
         # 1-row total-distinct broadcast for the union-audit row
         "hll_user_rollup",
+        # r9 recall-audit entries: each grades its approximate
+        # production path against a DELIBERATE exact cross — the
+        # broadcast-queries cosine top-k (ann_*) or the all-pairs
+        # embedding ground truth (near-dup / SemDeDup). The raw
+        # production operators stay pinned non-cartesian by their
+        # dedicated plan tests below.
+        "ann_ivf_topk",
+        "ann_ivfpq_topk",
+        "embedding_near_dup_lsh",
+        "semantic_dedup",
     }
     flagged = {}
     for name, spec in REGISTRY.items():

@@ -145,21 +145,19 @@ def test_ann_ivf_queries_only_slice(spark, tmp_path):
 
 
 def test_semantic_dedup_verdicts_and_determinism(spark):
-    """SemDeDup ground truth (registry rows-only evidence): every
-    vector gets a verdict; dup_of pairs genuinely clear the cosine
-    threshold within the same cell; every kept vector has NO
-    smaller-id cell-mate above the threshold (the keep rule, checked
-    against an independent numpy all-pairs within each cell); and the
-    whole operator is deterministic across runs."""
+    """SemDeDup ground truth (multi-probe contract): every vector gets
+    a verdict; dup_of pairs genuinely clear the cosine threshold AND
+    share at least one probed cell; dup_of is the smallest qualifying
+    probe-mate; every kept vector has NO smaller-id probe-mate above
+    the threshold (checked against an independent numpy replica of
+    the probe assignment + all-pairs); and the whole operator is
+    deterministic across runs."""
     out = similarity.semantic_dedup(spark, SF_TEST).collect()
     n_vecs = load_table(spark, SF_TEST, "embeddings").count()
     assert len(out) == n_vecs
 
-    rows = (
-        load_table(spark, SF_TEST, "embeddings")
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    emb_df = load_table(spark, SF_TEST, "embeddings")
+    rows = emb_df.select("vec_id", "embedding").collect()
     E = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
 
     def fixed_cos(a, b):
@@ -173,18 +171,34 @@ def test_semantic_dedup_verdicts_and_determinism(spark):
         )
         return dot / (na * nb)
 
-    cell_of = {r.vec_id: r.cell for r in out}
-    by_cell = {}
-    for r in out:
-        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    # independent replica of the probe assignment: same trained
+    # centroids, nprobe best cells by exact integer GEMM
+    sample, n = similarity._ivf_train_sample(emb_df, min_vec_id=0)
+    n_cells, _ = similarity._ivf_params(n)
+    Cq = similarity._ivf_centroids(emb_df, sample, n_cells)
+    probes = {}
+    for vid, vec in E.items():
+        Eq = np.floor(vec * similarity.EMB_SCALE)
+        scores = Eq @ Cq.T.astype(np.float64)
+        top = np.argsort(-scores, kind="stable")[
+            : similarity.SEMANTIC_DEDUP_NPROBE
+        ]
+        probes[vid] = set(int(c) for c in top)
+
+    def probe_mates(vid):
+        return [
+            o for o in E if o != vid and probes[o] & probes[vid]
+        ]
 
     for r in out:
+        # primary cell is the single best cell of the same assignment
+        assert r.cell in probes[r.vec_id]
         if r.dup_of is not None:
             assert not r.is_kept
-            assert cell_of[r.dup_of] == r.cell, (r.vec_id, r.dup_of)
+            assert probes[r.dup_of] & probes[r.vec_id], (r.vec_id, r.dup_of)
             assert fixed_cos(E[r.dup_of], E[r.vec_id]) >= similarity.SEMANTIC_DUP_COSINE
-            # dup_of is the SMALLEST qualifying cell-mate
-            for other in by_cell[r.cell]:
+            # dup_of is the SMALLEST qualifying probe-mate
+            for other in probe_mates(r.vec_id):
                 if other < r.dup_of:
                     assert (
                         fixed_cos(E[other], E[r.vec_id])
@@ -192,7 +206,7 @@ def test_semantic_dedup_verdicts_and_determinism(spark):
                     )
         else:
             assert r.is_kept
-            for other in by_cell[r.cell]:
+            for other in probe_mates(r.vec_id):
                 if other < r.vec_id:
                     assert (
                         fixed_cos(E[other], E[r.vec_id])
