@@ -55,6 +55,12 @@ class QuerySpec:
     # can't be SQL-oracled; the driver records rows-only, and this
     # names the evidence that makes the rows-only verdict auditable).
     ground_truth: str | None = None
+    # For recall/structure-AUDIT entries (fn grades the production
+    # operator against an exact ground truth): the raw production
+    # path bench.py times instead, so benchmark numbers measure the
+    # engine, not the grading join, and stay comparable to
+    # BASELINE.md. None → bench times fn itself.
+    bench_fn: QueryFn | None = None
 
 
 _KNOWN_TYPES_SQL = "('click', 'view', 'purchase', 'signup', 'error')"
@@ -546,6 +552,7 @@ REGISTRY: dict[str, QuerySpec] = {
                  WHEN p.pick = p.m - 1 THEN p.n - 1 END
         """,
         ground_truth="tests/test_toolkit.py::test_lttb_matches_reference",
+        bench_fn=toolkit.lttb_downsample,
     ),
     "timeseries_sliding_1h15m": QuerySpec(
         queries.timeseries_sliding_1h15m,
@@ -1622,6 +1629,7 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY 1
         """,
         ground_truth="tests/test_analytics.py::test_approx_distinct_within_rsd",
+        bench_fn=analytics.event_type_cardinality_approx,
     ),
     # ---- text analysis (north-star LLM-pipeline ops) ----
     "doc_stats": QuerySpec(
@@ -1755,6 +1763,7 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM ex
         """,
         ground_truth="tests/test_dedup.py::test_minhash_lsh_vs_exact",
+        bench_fn=dedup.minhash_lsh_candidates,
     ),
     "simhash_buckets": QuerySpec(
         dedup.simhash_buckets,
@@ -1845,6 +1854,7 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM ep
         """,
         ground_truth="tests/test_similarity.py::test_embedding_near_dup_lsh_recall_and_pruning",
+        bench_fn=similarity.embedding_near_dup_lsh,
     ),
     "semantic_dedup": QuerySpec(
         # audit form: per-vector SQL-reproducible ground truth
@@ -1865,6 +1875,7 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM td
         """,
         ground_truth="tests/test_similarity.py::test_semantic_dedup_verdicts_and_determinism",
+        bench_fn=similarity.semantic_dedup,
     ),
     # ---- multimodal binary columns (north-star scope) ----
     "binary_metadata": QuerySpec(
@@ -2007,21 +2018,25 @@ REGISTRY: dict[str, QuerySpec] = {
         similarity.ann_hamming_recall_audit,
         _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_hamming_recall",
+        bench_fn=similarity.ann_hamming_topk,
     ),
     "ann_ivf_topk": QuerySpec(
         similarity.ann_ivf_recall_audit,
         _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_ivf_recall",
+        bench_fn=similarity.ann_ivf_topk,
     ),
     "ann_pq_topk": QuerySpec(
         similarity.ann_pq_recall_audit,
         _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_pq_recall",
+        bench_fn=similarity.ann_pq_topk,
     ),
     "ann_ivfpq_topk": QuerySpec(
         similarity.ann_ivfpq_recall_audit,
         _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ann_ivfpq_recall",
+        bench_fn=similarity.ann_ivfpq_topk,
     ),
     # ---- round-4 additions: window/range-join/sampling surface ----
     "user_running_total": QuerySpec(

@@ -11,8 +11,10 @@ device feed — the reference's generator service
 
 - `partitions()` splits the id space → Spark schedules one task per
   slice; generation is embarrassingly parallel at any cluster size.
-- `read(partition)` yields plain tuples; Spark assembles Arrow
-  batches executor-side. No driver materialization, no collect.
+- `read(partition)` yields one Arrow RecordBatch per id-slice,
+  produced by vectorized numpy math (the API's fast path; the
+  per-row-tuple shape measured 6.7 s for the same rows). No driver
+  materialization, no collect.
 - Rows are a pure function of (row id) using the SAME portable
   integer-hash draws as generator.py — so the registered source is
   oracle-checkable against the identical DuckDB SQL, and a resumed /
@@ -24,7 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from datetime import datetime, timedelta
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -64,20 +66,58 @@ class WeatherSyntheticReader(DataSourceReader):
         ]
 
     def read(self, partition: _IdSlice):
-        for i in range(partition.start, partition.end):
+        """Yield ARROW RECORD BATCHES, not per-row tuples.
 
-            def u(salt: int) -> int:
-                return ((i + salt) * _MULT + _INC) % _MOD
+        The Python DataSource API accepts either; the tuple path costs
+        a Python-object row per record (r8 measured it regressing to
+        6.7 s — generation-bound, not I/O-bound). Here the whole slice
+        is produced as numpy vector math (hash draws, field decode,
+        timestamps) plus one C-speed md5 loop for trace ids, then
+        handed to Spark as a single zero-copy Arrow batch per slice.
+        Row values are bit-identical to the tuple path (same integer
+        draws), so the DuckDB oracle and deterministic-restart
+        contracts are unchanged.
+        """
+        import numpy as np
+        import pyarrow as pa
 
-            yield (
-                f"station_{u(1) % N_STATIONS}",
-                -10.0 + (u(2) % 451) / 10.0,
-                (u(3) % 1001) / 10.0,
-                (u(4) % 301) / 10.0,
-                _BASE + timedelta(seconds=i),
-                hashlib.md5(f"trace_{i}".encode()).hexdigest(),
-                i,
-            )
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        if len(ids) == 0:
+            return iter(())
+
+        def u(salt: int) -> np.ndarray:
+            # (i+salt)*_MULT ≤ n·2.7e9 ≪ 2^63 — no int64 wraparound
+            return ((ids + salt) * _MULT + _INC) % _MOD
+
+        station = np.char.add("station_", (u(1) % N_STATIONS).astype(str))
+        temperature = -10.0 + (u(2) % 451) / 10.0
+        humidity = (u(3) % 1001) / 10.0
+        wind_speed = (u(4) % 301) / 10.0
+        ts = np.datetime64(_BASE, "us") + ids * np.timedelta64(1_000_000, "us")
+        trace = [
+            hashlib.md5(f"trace_{int(i)}".encode()).hexdigest() for i in ids
+        ]
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(station),
+                pa.array(temperature),
+                pa.array(humidity),
+                pa.array(wind_speed),
+                pa.array(ts, type=pa.timestamp("us")),
+                pa.array(trace, type=pa.string()),
+                pa.array(ids),
+            ],
+            names=[
+                "station_id",
+                "temperature",
+                "humidity",
+                "wind_speed",
+                "timestamp",
+                "trace_id",
+                "reading_id",
+            ],
+        )
+        return iter([batch])
 
 
 class WeatherSyntheticDataSource(DataSource):

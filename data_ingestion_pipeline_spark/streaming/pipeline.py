@@ -1079,16 +1079,28 @@ def stream_session_windows(
         ),
     )
 
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    os.makedirs(table, exist_ok=True)
+
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         # Delta semantics: each emitted (user_id, session_start) —
         # changed row or event_count=0 tombstone — replaces that key
         # in the table; unchanged sessions of a touched station are
-        # NOT re-emitted and must be retained.
+        # NOT re-emitted and must be retained. The merge commits
+        # through the manifest-versioned path: version N+1's data
+        # files land in a FRESH directory while version N's remain the
+        # durable current snapshot until the atomic pointer swap — no
+        # read-modify-OVERWRITE window where the only surviving copy
+        # of the table is an executor-memory localCheckpoint (the r7
+        # durability debt), and the batch-id meta gives the sink
+        # exactly-once replay skips for free.
         sess = bdf.sparkSession
-        bdf = bdf.localCheckpoint(eager=True)
+        if batch_id <= V.manifest_meta(table).get("batch_id", -1):
+            return  # replayed batch: already committed
         live = bdf.filter(F.col("event_count") > 0)
-        if os.path.isdir(table):
-            base = sess.read.parquet(table)
+        if V.current_version(table) > 0:
+            base = V.read_version(sess, table)
             # emitted keys are unique per batch by construction (each
             # group yields each session_start at most once), so no
             # distinct; the key set is micro-batch-bounded, so
@@ -1098,10 +1110,10 @@ def stream_session_windows(
                 ["user_id", "session_start"],
                 "left_anti",
             )
-            out = keep.unionByName(live).localCheckpoint(eager=True)
+            out = keep.unionByName(live)
         else:
             out = live
-        out.write.mode("overwrite").parquet(table)
+        V.commit_version(sess, table, out, meta={"batch_id": batch_id})
 
     with _stream_shuffle(spark):
         query = (
@@ -1112,7 +1124,7 @@ def stream_session_windows(
             .start()
         )
         query.awaitTermination()
-    return spark.read.parquet(table).select(
+    return V.read_version(spark, table).select(
         "user_id", "session_start", "session_end", "event_count", "avg_value"
     )
 
@@ -1183,11 +1195,22 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    os.makedirs(table, exist_ok=True)
+
     def _sink(bdf: DataFrame, batch_id: int) -> None:
+        # min-merge commit through the manifest-versioned path: the
+        # merged snapshot lands in a fresh data/v{N+1} directory while
+        # v{N} stays the durable current version until the atomic
+        # pointer swap — no overwrite-own-input window (r7 durability
+        # debt); min-merge already made replays value-idempotent, and
+        # the batch-id meta short-circuits them entirely.
         sess = bdf.sparkSession
-        if os.path.isdir(table):
-            base = sess.read.parquet(table)
-            merged = base.unionByName(bdf)
+        if batch_id <= V.manifest_meta(table).get("batch_id", -1):
+            return  # replayed batch: already committed
+        if V.current_version(table) > 0:
+            merged = V.read_version(sess, table).unionByName(bdf)
         else:
             merged = bdf
         from pyspark.sql import Window as W
@@ -1199,10 +1222,8 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint(eager=True)
         )
-        out.write.mode("overwrite").parquet(table)
-        out.unpersist()
+        V.commit_version(sess, table, out, meta={"batch_id": batch_id})
 
     with _stream_shuffle(spark):
         query = (
@@ -1213,7 +1234,7 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    return spark.read.parquet(table).select(
+    return V.read_version(spark, table).select(
         "user_id", "event_type", "first_ts", "first_event_id", "first_value"
     )
 
