@@ -528,7 +528,9 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jaccard_prefix_join(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """EXACT threshold Jaccard self-join, sub-quadratic via prefix
     filtering (AllPairs/PPJoin): identical output to the quadratic
     `ngram_jaccard_pairs`, but candidate generation is an EQUI-join.
@@ -570,12 +572,17 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       array op twice (measured 2×).
     The shingle table feeds three consumers and the prefix table two
     (both sides of the candidate self-join); Spark shares no plan
-    subtrees, so each is materialized ONCE via localCheckpoint — same
-    trade as `dup_clusters`: executor-memory blocks, zero-copy
-    locally; a real cluster passes a durable checkpoint dir (or
-    persists with replication) so a lost executor costs a re-read,
-    not the job.
+    subtrees, so each is materialized ONCE. `checkpoint_dir=None`
+    (local-mode default) uses localCheckpoint — executor-memory
+    blocks, zero-copy locally; a cluster passes a durable
+    `checkpoint_dir` (HDFS/object store, dup_clusters' option) so a
+    lost executor costs a re-read, not the job.
     """
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     t = JACCARD_THRESHOLD
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -586,8 +593,8 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=True)
     )
+    docs = ckpt(docs)
     tok = docs.select("doc_id", F.explode("sh").alias("tok"))
     # vocab-sized, not corpus-sized: one agg over distinct shingles
     rarity = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -604,7 +611,8 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
     pref = by_rarity.select(
         "doc_id", "sz", F.explode(F.slice("sh_sorted", 1, pref_len)).alias("tok")
-    ).localCheckpoint(eager=True)
+    )
+    pref = ckpt(pref)
     a, b = pref.alias("a"), pref.alias("b")
     cands = (
         a.join(
@@ -633,8 +641,8 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sh_a").alias("na"),
             F.size("sh_b").alias("nb"),
         )
-        .localCheckpoint(eager=True)  # barrier: intersect evaluated once
     )
+    scored = ckpt(scored)  # barrier: intersect evaluated once
     return (
         scored.withColumn(
             "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))

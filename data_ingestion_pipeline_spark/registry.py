@@ -2828,6 +2828,12 @@ _REVERIFY: set[str] = {
     "embedding_near_dup_lsh",
     "semantic_dedup",
     "lttb_downsample",
+    # r9 implementation rewrites (Arrow-batch PySource; manifest-
+    # versioned streaming sinks)
+    "synthetic_weather_pysource",
+    "stream_session_windows",
+    "stream_session_windows_bounded",
+    "stream_first_seen",
 }
 # r7 rewrites (stream_click_purchase_left_join, corpus_token_budget,
 # purge_roundtrip, debounce_events) all held clean r7 verdicts in

@@ -281,3 +281,28 @@ def test_jaccard_prefix_join_equals_exact(spark):
         for r in dedup.jaccard_prefix_join(spark, SF_TEST).collect()
     }
     assert fast == exact and len(exact) > 0
+
+
+def test_jaccard_prefix_join_durable_checkpoint(spark, tmp_path):
+    """The cluster deployment option: with a durable checkpoint_dir
+    the intermediates land in a reliable store (checkpoint files exist
+    on disk) and the result is identical to the localCheckpoint
+    default — the lost-executor story costs a re-read, not the job."""
+    base = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup.jaccard_prefix_join(spark, SF_TEST).collect()
+    }
+    ckdir = str(tmp_path / "ck")
+    durable = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup.jaccard_prefix_join(
+            spark, SF_TEST, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert durable == base and len(base) > 0
+    import os
+
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found += files
+    assert found, "durable checkpoint dir is empty"
