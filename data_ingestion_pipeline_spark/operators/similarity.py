@@ -1258,3 +1258,158 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok"),
     )
     return per_vec.unionByName(summary)
+
+
+# ---- persisted IVF-PQ index: build once, probe many -----------------
+# r7 debt: ann_ivfpq_topk retrains its model on every invocation. The
+# production layout builds ONCE into a cell-partitioned
+# manifest-versioned table (codes + cell per vector; the model —
+# centroids and codebooks, a few KB — rides in the manifest meta), and
+# every probe afterwards is: assign queries to nprobe cells, read ONLY
+# those cells' files via manifest metadata pruning, ADC-score codes,
+# exact-rerank the shortlist. No training scan, no full-index read.
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> int:
+    """Train the IVF-PQ model and commit the encoded index as version
+    N+1 of a manifest-versioned table partitioned by cell. The `cell`
+    column is kept in the data (partition dirs use a derived copy) so
+    explicit-file pruned reads retain it."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _vector_dim(emb)
+    rows, n = _ivf_train_sample(emb)
+    n_cells, nprobe = _ivf_params(n)
+    Cq = _ivf_centroids(emb, rows, n_cells)
+    books = _pq_codebooks(rows, dim)
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES)
+    index = (
+        _ivf_assign(cands, Cq, nprobe=1)
+        .join(pq_encode(cands, books), "vec_id")
+        .withColumn("cell_part", F.col("cell"))
+    )
+    meta = {
+        "model": {
+            "centroids": Cq.tolist(),
+            "codebooks": books.tolist(),  # float64 → json round-trips exactly
+            "n_cells": n_cells,
+            "nprobe": nprobe,
+            "dim": dim,
+        }
+    }
+    return V.commit_version_clustered(spark, path, index, "cell_part", meta=meta)
+
+
+def ann_ivfpq_index_probe(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """Serve a query batch from the PERSISTED index: no training, no
+    full-index scan. The probed-cell list (≤ N_QUERIES·nprobe ints) is
+    the one bounded driver-side collect — it IS the partition-pruning
+    predicate. Returns the same (query_id, neighbor_id, cosine, rank)
+    shape as ann_ivfpq_topk."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    model = V.manifest_meta(path)["model"]
+    Cq = np.asarray(model["centroids"], dtype=np.int64)
+    books = np.asarray(model["codebooks"], dtype=np.float64)
+    nprobe = int(model["nprobe"])
+    M, KS, dsub = books.shape
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    query_cells = _ivf_assign(queries, Cq, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    probed_cells = sorted(
+        {int(r.cell) for r in query_cells.select("cell").distinct().collect()}
+    )
+    idx = V.read_version_pruned(
+        spark, path, [str(c) for c in probed_cells]
+    ).select("vec_id", "cell", "codes")
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    lut_rows = []
+    for r in qrows:
+        Q = np.floor(np.asarray(r.embedding, dtype=np.float64) * EMB_SCALE)
+        lut = [
+            [
+                float(np.dot(Q[m * dsub : (m + 1) * dsub], books[m][k]))
+                for k in range(KS)
+            ]
+            for m in range(M)
+        ]
+        lut_rows.append((int(r.vec_id), lut))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, lut array<array<double>>"
+    )
+
+    probed = query_cells.join(idx, "cell").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    adc = probed.join(F.broadcast(lut_df), "query_id").withColumn(
+        "adc",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, shortlist)
+
+
+def _ivfpq_index_scratch(sf_dir: str) -> str:
+    import os
+
+    from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    return scratch_path("ivfpq_index", sf_name, "table")
+
+
+def ann_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/production path: build the index only if absent, then
+    serve the query batch from the persisted table (steady-state
+    serving cost — the build amortizes across probes)."""
+    import os
+    import shutil
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    path = _ivfpq_index_scratch(sf_dir)
+    if V.current_version(path) == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        build_ivfpq_index(spark, sf_dir, path)
+    return ann_ivfpq_index_probe(spark, sf_dir, path)
+
+
+def ann_ivfpq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: build the persisted index fresh (v1), then
+    grade the SERVED probe against the exact cosine top-k (the ANN
+    recall-audit form; identical floors to ann_ivfpq_topk — the probe
+    reads the same codes the transient variant computes)."""
+    import os
+    import shutil
+
+    path = _ivfpq_index_scratch(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    build_ivfpq_index(spark, sf_dir, path)
+    return _ann_recall_audit(
+        spark,
+        sf_dir,
+        lambda s, d: ann_ivfpq_index_probe(s, d, path),
+        *ANN_AUDIT_FLOORS["ivfpq"],
+    )

