@@ -700,16 +700,19 @@ def minhash_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok"),
     )
     recall = graded.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("found").alias("hits")
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("found"), F.lit(0)).alias("hits"),
     ).select(
         F.lit("recall").alias("kind"),
         F.lit(None).cast("long").alias("doc_a"),
         F.lit(None).cast("long").alias("doc_b"),
         F.lit(None).cast("double").alias("jaccard"),
         F.col("n").cast("long").alias("n"),
-        (
+        F.when(F.col("n") == 0, F.lit(True))
+        .otherwise(
             F.col("hits").cast("double")
             >= F.lit(MINHASH_AUDIT_RECALL_FLOOR) * F.col("n").cast("double")
-        ).alias("ok"),
+        )
+        .alias("ok"),
     )
     return pairs.unionByName(recall)

@@ -1118,15 +1118,19 @@ def _ann_recall_audit(
         ),
     )
     total = per_q.agg(
-        F.sum("k").alias("k"), F.sum("hits").alias("hits")
+        F.coalesce(F.sum("k"), F.lit(0)).alias("k"),
+        F.coalesce(F.sum("hits"), F.lit(0)).alias("hits"),
     ).select(
         F.lit(None).cast("long").alias("query_id"),
         F.col("k").cast("long").alias("k"),
         F.lit(None).cast("double").alias("kth_cosine"),
-        (
+        # zero queries (empty slice) → vacuously ok, never NULL
+        F.when(F.col("k") == 0, F.lit(True))
+        .otherwise(
             F.col("hits").cast("double")
             >= F.lit(mean_floor) * F.col("k").cast("double")
-        ).alias("recall_ok"),
+        )
+        .alias("recall_ok"),
     )
     return per_row.unionByName(total)
 
@@ -1199,17 +1203,20 @@ def embedding_near_dup_recall_audit(
         ).alias("ok"),
     )
     recall = graded.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("found").alias("hits")
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("found"), F.lit(0)).alias("hits"),
     ).select(
         F.lit("recall").alias("kind"),
         F.lit(None).cast("long").alias("vec_a"),
         F.lit(None).cast("long").alias("vec_b"),
         F.lit(None).cast("double").alias("cosine"),
         F.col("n").cast("long").alias("n"),
-        (
+        F.when(F.col("n") == 0, F.lit(True))
+        .otherwise(
             F.col("hits").cast("double")
             >= F.lit(NEAR_DUP_AUDIT_RECALL_FLOOR) * F.col("n").cast("double")
-        ).alias("ok"),
+        )
+        .alias("ok"),
     )
     return pairs.unionByName(recall)
 
@@ -1245,17 +1252,22 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("dropped") | (F.col("truth") == 1)).alias("ok"),
     )
     summary = graded.agg(
-        F.sum("truth").alias("n_true"),
-        F.sum(F.col("dropped").cast("int")).alias("n_drop"),
+        F.coalesce(F.sum("truth"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.sum(F.col("dropped").cast("int")), F.lit(0)).alias(
+            "n_drop"
+        ),
     ).select(
         F.lit("recall").alias("kind"),
         F.lit(None).cast("long").alias("vec_id"),
         F.lit(None).cast("boolean").alias("has_true_dup"),
         F.col("n_true").cast("long").alias("n"),
-        (
+        F.when(F.col("n_true") == 0, F.lit(True))
+        .otherwise(
             F.col("n_drop").cast("double")
-            >= F.lit(SEMANTIC_AUDIT_RECALL_FLOOR) * F.col("n_true").cast("double")
-        ).alias("ok"),
+            >= F.lit(SEMANTIC_AUDIT_RECALL_FLOOR)
+            * F.col("n_true").cast("double")
+        )
+        .alias("ok"),
     )
     return per_vec.unionByName(summary)
 

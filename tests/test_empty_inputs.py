@@ -27,6 +27,19 @@ _GENERATES_ROWS = {
 
 # fixed-shape summaries: one row per stage/total whose COUNTS are zero
 # on empty input — the rows are the report's schema, not data
+_ANN_AUDIT_EMPTY = lambda rows: (  # noqa: E731
+    len(rows) == 1
+    and rows[0].query_id is None
+    and rows[0].k == 0
+    and rows[0].recall_ok
+)
+_PAIR_AUDIT_EMPTY = lambda rows: (  # noqa: E731
+    len(rows) == 1
+    and rows[0].kind == "recall"
+    and rows[0].n == 0
+    and rows[0].ok
+)
+
 _SUMMARY_ROWS = {
     "funnel_conversion": lambda rows: all(r.users == 0 for r in rows),
     "hll_user_rollup": lambda rows: all(
@@ -35,6 +48,17 @@ _SUMMARY_ROWS = {
     "events_expectations": lambda rows: all(
         r.violations == 0 and r.total == 0 and r.passed for r in rows
     ),
+    # recall-audit entries: empty input leaves only the aggregate
+    # summary row, which must report zero ground truth and a vacuous
+    # (TRUE, never NULL) verdict
+    "ann_hamming_topk": _ANN_AUDIT_EMPTY,
+    "ann_ivf_topk": _ANN_AUDIT_EMPTY,
+    "ann_pq_topk": _ANN_AUDIT_EMPTY,
+    "ann_ivfpq_topk": _ANN_AUDIT_EMPTY,
+    "ann_ivfpq_index_roundtrip": _ANN_AUDIT_EMPTY,
+    "minhash_lsh_candidates": _PAIR_AUDIT_EMPTY,
+    "embedding_near_dup_lsh": _PAIR_AUDIT_EMPTY,
+    "semantic_dedup": _PAIR_AUDIT_EMPTY,
 }
 
 
