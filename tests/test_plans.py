@@ -488,6 +488,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         # dedicated plan tests below.
         "ann_ivf_topk",
         "ann_ivfpq_topk",
+        "ann_ivfpq_index_roundtrip",
         "embedding_near_dup_lsh",
         "semantic_dedup",
     }
