@@ -622,6 +622,57 @@ def commit_version_partitioned(
     return v
 
 
+def append_version_clustered(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_col: str,
+    meta: dict | None = None,
+    expected_current: int | None = None,
+) -> int:
+    """APPEND-only clustered commit: the new rows land as fresh files
+    in data/v{N+1} (partitioned by partition_col), and EVERY file of
+    the current snapshot carries into the new manifest by reference —
+    cost is O(new data) regardless of table size, the manifests-span-
+    snapshots shape Iceberg appends have. Multiple files per partition
+    are normal; readers union them and pruned reads match on the
+    per-file partition tag. Prior manifest meta carries forward under
+    the new commit's keys (so a model artifact riding in meta — the
+    IVF-PQ index's centroids/codebooks — survives appends)."""
+
+    def check() -> None:
+        if expected_current is not None and current_version(path) != expected_current:
+            raise ConcurrentCommitError(
+                f"expected v{expected_current}, found v{current_version(path)}"
+            )
+
+    check()
+    prior = _manifest(path) if current_version(path) > 0 else {"files": [], "partitions": {}}
+    v = prior.get("version", 0) + 1
+    data_dir = os.path.join(path, "data", f"v{v}")
+    df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+    new_files = _walk_rel_parquet(data_dir, path)
+    files = sorted(list(prior["files"]) + new_files)
+    partitions = dict(prior.get("partitions", {}))
+    partitions.update({f: _partition_of(f, partition_col) for f in new_files})
+    check()
+    with open(_manifest_path(path, v), "w") as fh:
+        json.dump(
+            {"version": v, "files": files, "partitions": partitions,
+             "partition_col": partition_col,
+             "schema": df.schema.json(),
+             "committed_at": time.time(),
+             "meta": {**prior.get("meta", {}), **(meta or {})}},
+            fh,
+        )
+    check()
+    tmp = os.path.join(path, POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, POINTER))
+    return v
+
+
 def _manifest(path: str, version: int | None = None) -> dict:
     v = current_version(path) if version is None else version
     with open(_manifest_path(path, v)) as fh:
