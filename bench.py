@@ -157,9 +157,42 @@ def main() -> None:
             out["warm_total"] = full["warm_total"]
         return json.dumps(out, separators=(",", ":"))
 
+    def rollup_line() -> str:
+        # last-resort fallback (registry growth / slow-host timing
+        # inflation pushing even the compact form past the window):
+        # itemize the slowest entries, roll the rest into one bucket —
+        # a parseable line beats a head-cut one; BENCH_SELF.json still
+        # carries every entry under full names.
+        desc = sorted(cold, key=cold.get, reverse=True)
+        out = None
+        for keep in range(len(desc), 0, -1):
+            head = {n: cold[n] for n in desc[:keep]}
+            rest = [cold[n] for n in desc[keep:]]
+            q = dict(head)
+            if rest:
+                q["rest"] = round(sum(rest), 2)
+                q["rest_n"] = len(rest)
+            cand = {"queries": q}
+            cand.update(
+                metric="total_wall_sec",
+                value=full["value"],
+                unit="sec",
+                sf=sf,
+                cpus=cpus,
+            )
+            if repeat > 1:
+                cand["warm_total"] = full["warm_total"]
+            out = json.dumps(cand, separators=(",", ":"))
+            if len(out) <= MAX_LINE:
+                return out
+        return out
+
     line = full_line()
     if len(line) > MAX_LINE:
         line = compact_line()
+    if len(line) > MAX_LINE:
+        line = rollup_line()
+    assert len(line) <= MAX_LINE, len(line)
     print(line)
     spark.stop()
 

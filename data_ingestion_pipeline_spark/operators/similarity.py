@@ -33,7 +33,11 @@ from data_ingestion_pipeline_spark.sources.tables import load_table
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_PLANES = 128  # hyperplane signature bits (2 packed longs)
-SHORTLIST = 64  # Hamming-shortlist size per query before exact rerank
+# ADC/Hamming shortlist size per query before exact rerank. 128 (up
+# from 64, r10): the rerank is SHORTLIST exact dots per query —
+# constant per query at any corpus size — and the wider shortlist is
+# what lifts PQ's measured mean recall from 0.82 to ~1.0 at sf0.1.
+SHORTLIST = 128
 FIXED_SCALE = 1e12  # fixed-point quantum for exact dot products
 EMB_SCALE = 1e6  # fixed-point quantum for signature/band projections
 
@@ -344,11 +348,20 @@ def _unit_quantized(C: np.ndarray) -> np.ndarray:
 
 
 def _ivf_params(n: int) -> tuple[int, int]:
-    """(n_cells, nprobe) from the candidate count — √n cells, probe a
-    quarter of them. Shared by the operator and its tests so the test
-    always measures the production configuration."""
+    """(n_cells, nprobe) from the candidate count — √n cells, probe
+    half of them. Shared by the operator and its tests so the test
+    always measures the production configuration.
+
+    nprobe is the recall/cost dial and half-the-cells is what THIS
+    corpus needs for production-grade recall: the synthetic embeddings
+    are near-uniform, so true neighbors are barely more concentrated
+    than random and measured mean recall tracks the probed fraction
+    (nprobe=cells/4 → 0.58-0.62; cells/2 → 0.84-0.86 at sf0.01/0.1).
+    Real embedding corpora cluster, which moves recall at FIXED nprobe
+    up, not down — and on the persisted-index path cost grows linearly
+    in nprobe (only probed cells are read), never in corpus size."""
     n_cells = max(4, int(round(math.sqrt(max(n, 0)))))
-    return n_cells, max(2, n_cells // 4)
+    return n_cells, max(2, n_cells // 2)
 
 
 def _ivf_train_sample(
@@ -448,13 +461,20 @@ def _ivf_centroids(emb: DataFrame, rows: list, n_cells: int) -> np.ndarray:
     return _unit_quantized(C)
 
 
-def _ivf_assign(emb: DataFrame, Cq: np.ndarray, nprobe: int) -> DataFrame:
-    """(vec_id, cell) for each vector: its nprobe best cells by exact
-    integer dot with the quantized unit centroids. One Arrow-batched
-    mapInPandas GEMM pass, centroids broadcast by closure; no shuffle
-    — assignment happens where the vectors live. Ties break to the
-    lowest cell id (stable argsort on exact integers)."""
-    schema = "vec_id bigint, cell int"
+def _ivf_assign(
+    emb: DataFrame, Cq: np.ndarray, nprobe: int, with_rank: bool = False
+) -> DataFrame:
+    """(vec_id, cell[, rank]) for each vector: its nprobe best cells
+    by exact integer dot with the quantized unit centroids. One
+    Arrow-batched mapInPandas GEMM pass, centroids broadcast by
+    closure; no shuffle — assignment happens where the vectors live.
+    Ties break to the lowest cell id (stable argsort on exact
+    integers). `with_rank=True` adds the probe rank (0 = primary
+    cell), letting a multi-probe caller derive the nprobe=1
+    assignment from the SAME pass instead of scanning the corpus
+    through a second GEMM (rank 0 of the stable argsort IS the
+    argmax)."""
+    schema = "vec_id bigint, cell int" + (", rank int" if with_rank else "")
     Cf = Cq.T.astype(np.float64)
 
     def gen(batches):
@@ -471,12 +491,15 @@ def _ivf_assign(emb: DataFrame, Cq: np.ndarray, nprobe: int) -> DataFrame:
                 raise ValueError("ivf assignment would lose integer exactness")
             scores = Eq @ Cf  # exact integer-valued float64
             top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
-                    "cell": top.reshape(-1).astype(np.int32),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                "cell": top.reshape(-1).astype(np.int32),
+            }
+            if with_rank:
+                out["rank"] = np.tile(
+                    np.arange(nprobe, dtype=np.int32), len(pdf)
+                )
+            yield pd.DataFrame(out)
 
     return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
 
@@ -799,9 +822,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells, _ = _ivf_params(n)
     Cq = _ivf_centroids(emb, rows, n_cells)
 
-    cells = _ivf_assign(emb, Cq, nprobe=1)
-    probes = _ivf_assign(emb, Cq, nprobe=SEMANTIC_DEDUP_NPROBE)
-    embn = _with_norm(emb).join(probes, "vec_id")
+    # ONE multi-probe GEMM pass serves both needs: rank 0 of the
+    # stable argsort IS the nprobe=1 primary cell (identical ties),
+    # so the former second assignment scan is gone (r9 ADVICE).
+    probes = _ivf_assign(emb, Cq, nprobe=SEMANTIC_DEDUP_NPROBE, with_rank=True)
+    cells = probes.filter(F.col("rank") == 0).select("vec_id", "cell")
+    embn = _with_norm(emb).join(probes.select("vec_id", "cell"), "vec_id")
     a = embn.select(
         F.col("cell"),
         F.col("vec_id").alias("id_a"),
@@ -845,7 +871,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CODES ONLY (M bytes/vector instead of 4·dim), which at 100 TB is
 # the difference between an in-memory index and a disk-bound scan.
 PQ_M = 16  # subspaces (dsub = dim / M)
-PQ_KS = 16  # codewords per subspace → 4-bit codes
+# codewords per subspace → 6-bit codes. 64 (up from 16, r10): 4-bit
+# quantization capped measured ADC recall at 0.82-0.92 at sf0.1; 64
+# codewords push the PQ shortlist to ~1.0 so the composed IVF-PQ
+# recall equals the IVF pruning recall. Cost: per-query LUT is
+# M×KS = 16×64 doubles (broadcast, trivial), training k-means is
+# still over the same bounded ≤2048-row sample.
+PQ_KS = 64
 PQ_ITERS = 8
 
 
@@ -1079,15 +1111,27 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below the measured floor flips the verdict and the driver's hash
 # compare catches it. Floors are set from measured per-query recall at
 # sf0.001/0.01/0.1 with margin (everything is deterministic — fixed
-# data, seedless hashes, bit-reproducible k-means):
-#   measured min-hits / mean-recall @ sf0.01: hamming 2/0.86,
-#   ivf 1/0.62, pq 4/0.96, ivfpq 1/0.62 (sf0.1 means: 0.68/0.60/
-#   0.82/0.58). Raw top-k results stay in the ann_*_topk functions.
+# data, seedless hashes, bit-reproducible k-means). Measured
+# min-hits/mean with the r10 production config (nprobe=cells/2,
+# PQ_KS=64, SHORTLIST=128):
+#   hamming 5/1.00, 5/1.00, 3/0.78   (sf0.001, sf0.01, sf0.1)
+#   ivf     4/0.92, 3/0.84, 3/0.86
+#   pq      5/1.00, 5/1.00, 5/1.00
+#   ivfpq   4/0.92, 3/0.84, 3/0.86
+# (r9 floors were 0.45-0.75 against nprobe=cells/4 means of 0.58-0.62
+# — honest but sub-production; r10 raises the dial and re-tightens.)
+# Raw top-k results stay in the ann_*_topk functions.
 ANN_AUDIT_FLOORS = {
-    "hamming": (1, 0.60),
-    "ivf": (1, 0.45),
-    "pq": (2, 0.75),
-    "ivfpq": (1, 0.45),
+    "hamming": (2, 0.70),
+    "ivf": (2, 0.80),
+    "pq": (4, 0.90),
+    "ivfpq": (2, 0.80),
+    # appended index (model trained on the even half, odd half encoded
+    # through the frozen model): measured min-hits/mean 2/0.82,
+    # 2/0.84, 2/0.84 at sf0.001/0.01/0.1 — within a couple points of
+    # the full build's 0.84-0.92, the honest price of O(new data)
+    # appends; min-hits floor 1 leaves margin under the measured 2
+    "ivfpq_append": (1, 0.75),
 }
 
 
@@ -1282,20 +1326,27 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-rerank the shortlist. No training scan, no full-index read.
 
 
-def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> int:
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, path: str, cand_where=None
+) -> int:
     """Train the IVF-PQ model and commit the encoded index as version
     N+1 of a manifest-versioned table partitioned by cell. The `cell`
     column is kept in the data (partition dirs use a derived copy) so
-    explicit-file pruned reads retain it."""
+    explicit-file pruned reads retain it. `cand_where` (optional
+    Column predicate) restricts which candidates the initial build
+    trains on and indexes — the rest can arrive later through
+    `append_ivfpq_index` without retraining."""
     from data_ingestion_pipeline_spark.operators import versioned as V
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _vector_dim(emb)
-    rows, n = _ivf_train_sample(emb)
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES)
+    if cand_where is not None:
+        cands = cands.filter(cand_where)
+    rows, n = _ivf_train_sample(cands)
     n_cells, nprobe = _ivf_params(n)
     Cq = _ivf_centroids(emb, rows, n_cells)
     books = _pq_codebooks(rows, dim)
-    cands = emb.filter(F.col("vec_id") >= N_QUERIES)
     index = (
         _ivf_assign(cands, Cq, nprobe=1)
         .join(pq_encode(cands, books), "vec_id")
@@ -1308,9 +1359,38 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> int:
             "n_cells": n_cells,
             "nprobe": nprobe,
             "dim": dim,
-        }
+        },
+        # identifies WHAT this index was built from (source files +
+        # quantizer config): the steady-state serve path rebuilds on
+        # mismatch instead of silently serving an index for data that
+        # no longer exists or a config that has moved (r9 ADVICE)
+        "data_fingerprint": _embeddings_fingerprint(sf_dir),
     }
     return V.commit_version_clustered(spark, path, index, "cell_part", meta=meta)
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Deterministic identity of the index's source + config: every
+    embeddings parquet file's (relative name, size, mtime_ns) plus the
+    quantizer constants that shape the stored codes. Metadata-only —
+    no data scan; regenerated testdata or a PQ/IVF config bump changes
+    the string and invalidates any persisted index built before it."""
+    import hashlib
+    import os
+
+    base = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(base):
+        for root, _, files in sorted(os.walk(base)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                parts.append((os.path.relpath(p, base), st.st_size, st.st_mtime_ns))
+    elif os.path.exists(base):
+        st = os.stat(base)
+        parts.append((os.path.basename(base), st.st_size, st.st_mtime_ns))
+    cfg = f"pq_m={PQ_M},pq_ks={PQ_KS},train_max={IVF_TRAIN_MAX},scale={EMB_SCALE}"
+    return hashlib.md5((repr(parts) + "|" + cfg).encode()).hexdigest()
 
 
 def ann_ivfpq_index_probe(
@@ -1381,29 +1461,123 @@ def ann_ivfpq_index_probe(
     return _exact_rerank(emb, shortlist)
 
 
-def _ivfpq_index_scratch(sf_dir: str) -> str:
+def _ivfpq_index_scratch(sf_dir: str, variant: str = "table") -> str:
     import os
 
     from data_ingestion_pipeline_spark.operators.upsert import scratch_path
 
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    return scratch_path("ivfpq_index", sf_name, "table")
+    return scratch_path("ivfpq_index", sf_name, variant)
 
 
 def ann_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench/production path: build the index only if absent, then
-    serve the query batch from the persisted table (steady-state
-    serving cost — the build amortizes across probes)."""
+    """Bench/production path: build the index only if absent OR stale
+    (source-data/config fingerprint mismatch — regenerated testdata or
+    a quantizer bump must not be served from an old index), then serve
+    the query batch from the persisted table (steady-state serving
+    cost — the build amortizes across probes)."""
     import os
     import shutil
 
     from data_ingestion_pipeline_spark.operators import versioned as V
 
     path = _ivfpq_index_scratch(sf_dir)
-    if V.current_version(path) == 0:
+    fresh = V.current_version(path) > 0 and (
+        V.manifest_meta(path).get("data_fingerprint")
+        == _embeddings_fingerprint(sf_dir)
+    )
+    if not fresh:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         build_ivfpq_index(spark, sf_dir, path)
+    return ann_ivfpq_index_probe(spark, sf_dir, path)
+
+
+def append_ivfpq_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame
+) -> int:
+    """Grow the persisted index WITHOUT retraining: encode the new
+    vectors through the PERSISTED model (centroids + codebooks from
+    the manifest — the index's quantizer is frozen at build time,
+    exactly FAISS `add` semantics) and append them as fresh
+    cell-partitioned files; every existing file carries into the new
+    manifest by reference. Cost is O(new vectors) regardless of index
+    size — the lifecycle that makes a 100 TB index maintainable
+    (daily embedding batches append; retrain/rebuild is a deliberate,
+    separate event when drift warrants it)."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    model = V.manifest_meta(path)["model"]
+    Cq = np.asarray(model["centroids"], dtype=np.int64)
+    books = np.asarray(model["codebooks"], dtype=np.int64)
+    index = (
+        _ivf_assign(new_vectors, Cq, nprobe=1)
+        .join(pq_encode(new_vectors, books), "vec_id")
+        .withColumn("cell_part", F.col("cell"))
+    )
+    return V.append_version_clustered(spark, path, index, "cell_part")
+
+
+def ann_ivfpq_index_append_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry for the index GROWTH lifecycle: build v1 on the
+    even-id half of the corpus (model trains on that half only),
+    append the odd-id half encoded through the frozen v1 model (v2),
+    then serve the query batch against the appended index and grade
+    recall vs the exact cosine top-k over the WHOLE corpus. Floors are
+    the measured appended-index values (see ANN_AUDIT_FLOORS["ivfpq_append"])
+    — the half-corpus-trained model quantizes the appended half
+    slightly worse than a full retrain would, which is the honest
+    price of O(new data) appends."""
+    import os
+    import shutil
+
+    path = _ivfpq_index_scratch(sf_dir, variant="append_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    build_ivfpq_index(
+        spark, sf_dir, path, cand_where=(F.col("vec_id") % 2 == 0)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    odds = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 1)
+    )
+    append_ivfpq_index(spark, path, odds)
+    return _ann_recall_audit(
+        spark,
+        sf_dir,
+        lambda s, d: ann_ivfpq_index_probe(s, d, path),
+        *ANN_AUDIT_FLOORS["ivfpq_append"],
+    )
+
+
+def ann_ivfpq_index_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench path for the append lifecycle: build-evens + append-odds
+    only if absent or stale (same fingerprint contract as
+    ann_ivfpq_index_serve), then serve — steady-state cost is the
+    probe, with the one-time build+append amortized."""
+    import os
+    import shutil
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    path = _ivfpq_index_scratch(sf_dir, variant="append")
+    fresh = V.current_version(path) >= 2 and (
+        V.manifest_meta(path).get("data_fingerprint")
+        == _embeddings_fingerprint(sf_dir)
+    )
+    if not fresh:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        build_ivfpq_index(
+            spark, sf_dir, path, cand_where=(F.col("vec_id") % 2 == 0)
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        odds = emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 1)
+        )
+        append_ivfpq_index(spark, path, odds)
     return ann_ivfpq_index_probe(spark, sf_dir, path)
 
 

@@ -1766,7 +1766,11 @@ REGISTRY: dict[str, QuerySpec] = {
         bench_fn=dedup.minhash_lsh_candidates,
     ),
     "simhash_buckets": QuerySpec(
-        dedup.simhash_buckets,
+        # md5-leaf twin for grading; bench times the xxhash64
+        # production path (r9 VERDICT §wrong 4: md5-per-token is a
+        # real constant-factor tax at 100 TB — same split _gram_hashes
+        # makes for MinHash grams)
+        dedup.simhash_buckets_md5,
         # FULL hash-match oracle: the md5-leaf fingerprints are
         # engine-portable, so DuckDB recomputes simhash + all four
         # bands bit-for-bit (_SIMHASH_FP_SQL)
@@ -1774,9 +1778,10 @@ REGISTRY: dict[str, QuerySpec] = {
         {_SIMHASH_FP_SQL}
         """,
         ground_truth="tests/test_dedup.py::test_simhash_buckets_structure",
+        bench_fn=dedup.simhash_buckets,
     ),
     "simhash_candidates": QuerySpec(
-        dedup.simhash_candidates,
+        dedup.simhash_candidates_md5,
         # FULL exact oracle: band-bucket LSH at Hamming ≤ 3 has
         # perfect recall by pigeonhole, so the result set EQUALS all
         # pairs at Hamming ≤ 3 — reproduced by a quadratic
@@ -1794,6 +1799,7 @@ REGISTRY: dict[str, QuerySpec] = {
         ) WHERE hamming <= 3
         """,
         ground_truth="tests/test_dedup.py::test_simhash_candidates_find_near_identicals",
+        bench_fn=dedup.simhash_candidates,
     ),
     "station_outliers": QuerySpec(
         analytics.station_outliers,
@@ -2047,6 +2053,17 @@ REGISTRY: dict[str, QuerySpec] = {
         _ANN_AUDIT_SQL,
         ground_truth="tests/test_similarity.py::test_ivfpq_index_persists_and_prunes",
         bench_fn=similarity.ann_ivfpq_index_serve,
+    ),
+    "ann_ivfpq_index_append_roundtrip": QuerySpec(
+        # index GROWTH lifecycle (r10): v1 built on the even half, odd
+        # half appended through the FROZEN v1 model (no retraining,
+        # O(new data) — FAISS `add` semantics), probe served against
+        # the appended manifest, recall graded vs exact top-k over the
+        # whole corpus with the same audit oracle
+        similarity.ann_ivfpq_index_append_roundtrip,
+        _ANN_AUDIT_SQL,
+        ground_truth="tests/test_similarity.py::test_ivfpq_index_append_grows_without_retrain",
+        bench_fn=similarity.ann_ivfpq_index_append_serve,
     ),
     # ---- round-4 additions: window/range-join/sampling surface ----
     "user_running_total": QuerySpec(
@@ -2812,44 +2829,31 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY: set[str] = {
-    # r8 commit e8047a1 rewrote purge_rows / bloom_candidate_files /
-    # evolve_schema / drop_partitions_before AFTER the r7 verdicts;
-    # CORRECTNESS_r08 never sampled these four, so their r7 verdicts
-    # prove pre-rewrite code only (VERDICT r8 §wrong 1).  Prune once
-    # CORRECTNESS_r09+ shows them green.
-    "purge_roundtrip",
-    "bloom_index_lookup",
-    "versioned_schema_evolution",
-    "retention_roundtrip",
-    # r9 oracle upgrades: former no_oracle entries now emitting
-    # quantitative-verdict (or full hash-match) oracle forms — their
-    # historical rows-only verdicts prove nothing about the new shape
-    "doc_rolling_hash",
-    "event_type_cardinality_approx",
-    "decoded_image_stats",
-    "audio_window_rms",
+    # r10: graded fn swapped to the md5-leaf twin (production default
+    # now xxhash64; bench_fn times it) — same construction, but the
+    # registry fn object changed, so demand a fresh verdict
+    "simhash_buckets",
+    "simhash_candidates",
+    # r10 ANN production-recall upgrade: nprobe cells/4→cells/2,
+    # PQ_KS 16→64, SHORTLIST 64→128, floors re-tightened to 0.70-0.90
+    # — every audited verdict recomputes against new shortlists
     "ann_hamming_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    "minhash_lsh_candidates",
-    "simhash_buckets",
-    "simhash_candidates",
-    "embedding_near_dup_lsh",
+    "ann_ivfpq_index_roundtrip",
+    # r10: single multi-probe GEMM pass (rank-0-derived primary cell)
+    # — results identical by construction, but the plan changed
     "semantic_dedup",
-    "lttb_downsample",
-    # r9 implementation rewrites (Arrow-batch PySource; manifest-
-    # versioned streaming sinks)
-    "synthetic_weather_pysource",
-    "stream_session_windows",
-    "stream_session_windows_bounded",
-    "stream_first_seen",
 }
+# r10 prune: all 22 r9 names (the four r8 versioned-table rewrites, the
+# 14 former no_oracle oracle-upgrades, and the four r9 implementation
+# rewrites) were sampled in CORRECTNESS_r09.json and hold clean
+# hash-matched verdicts (VERDICT r9 §next 1), so the set is empty —
+# letting the r10 rotation reach the r6-stale tail.  Earlier prunes:
 # r7 rewrites (stream_click_purchase_left_join, corpus_token_budget,
-# purge_roundtrip, debounce_events) all held clean r7 verdicts in
-# CORRECTNESS_r07.json and were pruned (VERDICT r7 §next 4).
-# r9 oracle-upgrades (the former no_oracle family) get added below as
-# they land.
+# purge_roundtrip, debounce_events) pruned after CORRECTNESS_r07.
+# Names rewritten in r10 are re-added below as the rewrites land.
 
 
 def _verification_order(names: list[str]) -> list[str]:

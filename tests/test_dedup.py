@@ -89,6 +89,24 @@ def test_simhash_candidates_find_near_identicals(spark):
     assert found >= 0.7, f"near-identical recall {found:.2f}"
 
 
+def test_simhash_md5_twin_same_construction(spark):
+    """The graded md5-leaf twin (registry fn; DuckDB-recomputable)
+    runs the identical SimHash construction: pairs honor the Hamming
+    radius and near-identical fixtures surface, leaf-independently."""
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, SF_TEST)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    cands = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_candidates_md5(spark, SF_TEST).collect()
+    }
+    assert all(h <= dedup.SIMHASH_MAX_HAMMING for h in cands.values())
+    assert near and len(near & set(cands)) / len(near) >= 0.7
+
+
 def test_simhash_buckets_structure(spark):
     """Fingerprint table: 64-bit simhash (bit 63 in the sign), 4
     16-bit bands in [0, 65535], one row per tokenizable document, and

@@ -16,6 +16,8 @@ binary, no Python Kafka client — see README). What remains testable:
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -59,3 +61,75 @@ def test_kafka_source_probe(spark):
             "connector now available — add a live kafka_roundtrip test "
             "(embedded broker) and drop this probe"
         )
+
+
+KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
+
+
+@pytest.mark.skipif(
+    not KAFKA_BOOTSTRAP,
+    reason="set KAFKA_BOOTSTRAP=host:port (with spark-sql-kafka on the "
+    "classpath) to run the live broker contract test",
+)
+def test_kafka_live_roundtrip(spark, tmp_path):
+    """Live-broker contract (S3/K1): marshal events → kafka_sink →
+    broker → kafka_source → decode_values must reproduce every record.
+    Skips in broker-less environments (this sandbox); any deployment
+    with a reachable broker can validate the exact option chains the
+    config builders emit by exporting KAFKA_BOOTSTRAP."""
+    import json
+    import uuid
+
+    from data_ingestion_pipeline_spark.streaming.kafka import kafka_sink
+
+    topic = f"cc_contract_{uuid.uuid4().hex[:8]}"
+    recs = [
+        {
+            "event_id": i,
+            "ts_us": 1704412800000000 + i,
+            "user_id": i % 3,
+            "event_type": "click",
+            "value": float(i),
+        }
+        for i in range(20)
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "batch.json").write_text("\n".join(json.dumps(r) for r in recs))
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts_us bigint, user_id bigint, "
+            "event_type string, value double"
+        )
+        .json(str(feed))
+        .select(
+            F.to_json(
+                F.struct("event_id", "ts_us", "user_id", "event_type", "value")
+            ).alias("value")
+        )
+    )
+    wq = (
+        kafka_sink(src, KAFKA_BOOTSTRAP, topic, str(tmp_path / "ck_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert wq.awaitTermination(120), "kafka_sink drain timed out"
+
+    sink_name = f"kb_{topic}"
+    rq = (
+        decode_values(kafka_source(spark, KAFKA_BOOTSTRAP, topic))
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", str(tmp_path / "ck_r"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert rq.awaitTermination(120), "kafka_source drain timed out"
+    rows = spark.sql(f"SELECT * FROM {sink_name}").collect()
+    assert all(r._corrupt_record is None for r in rows)
+    got = {(r.event_id, r.user_id, r.event_type, r.value) for r in rows}
+    want = {
+        (r["event_id"], r["user_id"], r["event_type"], r["value"])
+        for r in recs
+    }
+    assert got == want

@@ -457,8 +457,8 @@ def test_span_dedup_first_occurrence_is_partial_agg(spark):
 
 def test_no_accidental_cross_joins_anywhere(spark):
     """Standing audit: EVERY batch entry's physical plan is free of
-    CartesianProduct and BroadcastNestedLoopJoin, except the eight
-    deliberate crosses — a new operator that silently plans a cross
+    CartesianProduct and BroadcastNestedLoopJoin, except the
+    deliberate crosses in DELIBERATE — a new operator that silently plans a cross
     join fails here even before anyone writes it a dedicated test.
     Streaming entries are excluded (constructing them runs a full
     drain); their batch twins are covered."""
@@ -489,6 +489,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "ann_ivf_topk",
         "ann_ivfpq_topk",
         "ann_ivfpq_index_roundtrip",
+        "ann_ivfpq_index_append_roundtrip",
         "embedding_near_dup_lsh",
         "semantic_dedup",
     }

