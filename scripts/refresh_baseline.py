@@ -11,8 +11,10 @@ from __future__ import annotations
 import json
 import pathlib
 import re
+import sys
 
 root = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(root))
 bench = json.loads((root / "BENCH_SELF.json").read_text())
 cold, warm = bench["queries"], bench.get("warm", {})
 
