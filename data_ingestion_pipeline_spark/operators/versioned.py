@@ -417,6 +417,156 @@ def bloom_lookup(
     ).filter(F.col(key_col).cast("string").isin(vals))
 
 
+class StaleStatsIndexError(RuntimeError):
+    """The column-stats index was built against a superseded snapshot."""
+
+
+def _stats_encode(v):
+    """JSON-portable (kind, value) encoding of a footer statistic.
+    Numerics stay native; timestamps/dates become ISO strings (fixed
+    width → lexicographic order == chronological order); bytes decode
+    as UTF-8 strings (parquet string stats)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return ["num", int(v)]
+    if isinstance(v, (int, float)):
+        return ["num", v]
+    if isinstance(v, _dt.datetime):
+        return ["ts", v.replace(tzinfo=None).isoformat(timespec="microseconds")]
+    if isinstance(v, _dt.date):
+        return ["ts", v.isoformat()]
+    if isinstance(v, bytes):
+        return ["str", v.decode("utf-8", "replace")]
+    return ["str", str(v)]
+
+
+def build_column_stats(path: str, col: str) -> dict:
+    """Per-file [min, max] for `col`, harvested from parquet FOOTERS —
+    pure metadata, NO Spark job, no data pages read. This is the
+    data-skipping index Delta/Iceberg collect at write time: a range
+    predicate then reads only files whose [min, max] interval
+    overlaps it, which on a column the table is clustered by
+    (repartitionByRange / Z-order) turns a full scan into a few-file
+    read. Complements the bloom index (equality probes): stats answer
+    RANGE probes bloom cannot.
+
+    A file whose footer lacks min/max for the column (e.g. a file
+    predating a schema evolution) records null and is always a
+    candidate — skipping must never create false negatives. Persisted
+    beside the manifests as _STATS_{col}.json, stamped with the built
+    version; probes against a superseded snapshot raise
+    StaleStatsIndexError (stats_lookup rebuilds transparently).
+    Driver cost is one footer read per file; a 100 TB deployment
+    distributes the harvest (or folds it into the writing tasks, as
+    the table formats do) — the probe protocol is unchanged."""
+    import pyarrow.parquet as _pq
+
+    m = _manifest(path)
+    files: dict[str, list | None] = {}
+    for rel in m["files"]:
+        md = _pq.ParquetFile(os.path.join(path, rel)).metadata
+        idx = next(
+            (
+                i
+                for i in range(len(md.schema))
+                if md.schema.column(i).path == col
+            ),
+            None,
+        )
+        lo = hi = None
+        ok = idx is not None and md.num_row_groups > 0
+        if ok:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        files[rel] = (
+            [_stats_encode(lo), _stats_encode(hi)] if ok else None
+        )
+    index = {"col": col, "version": m["version"], "files": files}
+    with open(os.path.join(path, f"_STATS_{col}.json"), "w") as fh:
+        json.dump(index, fh)
+    return index
+
+
+def stats_candidate_files(path: str, col: str, lo, hi) -> list[str]:
+    """Metadata-only range probe: relpaths whose [min, max] interval
+    overlaps [lo, hi] (None bound = unbounded), plus every file with
+    no usable stats — pruned files provably contain no match. Raises
+    StaleStatsIndexError when the index predates the current version."""
+    with open(os.path.join(path, f"_STATS_{col}.json")) as fh:
+        index = json.load(fh)
+    cur = current_version(path)
+    if index["version"] != cur:
+        raise StaleStatsIndexError(
+            f"stats index on {col!r} built at v{index['version']}, "
+            f"table is at v{cur}; rebuild with build_column_stats"
+        )
+    qlo = _stats_encode(lo)[1] if lo is not None else None
+    qhi = _stats_encode(hi)[1] if hi is not None else None
+    out = []
+    for rel, mm in index["files"].items():
+        if mm is None:
+            out.append(rel)  # no stats → always a candidate
+            continue
+        fmin, fmax = mm[0][1], mm[1][1]
+        if (qhi is None or fmin <= qhi) and (qlo is None or fmax >= qlo):
+            out.append(rel)
+    return sorted(out)
+
+
+def stats_lookup(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Range query through the stats index: read ONLY overlapping
+    files, then the exact predicate (interval overlap admits false
+    positives; false negatives cannot exist). A stale index is rebuilt
+    transparently — serving it would miss newly committed rows or
+    reference vacuumed files."""
+    try:
+        cand = stats_candidate_files(path, col, lo, hi)
+    except (StaleStatsIndexError, FileNotFoundError):
+        build_column_stats(path, col)
+        cand = stats_candidate_files(path, col, lo, hi)
+    if not cand:
+        return _empty_snapshot(spark, _manifest(path))
+    df = spark.read.parquet(*[os.path.join(path, rel) for rel in cand])
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+def stats_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: commit events RANGE-CLUSTERED by event_id (8
+    range partitions → files with near-disjoint event_id intervals —
+    the layout Z-order/clustering maintenance produces), harvest
+    footer min/max into the stats index, and serve an event_id range
+    query through it. The result must equal the plain filtered scan
+    (hash-matched against the DuckDB oracle); the probe reading only
+    interval-overlapping files is pinned in tests/test_versioned.py."""
+    import shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("stats_skip", sf_name, "table")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartitionByRange(8, "event_id"))
+    build_column_stats(path, "event_id")
+    return stats_lookup(spark, path, "event_id", 2500, 4999).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
 def vacuum(path: str, keep_from: int) -> list[str]:
     """Drop manifests of versions < keep_from (the time-travel
     horizon) unless a TAG pins them, then delete only data files no
@@ -677,6 +827,202 @@ def _manifest(path: str, version: int | None = None) -> dict:
     v = current_version(path) if version is None else version
     with open(_manifest_path(path, v)) as fh:
         return json.load(fh)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    meta: dict | None = None,
+    expected_current: int | None = None,
+) -> dict:
+    """Small-file compaction — Delta OPTIMIZE / Iceberg rewrite_data_files
+    for this table format. Streaming sinks and frequent small commits
+    leave partitions holding many sub-target files; at 100 TB that is
+    the classic scan killer (per-file open/footer/seek costs dominate,
+    and task counts explode). Compaction bin-packs each partition's
+    files into ~target_bytes outputs and commits the result as version
+    N+1 whose ROWS ARE IDENTICAL — only the file layout changes.
+
+    Shape (the purge_rows discipline — never a per-file driver loop):
+    - PLAN: driver-side manifest + file-size metadata only. A partition
+      is selected iff it has ≥ min_files files and bin-packing would
+      REDUCE its file count (planned outputs = ceil(total/target)).
+    - REWRITE: one Spark job per distinct footer schema (1 for an
+      unevolved table): read that group's files, tag each row with its
+      partition via a broadcast literal file→partition map (decoded
+      input_file_name), salt rows inside each partition to its planned
+      output count (row-content xxhash64 — deterministic), and write
+      everything in a single partitionBy action into data/v{N+1}.
+    - VERIFY + PUBLISH: before the pointer swap, parquet footer
+      row-counts (driver-side metadata, no job) must show rewritten ==
+      selected — a lost-rows rewrite aborts unpublished. Untouched
+      partitions' files carry into the new manifest BY REFERENCE;
+      original files stay on disk for older versions until `vacuum`.
+
+    Returns {"version", "files_in", "files_out", "partitions"} — the
+    telemetry an OPTIMIZE scheduler keys retries/alerts off. A no-gain
+    table returns the current version unchanged (no empty commit).
+    """
+    import math as _math
+
+    import pyarrow.parquet as _pq
+
+    _occ_check(path, expected_current)
+    m = _manifest(path)
+    parts = m.get("partitions", {})
+    part_col = m.get("partition_col", PART_COL)
+    by_part: dict[str, list[str]] = {}
+    for f in m["files"]:
+        pval = parts.get(f)
+        if pval is not None:
+            by_part.setdefault(pval, []).append(f)
+
+    plan: dict[str, tuple[list[str], int]] = {}
+    for pval, fs in sorted(by_part.items()):
+        if len(fs) < min_files:
+            continue
+        total = sum(os.path.getsize(os.path.join(path, f)) for f in fs)
+        n_out = max(1, _math.ceil(total / target_bytes))
+        if n_out < len(fs):
+            plan[pval] = (sorted(fs), n_out)
+    if not plan:
+        return {
+            "version": m["version"],
+            "files_in": 0,
+            "files_out": 0,
+            "partitions": [],
+        }
+
+    selected = [f for fs, _ in plan.values() for f in fs]
+    sel_set = set(selected)
+    carried = [f for f in m["files"] if f not in sel_set]
+    abs_of = {rel: os.path.abspath(os.path.join(path, rel)) for rel in selected}
+    v = m["version"] + 1
+    data_dir = os.path.join(path, "data", f"v{v}")
+
+    # one job per footer schema (evolved tables must not be forced
+    # through a mergeSchema union — purge_rows' reasoning); append mode
+    # lets multiple groups land in the same version directory
+    groups: dict[tuple, list[str]] = {}
+    for rel in selected:
+        sig = tuple(str(f) for f in _pq.read_schema(abs_of[rel]))
+        groups.setdefault(sig, []).append(rel)
+    part_of_file = {abs_of[rel]: parts[rel] for rel in selected}
+    n_out_of_part = {pval: n for pval, (_, n) in plan.items()}
+    for rels in groups.values():
+        pf_pairs, no_pairs = [], []
+        for rel in rels:
+            pf_pairs.extend([F.lit(abs_of[rel]), F.lit(part_of_file[abs_of[rel]])])
+        for pval, n in n_out_of_part.items():
+            no_pairs.extend([F.lit(pval), F.lit(n)])
+        # input_file_name() is a percent-encoded URI; pre-escape '+'
+        # (the one char url_decode mishandles), decode, strip the
+        # scheme — purge_rows' byte-identical normalization
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+        )
+        norm_path = F.regexp_replace(decoded, "^file:/+", "/")
+        df = spark.read.parquet(*[abs_of[r] for r in rels])
+        cols = df.columns
+        tagged = df.withColumn(
+            part_col, F.create_map(*pf_pairs)[norm_path]
+        ).withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*cols), F.create_map(*no_pairs)[F.col(part_col)]),
+        )
+        total_out = sum(n_out_of_part[parts[r]] for r in rels)
+        (
+            tagged.repartition(max(total_out, 1), F.col(part_col), F.col("_salt"))
+            .drop("_salt")
+            .write.partitionBy(part_col)
+            .mode("append")
+            .parquet(data_dir)
+        )
+
+    new_files = _walk_rel_parquet(data_dir, path)
+    # sentinel (purge_rows' discipline): a NULL partition tag means the
+    # URI→partition map missed — rows landed in the Hive default
+    # partition and the layout is garbage; abort unpublished
+    if any("__HIVE_DEFAULT_PARTITION__" in f for f in new_files):
+        raise RuntimeError(
+            "compaction file→partition map missed (URI decode drift); aborted unpublished"
+        )
+    # row-preservation guard (footer metadata, no Spark job): a rewrite
+    # that lost rows must never publish
+    rows_in = sum(
+        _pq.ParquetFile(abs_of[rel]).metadata.num_rows for rel in selected
+    )
+    rows_out = sum(
+        _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in new_files
+    )
+    if rows_in != rows_out:
+        raise RuntimeError(
+            f"compaction would lose rows ({rows_in} in, {rows_out} out); aborted unpublished"
+        )
+
+    files = sorted(carried + new_files)
+    partitions = {f: _partition_of(f, part_col) for f in files}
+    _occ_check(path, expected_current)
+    manifest = {
+        "version": v,
+        "files": files,
+        "partitions": partitions,
+        "schema": m["schema"],
+        "committed_at": time.time(),
+        "meta": {
+            **(meta or {}),
+            "compaction": {
+                "partitions": sorted(plan),
+                "files_in": len(selected),
+                "files_out": len(new_files),
+            },
+        },
+    }
+    if "partition_col" in m:
+        manifest["partition_col"] = m["partition_col"]
+    if m.get("project_schema"):
+        manifest["project_schema"] = m["project_schema"]
+    with open(_manifest_path(path, v), "w") as fh:
+        json.dump(manifest, fh)
+    _occ_check(path, expected_current)
+    tmp = os.path.join(path, POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, POINTER))
+    return {
+        "version": v,
+        "files_in": len(selected),
+        "files_out": len(new_files),
+        "partitions": sorted(plan),
+    }
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: commit events day-partitioned but pre-shuffled
+    into 6 tasks — every day partition lands ~6 small files, the
+    streaming-sink debris pattern — then OPTIMIZE-compact (one output
+    file per day at this scale) and return the CURRENT snapshot, which
+    must be row-identical to the pre-compaction table (file-count
+    shrinkage and carried-file reuse are pinned in
+    tests/test_versioned.py)."""
+    import shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("compaction", sf_name, "table")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version_partitioned(spark, path, ev.repartition(6))
+    compact_files(spark, path)
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
 
 
 def purge_rows(

@@ -1038,6 +1038,31 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "stats_skipping_roundtrip": QuerySpec(
+        # min/max data-skipping (r10): footer-harvested per-file stats
+        # (pure metadata, no Spark job) serve a range probe that reads
+        # only interval-overlapping files — the Delta/Iceberg skipping
+        # core, complementing the bloom index's equality probes; the
+        # few-file read is pinned in tests/test_versioned.py
+        versioned.stats_skipping_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE event_id BETWEEN 2500 AND 4999
+        """,
+        ground_truth="tests/test_versioned.py::test_stats_index_prunes_files_and_serves_ranges",
+    ),
+    "compaction_roundtrip": QuerySpec(
+        # OPTIMIZE / small-file compaction (r10): 6-file-per-day debris
+        # bin-packed to one file per partition, committed as v2 with a
+        # footer row-count publish guard — the snapshot after MUST be
+        # row-identical to the table before (file-count shrinkage and
+        # carried-file reuse pinned in tests/test_versioned.py)
+        versioned.compaction_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+        ground_truth="tests/test_versioned.py::test_compaction_binpacks_and_preserves_rows",
+    ),
     "scd2_customer_history": QuerySpec(
         upsert.scd2_customer_history,
         """

@@ -683,3 +683,116 @@ def test_metadata_ddl_occ_conflict(spark, tmp_path):
     assert versioned.evolve_schema(
         spark, path, [("q", "string")], expected_current=1
     ) == 2
+
+
+def test_compaction_binpacks_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE contract: (a) selected partitions' many small files
+    become one ~target file each, (b) the snapshot is row-identical,
+    (c) a below-min_files partition's file carries into the new
+    manifest BY REFERENCE (same v1 relpath, never rewritten), (d) the
+    manifest records compaction telemetry, and (e) a no-gain rerun
+    publishes no new version."""
+    import collections
+
+    path = str(tmp_path / "c")
+    os.makedirs(path)
+    ev = _events(spark)
+    # 4 files per day for most days; day 2024-01-03 committed alone in
+    # a single file so min_files=2 excludes it
+    lone_day = F.to_date("ts") == F.lit("2024-01-03").cast("date")
+    versioned.commit_version_partitioned(
+        spark, path, ev.filter(~lone_day).repartition(4)
+    )
+    m1 = versioned._manifest(path)
+    lone = ev.filter(lone_day).coalesce(1)
+    versioned.upsert_version_cow(spark, path, lone, ["event_id"])
+    m2 = versioned._manifest(path)
+    lone_files = sorted(set(m2["files"]) - set(m1["files"]))
+    assert len(lone_files) == 1
+
+    before = sorted(map(tuple, versioned.read_version(spark, path).collect()))
+    by_part = collections.Counter(m2["partitions"].values())
+    assert max(by_part.values()) >= 4
+
+    stats = versioned.compact_files(spark, path)
+    assert stats["version"] == 3
+    m3 = versioned._manifest(path)
+    # (a) every compacted partition now holds exactly one file
+    after_parts = collections.Counter(m3["partitions"].values())
+    for pval in stats["partitions"]:
+        assert after_parts[pval] == 1, pval
+    assert stats["files_out"] < stats["files_in"]
+    # (b) rows identical
+    after = sorted(map(tuple, versioned.read_version(spark, path).collect()))
+    assert after == before
+    # (c) the lone single-file partition was not selected and its v2
+    # file carries by reference
+    assert m2["partitions"][lone_files[0]] not in stats["partitions"]
+    assert lone_files[0] in m3["files"]
+    # (d) telemetry in manifest meta
+    assert m3["meta"]["compaction"]["files_in"] == stats["files_in"]
+    # (e) rerun is a no-op: nothing left to gain
+    again = versioned.compact_files(spark, path)
+    assert again["version"] == 3 and again["files_in"] == 0
+    assert versioned.current_version(path) == 3
+
+
+def test_stats_index_prunes_files_and_serves_ranges(spark, tmp_path):
+    """Data-skipping contract: (a) on a range-clustered column the
+    probe's candidate set (and the scan's inputFiles) is a strict
+    subset of the snapshot, (b) results equal the plain filtered scan
+    for int AND timestamp probes, (c) a file without usable stats is
+    always a candidate (no false negatives), and (d) a commit after
+    the build makes metadata-only probes raise stale while
+    stats_lookup rebuilds transparently."""
+    import datetime
+    import json as _json
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "s")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartitionByRange(8, "event_id"))
+    versioned.build_column_stats(path, "event_id")
+    m = versioned._manifest(path)
+
+    cand = versioned.stats_candidate_files(path, "event_id", 100, 200)
+    assert 0 < len(cand) < len(m["files"])
+    got = versioned.stats_lookup(spark, path, "event_id", 100, 200)
+    assert set(got.inputFiles()) <= {
+        "file://" + os.path.join(path, f) for f in cand
+    } | {"file:" + os.path.join(path, f) for f in cand}
+    want = sorted(
+        map(tuple, ev.filter(F.col("event_id").between(100, 200)).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == want
+
+    # timestamp kind: every file spans all days (clustered by id), so
+    # candidates = all files — and the result is still exact
+    versioned.build_column_stats(path, "ts")
+    lo, hi = datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 11)
+    got_ts = versioned.stats_lookup(spark, path, "ts", lo, hi)
+    want_ts = ev.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count()
+    assert got_ts.count() == want_ts
+
+    # (c) a statless entry is always a candidate
+    sp = os.path.join(path, "_STATS_event_id.json")
+    idx = _json.loads(open(sp).read())
+    victim = sorted(idx["files"])[0]
+    idx["files"][victim] = None
+    open(sp, "w").write(_json.dumps(idx))
+    assert victim in versioned.stats_candidate_files(
+        path, "event_id", 100, 200
+    )
+
+    # (d) staleness: new commit → metadata probe raises, lookup rebuilds
+    versioned.upsert_version(
+        spark, path, ev.limit(5).withColumn("value", F.lit(0.0)), ["event_id"]
+    )
+    with _pytest.raises(versioned.StaleStatsIndexError):
+        versioned.stats_candidate_files(path, "event_id", 100, 200)
+    relookup = versioned.stats_lookup(spark, path, "event_id", 100, 200)
+    assert relookup.count() == len(want)
