@@ -796,3 +796,37 @@ def test_stats_index_prunes_files_and_serves_ranges(spark, tmp_path):
         versioned.stats_candidate_files(path, "event_id", 100, 200)
     relookup = versioned.stats_lookup(spark, path, "event_id", 100, 200)
     assert relookup.count() == len(want)
+
+
+def test_vacuum_after_compaction_reclaims_replaced_files(spark, tmp_path):
+    """Compaction + vacuum compose: past the horizon, the REPLACED
+    small files are reclaimed (no retained manifest references them),
+    the carried single-file partition survives (the compacted manifest
+    still references it by its old relpath), and the current snapshot
+    is untouched."""
+    path = str(tmp_path / "cv")
+    os.makedirs(path)
+    ev = _events(spark)
+    lone_day = F.to_date("ts") == F.lit("2024-01-03").cast("date")
+    versioned.commit_version_partitioned(
+        spark, path, ev.filter(~lone_day).repartition(4)
+    )
+    versioned.upsert_version_cow(
+        spark, path, ev.filter(lone_day).coalesce(1), ["event_id"]
+    )
+    m2 = versioned._manifest(path)
+    stats = versioned.compact_files(spark, path)
+    assert stats["version"] == 3
+    m3 = versioned._manifest(path)
+    carried = set(m2["files"]) & set(m3["files"])
+    replaced = set(m2["files"]) - set(m3["files"])
+    assert carried and replaced
+
+    before = sorted(map(tuple, versioned.read_version(spark, path).collect()))
+    versioned.vacuum(path, keep_from=3)
+    for f in replaced:
+        assert not os.path.exists(os.path.join(path, f)), f
+    for f in carried:
+        assert os.path.exists(os.path.join(path, f)), f
+    after = sorted(map(tuple, versioned.read_version(spark, path).collect()))
+    assert after == before
