@@ -822,9 +822,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells, _ = _ivf_params(n)
     Cq = _ivf_centroids(emb, rows, n_cells)
 
-    # ONE multi-probe GEMM pass serves both needs: rank 0 of the
-    # stable argsort IS the nprobe=1 primary cell (identical ties),
-    # so the former second assignment scan is gone (r9 ADVICE).
+    # One LOGICAL multi-probe assignment serves both needs: rank 0 of
+    # the stable argsort IS the nprobe=1 primary cell (identical
+    # ties), so the separate nprobe=1 pass is gone (r9 ADVICE). The
+    # compiled plan still instantiates the mapInPandas leaf once per
+    # consuming branch (Spark shares no non-exchange subtrees) — same
+    # leaf count as before; at 100 TB the assignment table is the
+    # thing a production pipeline persists between stages.
     probes = _ivf_assign(emb, Cq, nprobe=SEMANTIC_DEDUP_NPROBE, with_rank=True)
     cells = probes.filter(F.col("rank") == 0).select("vec_id", "cell")
     embn = _with_norm(emb).join(probes.select("vec_id", "cell"), "vec_id")
@@ -1389,7 +1393,14 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     elif os.path.exists(base):
         st = os.stat(base)
         parts.append((os.path.basename(base), st.st_size, st.st_mtime_ns))
-    cfg = f"pq_m={PQ_M},pq_ks={PQ_KS},train_max={IVF_TRAIN_MAX},scale={EMB_SCALE}"
+    # _ivf_params(10**6) captures the cells/nprobe FORMULA in the
+    # fingerprint (any change to it retrains different centroids and
+    # stores a different nprobe — r10 itself moved cells/4 → cells/2)
+    cfg = (
+        f"pq_m={PQ_M},pq_ks={PQ_KS},train_max={IVF_TRAIN_MAX},"
+        f"scale={EMB_SCALE},ivf_iters={IVF_ITERS},"
+        f"ivf_params={_ivf_params(10**6)}"
+    )
     return hashlib.md5((repr(parts) + "|" + cfg).encode()).hexdigest()
 
 

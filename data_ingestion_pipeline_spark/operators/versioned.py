@@ -412,8 +412,8 @@ def bloom_lookup(
         m = _manifest(path)
         return _empty_snapshot(spark, m)
     vals = [str(v) for v in values]
-    return spark.read.parquet(
-        *[os.path.join(path, rel) for rel in cand]
+    return _read_files_as_snapshot(
+        spark, path, [os.path.join(path, rel) for rel in cand]
     ).filter(F.col(key_col).cast("string").isin(vals))
 
 
@@ -423,9 +423,15 @@ class StaleStatsIndexError(RuntimeError):
 
 def _stats_encode(v):
     """JSON-portable (kind, value) encoding of a footer statistic.
-    Numerics stay native; timestamps/dates become ISO strings (fixed
-    width → lexicographic order == chronological order); bytes decode
-    as UTF-8 strings (parquet string stats)."""
+    Numerics stay native; timestamps AND dates canonicalize to the one
+    fixed-width ISO datetime form (dates as midnight) so a date-typed
+    file compared against a datetime probe bound can never produce a
+    false negative — lexicographic order on the canonical form ==
+    chronological order. Naive everywhere: footer timestamp stats are
+    UTC instants and this engine pins the session to UTC
+    (apply_session_conf), so probe datetimes are the same clock; a
+    non-UTC caller must convert bounds to UTC first. Bytes decode as
+    UTF-8 strings (parquet string stats)."""
     import datetime as _dt
 
     if isinstance(v, bool):
@@ -435,7 +441,12 @@ def _stats_encode(v):
     if isinstance(v, _dt.datetime):
         return ["ts", v.replace(tzinfo=None).isoformat(timespec="microseconds")]
     if isinstance(v, _dt.date):
-        return ["ts", v.isoformat()]
+        return [
+            "ts",
+            _dt.datetime(v.year, v.month, v.day).isoformat(
+                timespec="microseconds"
+            ),
+        ]
     if isinstance(v, bytes):
         return ["str", v.decode("utf-8", "replace")]
     return ["str", str(v)]
@@ -534,12 +545,32 @@ def stats_lookup(
         cand = stats_candidate_files(path, col, lo, hi)
     if not cand:
         return _empty_snapshot(spark, _manifest(path))
-    df = spark.read.parquet(*[os.path.join(path, rel) for rel in cand])
+    df = _read_files_as_snapshot(
+        spark, path, [os.path.join(path, rel) for rel in cand]
+    )
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def _read_files_as_snapshot(
+    spark: SparkSession, path: str, files: list[str]
+) -> DataFrame:
+    """Read a file SUBSET under the snapshot's schema contract: when
+    the manifest records a metadata-only evolution (project_schema),
+    every file must be projected through the manifest schema exactly
+    as read_version does — otherwise Spark takes the schema from one
+    file's footer, and a pre-evolution candidate file would silently
+    drop the evolved columns from the whole result."""
+    m = _manifest(path)
+    if m.get("project_schema"):
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        return spark.read.schema(schema).parquet(*files)
+    return spark.read.parquet(*files)
 
 
 def stats_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +694,39 @@ def _walk_rel_parquet(root: str, base: str) -> list[str]:
             if n.endswith(".parquet"):
                 out.append(os.path.relpath(os.path.join(dirpath, n), base))
     return sorted(out)
+
+
+def _norm_input_path() -> F.Column:
+    """Decoded, scheme-stripped `input_file_name()` — byte-identical
+    to `os.path.abspath(unquote(urlparse(uri).path))` on the driver
+    for any path (spaces, '%', non-ASCII included). input_file_name()
+    returns a percent-encoded URI; pre-escape '+' (the one char
+    url_decode mishandles — it decodes to space), url-decode, strip
+    the scheme. Shared by purge_rows and compact_files: the two
+    file-rewrite passes key broadcast maps on this normalization, and
+    drift between them is exactly the silent-row-loss their
+    __HIVE_DEFAULT_PARTITION__ sentinels guard against."""
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
+    return F.regexp_replace(decoded, "^file:/+", "/")
+
+
+def _footer_schema_groups(
+    rels: list[str], abs_of: dict[str, str]
+) -> dict[tuple, list[str]]:
+    """Group file relpaths by their parquet FOOTER schema (driver-side
+    metadata reads, no Spark job) so each rewrite job reads only
+    same-schema files — a mergeSchema union write would force evolved
+    snapshots through one widened schema, silently null-filling or
+    dropping committed columns."""
+    import pyarrow.parquet as _pq
+
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        sig = tuple(str(f) for f in _pq.read_schema(abs_of[rel]))
+        groups.setdefault(sig, []).append(rel)
+    return groups
 
 
 def _partition_of(relpath: str, col: str = PART_COL) -> str | None:
@@ -866,6 +930,8 @@ def compact_files(
     table returns the current version unchanged (no empty commit).
     """
     import math as _math
+    import shutil as _shutil
+    from urllib.parse import unquote
 
     import pyarrow.parquet as _pq
 
@@ -901,67 +967,82 @@ def compact_files(
     abs_of = {rel: os.path.abspath(os.path.join(path, rel)) for rel in selected}
     v = m["version"] + 1
     data_dir = os.path.join(path, "data", f"v{v}")
+    # a torn/aborted earlier attempt may have left files at this exact
+    # version dir (the pointer never reached v, so nothing references
+    # them); clear it or the append below double-counts the leftovers
+    # and every retry dies on the row-count guard
+    _shutil.rmtree(data_dir, ignore_errors=True)
+
+    # manifest partition tags are the Hive-ESCAPED directory strings
+    # (_partition_of parses dir names); partitionBy re-escapes its
+    # column values, so tag rows with the UNESCAPED value — the write
+    # round-trips it back to the identical directory name (idempotent
+    # for the digit-only p_date/cell values, load-bearing for values
+    # with escaped characters)
+    raw_of_tag = {pval: unquote(pval) for pval in plan}
 
     # one job per footer schema (evolved tables must not be forced
     # through a mergeSchema union — purge_rows' reasoning); append mode
     # lets multiple groups land in the same version directory
-    groups: dict[tuple, list[str]] = {}
-    for rel in selected:
-        sig = tuple(str(f) for f in _pq.read_schema(abs_of[rel]))
-        groups.setdefault(sig, []).append(rel)
-    part_of_file = {abs_of[rel]: parts[rel] for rel in selected}
-    n_out_of_part = {pval: n for pval, (_, n) in plan.items()}
-    for rels in groups.values():
-        pf_pairs, no_pairs = [], []
-        for rel in rels:
-            pf_pairs.extend([F.lit(abs_of[rel]), F.lit(part_of_file[abs_of[rel]])])
-        for pval, n in n_out_of_part.items():
-            no_pairs.extend([F.lit(pval), F.lit(n)])
-        # input_file_name() is a percent-encoded URI; pre-escape '+'
-        # (the one char url_decode mishandles), decode, strip the
-        # scheme — purge_rows' byte-identical normalization
-        decoded = F.url_decode(
-            F.regexp_replace(F.input_file_name(), r"\+", "%2B")
-        )
-        norm_path = F.regexp_replace(decoded, "^file:/+", "/")
-        df = spark.read.parquet(*[abs_of[r] for r in rels])
-        cols = df.columns
-        tagged = df.withColumn(
-            part_col, F.create_map(*pf_pairs)[norm_path]
-        ).withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(*cols), F.create_map(*no_pairs)[F.col(part_col)]),
-        )
-        total_out = sum(n_out_of_part[parts[r]] for r in rels)
-        (
-            tagged.repartition(max(total_out, 1), F.col(part_col), F.col("_salt"))
-            .drop("_salt")
-            .write.partitionBy(part_col)
-            .mode("append")
-            .parquet(data_dir)
-        )
+    groups = _footer_schema_groups(selected, abs_of)
+    part_of_file = {abs_of[rel]: raw_of_tag[parts[rel]] for rel in selected}
+    n_out_of_raw = {raw_of_tag[pval]: n for pval, (_, n) in plan.items()}
+    try:
+        for rels in groups.values():
+            pf_pairs, no_pairs = [], []
+            for rel in rels:
+                pf_pairs.extend(
+                    [F.lit(abs_of[rel]), F.lit(part_of_file[abs_of[rel]])]
+                )
+            for pval, n in n_out_of_raw.items():
+                no_pairs.extend([F.lit(pval), F.lit(n)])
+            df = spark.read.parquet(*[abs_of[r] for r in rels])
+            cols = df.columns
+            tagged = df.withColumn(
+                part_col, F.create_map(*pf_pairs)[_norm_input_path()]
+            ).withColumn(
+                "_salt",
+                F.pmod(
+                    F.xxhash64(*cols), F.create_map(*no_pairs)[F.col(part_col)]
+                ),
+            )
+            total_out = sum(n_out_of_raw[part_of_file[abs_of[r]]] for r in rels)
+            (
+                tagged.repartition(
+                    max(total_out, 1), F.col(part_col), F.col("_salt")
+                )
+                .drop("_salt")
+                .write.partitionBy(part_col)
+                .mode("append")
+                .parquet(data_dir)
+            )
 
-    new_files = _walk_rel_parquet(data_dir, path)
-    # sentinel (purge_rows' discipline): a NULL partition tag means the
-    # URI→partition map missed — rows landed in the Hive default
-    # partition and the layout is garbage; abort unpublished
-    if any("__HIVE_DEFAULT_PARTITION__" in f for f in new_files):
-        raise RuntimeError(
-            "compaction file→partition map missed (URI decode drift); aborted unpublished"
+        new_files = _walk_rel_parquet(data_dir, path)
+        # sentinel (purge_rows' discipline): a NULL partition tag means
+        # the URI→partition map missed — rows landed in the Hive default
+        # partition and the layout is garbage; abort unpublished
+        if any("__HIVE_DEFAULT_PARTITION__" in f for f in new_files):
+            raise RuntimeError(
+                "compaction file→partition map missed (URI decode drift); aborted unpublished"
+            )
+        # row-preservation guard (footer metadata, no Spark job): a
+        # rewrite that lost rows must never publish
+        rows_in = sum(
+            _pq.ParquetFile(abs_of[rel]).metadata.num_rows for rel in selected
         )
-    # row-preservation guard (footer metadata, no Spark job): a rewrite
-    # that lost rows must never publish
-    rows_in = sum(
-        _pq.ParquetFile(abs_of[rel]).metadata.num_rows for rel in selected
-    )
-    rows_out = sum(
-        _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-        for f in new_files
-    )
-    if rows_in != rows_out:
-        raise RuntimeError(
-            f"compaction would lose rows ({rows_in} in, {rows_out} out); aborted unpublished"
+        rows_out = sum(
+            _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in new_files
         )
+        if rows_in != rows_out:
+            raise RuntimeError(
+                f"compaction would lose rows ({rows_in} in, {rows_out} out); aborted unpublished"
+            )
+    except BaseException:
+        # abort cleanly: the unpublished version dir must not poison a
+        # retry (and is invisible to every reader — pointer still at N)
+        _shutil.rmtree(data_dir, ignore_errors=True)
+        raise
 
     files = sorted(carried + new_files)
     partitions = {f: _partition_of(f, part_col) for f in files}
@@ -972,7 +1053,12 @@ def compact_files(
         "partitions": partitions,
         "schema": m["schema"],
         "committed_at": time.time(),
+        # prior meta carries forward (append_version_clustered's
+        # contract): a compaction is a rows-identical rewrite, so the
+        # streaming sinks' replay batch_id and the IVF-PQ index's
+        # model/fingerprint must survive it
         "meta": {
+            **m.get("meta", {}),
             **(meta or {}),
             "compaction": {
                 "partitions": sorted(plan),
@@ -1114,15 +1200,10 @@ def purge_rows(
         return rewritten
 
     # Job 2: rewrite every affected file, grouped by footer schema so
-    # each file's survivors keep that file's ORIGINAL schema. Footer
-    # reads are driver-side parquet metadata (no Spark job); job count
-    # is O(distinct schemas), 1 for an unevolved table.
-    import pyarrow.parquet as pq
-
-    groups: dict[tuple, list[str]] = {}
-    for rel in affected:
-        sig = tuple(str(f) for f in pq.read_schema(abs_of[rel]))
-        groups.setdefault(sig, []).append(rel)
+    # each file's survivors keep that file's ORIGINAL schema
+    # (_footer_schema_groups — driver-side metadata reads, no Spark
+    # job); job count is O(distinct schemas), 1 for an unevolved table.
+    groups = _footer_schema_groups(affected, abs_of)
 
     tmp = os.path.join(path, "_purge_tmp")
     _shutil.rmtree(tmp, ignore_errors=True)
@@ -1132,18 +1213,11 @@ def purge_rows(
         for i, rel in enumerate(rels):
             idx_pairs.extend([F.lit(abs_of[rel]), F.lit(i)])
         idx_map = F.create_map(*idx_pairs)
-        # input_file_name() returns a percent-encoded URI; pre-escape
-        # the one char url_decode mishandles ('+' → space), decode,
-        # then strip the scheme — byte-identical to Job 1's
-        # unquote(urlparse(...).path) for any path (spaces, '%',
-        # non-ASCII included).
-        decoded = F.url_decode(
-            F.regexp_replace(F.input_file_name(), r"\+", "%2B")
-        )
-        norm_path = F.regexp_replace(decoded, "^file:/+", "/")
+        # broadcast map keyed on _norm_input_path() — byte-identical to
+        # Job 1's unquote(urlparse(...).path) normalization
         kept = (
             spark.read.parquet(*[abs_of[r] for r in rels])
-            .withColumn("_purge_idx", idx_map[norm_path])
+            .withColumn("_purge_idx", idx_map[_norm_input_path()])
             .filter(
                 F.col(key_col).isNull()
                 | ~F.col(key_col).cast("string").isin(vals)

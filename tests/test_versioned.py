@@ -830,3 +830,68 @@ def test_vacuum_after_compaction_reclaims_replaced_files(spark, tmp_path):
         assert os.path.exists(os.path.join(path, f)), f
     after = sorted(map(tuple, versioned.read_version(spark, path).collect()))
     assert after == before
+
+
+def test_compaction_carries_meta_and_survives_torn_run(spark, tmp_path):
+    """Two publication-safety contracts: (a) prior manifest meta rides
+    through a compaction (a rows-identical rewrite must not destroy
+    the streaming sinks' replay batch_id or a persisted index's
+    model), and (b) debris a torn earlier attempt left at the next
+    version's data dir is cleared, not double-counted — a retry after
+    an aborted compaction must succeed."""
+    import glob
+    import shutil
+
+    path = str(tmp_path / "cm")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(
+        spark, path, ev.repartition(4), meta={"batch_id": 7, "model": "m1"}
+    )
+    before = sorted(map(tuple, versioned.read_version(spark, path).collect()))
+
+    # torn-run debris: a parquet file at the exact next version dir
+    junk_dir = os.path.join(path, "data", "v2", f"{versioned.PART_COL}=2024-01-01")
+    os.makedirs(junk_dir)
+    src = glob.glob(os.path.join(path, "data", "v1", "*", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(junk_dir, "junk.parquet"))
+
+    stats = versioned.compact_files(spark, path)
+    assert stats["version"] == 2
+    m2 = versioned._manifest(path)
+    # (a) meta carried forward, telemetry added
+    assert m2["meta"]["batch_id"] == 7 and m2["meta"]["model"] == "m1"
+    assert m2["meta"]["compaction"]["files_in"] == stats["files_in"]
+    # (b) debris neither referenced nor double-counted
+    assert not any(f.endswith("junk.parquet") for f in m2["files"])
+    after = sorted(map(tuple, versioned.read_version(spark, path).collect()))
+    assert after == before
+
+
+def test_stats_date_column_probed_with_datetime_has_no_false_negatives(
+    spark, tmp_path
+):
+    """Cross-kind probe: a DATE-typed column probed with datetime
+    bounds must surface every matching file — dates canonicalize to
+    midnight ISO datetimes in the index, so the interval compare and
+    Spark's own date→timestamp coercion agree."""
+    import datetime
+
+    path = str(tmp_path / "sd")
+    os.makedirs(path)
+    df = spark.createDataFrame(
+        [(i, datetime.date(2024, 1, 1 + i % 20)) for i in range(1000)],
+        "id bigint, d date",
+    )
+    versioned.commit_version(spark, path, df.repartitionByRange(5, "d"))
+    versioned.build_column_stats(path, "d")
+    lo = datetime.datetime(2024, 1, 5)      # == a date boundary exactly
+    hi = datetime.datetime(2024, 1, 9, 12)  # mid-day: excludes 1-10
+    got = versioned.stats_lookup(spark, path, "d", lo, hi).count()
+    want = df.filter(
+        (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))
+    ).count()
+    assert got == want > 0
+    # and pruning still happens on the range-clustered layout
+    cand = versioned.stats_candidate_files(path, "d", lo, hi)
+    assert len(cand) < len(versioned._manifest(path)["files"])
