@@ -936,7 +936,17 @@ def compact_files(
     import pyarrow.parquet as _pq
 
     _occ_check(path, expected_current)
+    if current_version(path) == 0:
+        # nothing committed yet (e.g. a drained-empty streaming table)
+        return {"version": 0, "files_in": 0, "files_out": 0, "partitions": []}
     m = _manifest(path)
+    if "partitions" not in m:
+        # UNPARTITIONED table (plain commit_version chain — e.g. the
+        # streaming sinks' per-micro-batch commits): the whole table is
+        # one bin-pack group; no per-row tagging needed
+        return _compact_unpartitioned(
+            spark, path, m, target_bytes, min_files, meta, expected_current
+        )
     parts = m.get("partitions", {})
     part_col = m.get("partition_col", PART_COL)
     by_part: dict[str, list[str]] = {}
@@ -1083,6 +1093,105 @@ def compact_files(
         "files_in": len(selected),
         "files_out": len(new_files),
         "partitions": sorted(plan),
+    }
+
+
+def _compact_unpartitioned(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    target_bytes: int,
+    min_files: int,
+    meta: dict | None,
+    expected_current: int | None,
+) -> dict:
+    """compact_files' unpartitioned branch: the table is one bin-pack
+    group. Selected = every file smaller than target (full-size files
+    are already optimal and carry by reference); one rewrite job per
+    footer schema, each `repartition(planned outputs)` → coalesced
+    files. Same publication guards as the partitioned path: fresh
+    version dir cleared first, footer row-count check before the
+    pointer swap, prior meta carried forward, abort cleans up."""
+    import math as _math
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    small = sorted(
+        f
+        for f in m["files"]
+        if os.path.getsize(os.path.join(path, f)) < target_bytes
+    )
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in small)
+    n_out = max(1, _math.ceil(total / target_bytes))
+    if len(small) < min_files or n_out >= len(small):
+        return {
+            "version": m["version"],
+            "files_in": 0,
+            "files_out": 0,
+            "partitions": [],
+        }
+    carried = [f for f in m["files"] if f not in set(small)]
+    abs_of = {rel: os.path.abspath(os.path.join(path, rel)) for rel in small}
+    v = m["version"] + 1
+    data_dir = os.path.join(path, "data", f"v{v}")
+    _shutil.rmtree(data_dir, ignore_errors=True)
+    try:
+        for rels in _footer_schema_groups(small, abs_of).values():
+            share = sum(os.path.getsize(abs_of[r]) for r in rels) / max(total, 1)
+            g_out = max(1, round(n_out * share))
+            (
+                spark.read.parquet(*[abs_of[r] for r in rels])
+                .repartition(g_out)
+                .write.mode("append")
+                .parquet(data_dir)
+            )
+        new_files = _walk_rel_parquet(data_dir, path)
+        rows_in = sum(
+            _pq.ParquetFile(abs_of[rel]).metadata.num_rows for rel in small
+        )
+        rows_out = sum(
+            _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in new_files
+        )
+        if rows_in != rows_out:
+            raise RuntimeError(
+                f"compaction would lose rows ({rows_in} in, {rows_out} out); aborted unpublished"
+            )
+    except BaseException:
+        _shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+
+    _occ_check(path, expected_current)
+    manifest = {
+        "version": v,
+        "files": sorted(carried + new_files),
+        "schema": m["schema"],
+        "committed_at": time.time(),
+        "meta": {
+            **m.get("meta", {}),
+            **(meta or {}),
+            "compaction": {
+                "partitions": [],
+                "files_in": len(small),
+                "files_out": len(new_files),
+            },
+        },
+    }
+    if m.get("project_schema"):
+        manifest["project_schema"] = m["project_schema"]
+    with open(_manifest_path(path, v), "w") as fh:
+        json.dump(manifest, fh)
+    _occ_check(path, expected_current)
+    tmp = os.path.join(path, POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, POINTER))
+    return {
+        "version": v,
+        "files_in": len(small),
+        "files_out": len(new_files),
+        "partitions": [],
     }
 
 

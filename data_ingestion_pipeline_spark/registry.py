@@ -983,6 +983,17 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "stream_versioned_ingest_compacted": QuerySpec(
+        # maintenance composition (r10): exactly-once drain, then
+        # OPTIMIZE bin-packs the micro-batch debris — snapshot must
+        # STILL equal the batch source, with the replay batch_id meta
+        # riding through the compaction manifest
+        streaming.stream_versioned_ingest_compacted,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+        ground_truth="tests/test_streaming.py::test_versioned_ingest_compaction_composes",
+    ),
     "purge_roundtrip": QuerySpec(
         versioned.purge_roundtrip,
         # hard purge across history: time-traveled v1 == source minus

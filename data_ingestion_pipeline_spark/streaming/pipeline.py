@@ -1427,6 +1427,29 @@ def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.read_version(spark, table).select(*FEED_COLS)
 
 
+def stream_versioned_ingest_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintenance composition streaming tables live by at scale:
+    the exactly-once drain (stream_versioned_ingest) leaves the
+    current snapshot as shuffle-partition-count small files — the
+    classic micro-batch debris — and OPTIMIZE (compact_files,
+    unpartitioned branch) bin-packs them into target-size files as a
+    new manifest version. The replay guard's batch_id meta MUST ride
+    through the compaction (its manifest carries prior meta forward):
+    a restart after maintenance still skips already-committed batches.
+    Result must STILL equal the batch source (same identity oracle as
+    the uncompacted entry); the file-count shrink and meta carry are
+    pinned in tests/test_streaming.py."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    stream_versioned_ingest(spark, sf_dir)  # drain into the scratch table
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    table = scratch_path("stream_versioned", sf_name, "table")
+    V.compact_files(spark, table)
+    return V.read_version(spark, table).select(*FEED_COLS)
+
+
 TRENDING_TOPK = 3
 
 

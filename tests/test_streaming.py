@@ -203,3 +203,37 @@ def test_corpus_ingest_replay_idempotent(spark, tmp_path):
     )
     corpus_ingest_batch(spark, table, later)
     assert spark.read.parquet(table).count() == 2
+
+
+def test_versioned_ingest_compaction_composes(spark):
+    """OPTIMIZE after the exactly-once drain: the compacted snapshot
+    equals the source, the micro-batch debris shrinks to fewer files,
+    and the replay guard's batch_id meta rides through the compaction
+    manifest (a restart after maintenance must still skip committed
+    batches)."""
+    import os
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.streaming.pipeline import (
+        stream_versioned_ingest_compacted,
+    )
+
+    out = stream_versioned_ingest_compacted(spark, SF_TEST)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_TEST, "events")
+            .select(*FEED_COLS)
+            .collect(),
+        )
+    )
+    assert got == want
+
+    table = scratch_path(
+        "stream_versioned", os.path.basename(SF_TEST.rstrip("/")), "table"
+    )
+    m = V._manifest(table)
+    comp = m["meta"]["compaction"]
+    assert comp["files_out"] < comp["files_in"]
+    assert isinstance(m["meta"]["batch_id"], int)  # replay guard survives
