@@ -1393,13 +1393,17 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     elif os.path.exists(base):
         st = os.stat(base)
         parts.append((os.path.basename(base), st.st_size, st.st_mtime_ns))
-    # _ivf_params(10**6) captures the cells/nprobe FORMULA in the
-    # fingerprint (any change to it retrains different centroids and
-    # stores a different nprobe — r10 itself moved cells/4 → cells/2)
+    # the SOURCE TEXT of _ivf_params rides in the fingerprint: any
+    # change to the cells/nprobe formula (including clamp edits that a
+    # single sampled n would miss) retrains different centroids /
+    # stores a different nprobe, so it must invalidate persisted
+    # indexes — r10 itself moved cells/4 → cells/2
+    import inspect
+
+    ivf_src = hashlib.md5(inspect.getsource(_ivf_params).encode()).hexdigest()
     cfg = (
         f"pq_m={PQ_M},pq_ks={PQ_KS},train_max={IVF_TRAIN_MAX},"
-        f"scale={EMB_SCALE},ivf_iters={IVF_ITERS},"
-        f"ivf_params={_ivf_params(10**6)}"
+        f"scale={EMB_SCALE},ivf_iters={IVF_ITERS},ivf_src={ivf_src}"
     )
     return hashlib.md5((repr(parts) + "|" + cfg).encode()).hexdigest()
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -408,17 +409,21 @@ def bloom_lookup(
     except StaleBloomIndexError:
         build_bloom_index(spark, path, key_col)
         cand = bloom_candidate_files(path, key_col, values)
+    m = _manifest(path)
     if not cand:
-        m = _manifest(path)
         return _empty_snapshot(spark, m)
     vals = [str(v) for v in values]
     return _read_files_as_snapshot(
-        spark, path, [os.path.join(path, rel) for rel in cand]
+        spark, m, [os.path.join(path, rel) for rel in cand]
     ).filter(F.col(key_col).cast("string").isin(vals))
 
 
 class StaleStatsIndexError(RuntimeError):
-    """The column-stats index was built against a superseded snapshot."""
+    """The column-stats index was built against a superseded snapshot
+    or under a superseded encoding format."""
+
+
+STATS_FORMAT = 2  # bump with _stats_encode's canonical forms
 
 
 def _stats_encode(v):
@@ -498,7 +503,19 @@ def build_column_stats(path: str, col: str) -> dict:
         files[rel] = (
             [_stats_encode(lo), _stats_encode(hi)] if ok else None
         )
-    index = {"col": col, "version": m["version"], "files": files}
+    index = {
+        "col": col,
+        "version": m["version"],
+        # encoding-format stamp: bumped whenever _stats_encode's
+        # canonical forms change (v2 = dates as midnight ISO
+        # datetimes). An index written under an older format passes
+        # the version check but its stored strings no longer compare
+        # against freshly-encoded probe bounds — the probe treats a
+        # format mismatch as stale and rebuilds, never serving silent
+        # false negatives.
+        "format": STATS_FORMAT,
+        "files": files,
+    }
     with open(os.path.join(path, f"_STATS_{col}.json"), "w") as fh:
         json.dump(index, fh)
     return index
@@ -516,6 +533,12 @@ def stats_candidate_files(path: str, col: str, lo, hi) -> list[str]:
         raise StaleStatsIndexError(
             f"stats index on {col!r} built at v{index['version']}, "
             f"table is at v{cur}; rebuild with build_column_stats"
+        )
+    if index.get("format") != STATS_FORMAT:
+        raise StaleStatsIndexError(
+            f"stats index on {col!r} uses encoding format "
+            f"{index.get('format')}, engine is at {STATS_FORMAT}; "
+            "rebuild with build_column_stats"
         )
     qlo = _stats_encode(lo)[1] if lo is not None else None
     qhi = _stats_encode(hi)[1] if hi is not None else None
@@ -543,10 +566,11 @@ def stats_lookup(
     except (StaleStatsIndexError, FileNotFoundError):
         build_column_stats(path, col)
         cand = stats_candidate_files(path, col, lo, hi)
+    m = _manifest(path)
     if not cand:
-        return _empty_snapshot(spark, _manifest(path))
+        return _empty_snapshot(spark, m)
     df = _read_files_as_snapshot(
-        spark, path, [os.path.join(path, rel) for rel in cand]
+        spark, m, [os.path.join(path, rel) for rel in cand]
     )
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
@@ -556,15 +580,17 @@ def stats_lookup(
 
 
 def _read_files_as_snapshot(
-    spark: SparkSession, path: str, files: list[str]
+    spark: SparkSession, m: dict, files: list[str]
 ) -> DataFrame:
     """Read a file SUBSET under the snapshot's schema contract: when
     the manifest records a metadata-only evolution (project_schema),
     every file must be projected through the manifest schema exactly
     as read_version does — otherwise Spark takes the schema from one
     file's footer, and a pre-evolution candidate file would silently
-    drop the evolved columns from the whole result."""
-    m = _manifest(path)
+    drop the evolved columns from the whole result. Takes the CALLER's
+    already-resolved manifest (readers resolve the pointer once — a
+    second read here could apply a concurrent commit's schema to
+    candidate files selected under the previous version)."""
     if m.get("project_schema"):
         from pyspark.sql import types as T
 
@@ -918,7 +944,10 @@ def compact_files(
       partition via a broadcast literal file→partition map (decoded
       input_file_name), salt rows inside each partition to its planned
       output count (row-content xxhash64 — deterministic), and write
-      everything in a single partitionBy action into data/v{N+1}.
+      everything in a single partitionBy action into a UNIQUE
+      per-attempt data dir (never clobbers a concurrent OCC writer's
+      in-flight v{N+1}; torn-attempt debris is unreferenced orphans
+      vacuum reclaims).
     - VERIFY + PUBLISH: before the pointer swap, parquet footer
       row-counts (driver-side metadata, no job) must show rewritten ==
       selected — a lost-rows rewrite aborts unpublished. Untouched
@@ -976,12 +1005,14 @@ def compact_files(
     carried = [f for f in m["files"] if f not in sel_set]
     abs_of = {rel: os.path.abspath(os.path.join(path, rel)) for rel in selected}
     v = m["version"] + 1
-    data_dir = os.path.join(path, "data", f"v{v}")
-    # a torn/aborted earlier attempt may have left files at this exact
-    # version dir (the pointer never reached v, so nothing references
-    # them); clear it or the append below double-counts the leftovers
-    # and every retry dies on the row-count guard
-    _shutil.rmtree(data_dir, ignore_errors=True)
+    # UNIQUE output dir per attempt (manifests reference arbitrary
+    # relpaths, so outputs need not live at data/v{N}): a torn earlier
+    # attempt's debris is simply never referenced (vacuum reclaims it),
+    # and — unlike clearing data/v{N+1} in place — this can never
+    # delete a concurrent OCC writer's in-flight files for the
+    # contested version number; the loser of the race leaves only
+    # harmless orphans, the protocol's standing guarantee
+    data_dir = os.path.join(path, "data", f"v{v}-compact-{uuid.uuid4().hex[:8]}")
 
     # manifest partition tags are the Hive-ESCAPED directory strings
     # (_partition_of parses dir names); partitionBy re-escapes its
@@ -1055,12 +1086,10 @@ def compact_files(
         raise
 
     files = sorted(carried + new_files)
-    partitions = {f: _partition_of(f, part_col) for f in files}
-    _occ_check(path, expected_current)
     manifest = {
         "version": v,
         "files": files,
-        "partitions": partitions,
+        "partitions": {f: _partition_of(f, part_col) for f in files},
         "schema": m["schema"],
         "committed_at": time.time(),
         # prior meta carries forward (append_version_clustered's
@@ -1081,6 +1110,23 @@ def compact_files(
         manifest["partition_col"] = m["partition_col"]
     if m.get("project_schema"):
         manifest["project_schema"] = m["project_schema"]
+    _publish_manifest(path, v, manifest, expected_current)
+    return {
+        "version": v,
+        "files_in": len(selected),
+        "files_out": len(new_files),
+        "partitions": sorted(plan),
+    }
+
+
+def _publish_manifest(
+    path: str, v: int, manifest: dict, expected_current: int | None
+) -> None:
+    """Shared publish tail for the compaction branches: OCC-checked
+    manifest write, OCC re-check, atomic pointer swap. Any future
+    publish-protocol hardening (e.g. fsync before the replace) lands
+    once here instead of drifting between the two variants."""
+    _occ_check(path, expected_current)
     with open(_manifest_path(path, v), "w") as fh:
         json.dump(manifest, fh)
     _occ_check(path, expected_current)
@@ -1088,12 +1134,6 @@ def compact_files(
     with open(tmp, "w") as fh:
         fh.write(str(v))
     os.replace(tmp, os.path.join(path, POINTER))
-    return {
-        "version": v,
-        "files_in": len(selected),
-        "files_out": len(new_files),
-        "partitions": sorted(plan),
-    }
 
 
 def _compact_unpartitioned(
@@ -1109,9 +1149,11 @@ def _compact_unpartitioned(
     group. Selected = every file smaller than target (full-size files
     are already optimal and carry by reference); one rewrite job per
     footer schema, each `repartition(planned outputs)` → coalesced
-    files. Same publication guards as the partitioned path: fresh
-    version dir cleared first, footer row-count check before the
-    pointer swap, prior meta carried forward, abort cleans up."""
+    files. Same publication guards as the partitioned path: unique
+    per-attempt output dir (never clobbers a concurrent writer; torn
+    debris is unreferenced orphans for vacuum), footer row-count check
+    before the pointer swap, prior meta carried forward, abort cleans
+    up its own dir."""
     import math as _math
     import shutil as _shutil
 
@@ -1131,11 +1173,11 @@ def _compact_unpartitioned(
             "files_out": 0,
             "partitions": [],
         }
-    carried = [f for f in m["files"] if f not in set(small)]
+    small_set = set(small)
+    carried = [f for f in m["files"] if f not in small_set]
     abs_of = {rel: os.path.abspath(os.path.join(path, rel)) for rel in small}
     v = m["version"] + 1
-    data_dir = os.path.join(path, "data", f"v{v}")
-    _shutil.rmtree(data_dir, ignore_errors=True)
+    data_dir = os.path.join(path, "data", f"v{v}-compact-{uuid.uuid4().hex[:8]}")
     try:
         for rels in _footer_schema_groups(small, abs_of).values():
             share = sum(os.path.getsize(abs_of[r]) for r in rels) / max(total, 1)
@@ -1162,7 +1204,6 @@ def _compact_unpartitioned(
         _shutil.rmtree(data_dir, ignore_errors=True)
         raise
 
-    _occ_check(path, expected_current)
     manifest = {
         "version": v,
         "files": sorted(carried + new_files),
@@ -1180,13 +1221,7 @@ def _compact_unpartitioned(
     }
     if m.get("project_schema"):
         manifest["project_schema"] = m["project_schema"]
-    with open(_manifest_path(path, v), "w") as fh:
-        json.dump(manifest, fh)
-    _occ_check(path, expected_current)
-    tmp = os.path.join(path, POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(path, POINTER))
+    _publish_manifest(path, v, manifest, expected_current)
     return {
         "version": v,
         "files_in": len(small),

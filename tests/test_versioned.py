@@ -836,9 +836,11 @@ def test_compaction_carries_meta_and_survives_torn_run(spark, tmp_path):
     """Two publication-safety contracts: (a) prior manifest meta rides
     through a compaction (a rows-identical rewrite must not destroy
     the streaming sinks' replay batch_id or a persisted index's
-    model), and (b) debris a torn earlier attempt left at the next
-    version's data dir is cleared, not double-counted — a retry after
-    an aborted compaction must succeed."""
+    model), and (b) debris a torn earlier attempt left under data/ is
+    never referenced or double-counted (outputs land in a unique
+    per-attempt dir) — a retry after an aborted compaction must
+    succeed, and a concurrent writer's in-flight v{N+1} files are
+    never touched."""
     import glob
     import shutil
 
