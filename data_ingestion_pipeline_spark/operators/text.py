@@ -470,6 +470,66 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability — the
+    word-ORDER quality signal the unigram score can't see (a shuffled
+    bag of common words scores high on unigrams but its transitions
+    are rare; CCNet-style LM filters use exactly this n-gram
+    perplexity proxy, one order up from doc_unigram_logprob).
+
+    Self-model MLE on the corpus: p(t2 | t1) = c(t1,t2) / c(t1,·),
+    where the margin counts CONTEXT occurrences (per-doc last tokens
+    excluded), so probabilities per context sum to exactly 1 and no
+    bigram is unseen (every scored bigram is in its own training
+    counts). Shape: per-row adjacent-pair zip (map-side — the empty
+    tokens are filtered BEFORE pairing, so adjacency is over real
+    tokens) → one bigram-frequency aggregate → a context-margin
+    aggregate derived from it (vocabulary-sized, never a second
+    corpus scan) → equi-join of the doc bigram stream on (t1, t2)
+    (skew on stopword contexts is AQE's bread and butter) → per-doc
+    aggregate. Docs with < 2 tokens have no transitions and drop out,
+    as in the oracle.
+
+    Cross-engine floats: doc_unigram_logprob's discipline — the
+    count ratio is one correctly-rounded IEEE divide, ln() quantizes
+    once to DECIMAL(38,6), the per-doc sum is exact, one final double
+    divide.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n = F.size(F.col("toks"))
+    bi = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, n - 1).alias("t1"),
+                    F.slice(F.col("toks"), 2, n - 1).alias("t2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    )
+    counts = bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_bi"))
+    margins = counts.groupBy("t1").agg(F.sum("c_bi").alias("c_ctx"))
+    lnp = F.log(
+        F.col("c_bi").cast("double") / F.col("c_ctx").cast("double")
+    ).cast("decimal(38,6)")
+    scored = (
+        bi.join(counts, ["t1", "t2"])
+        .join(margins, "t1")
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.sum("lnp").cast("double") / F.count(F.lit(1))).alias(
+            "avg_bigram_logprob"
+        ),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_QUERY = ("hash", "join", "vector")  # frozen query, like STATION/START

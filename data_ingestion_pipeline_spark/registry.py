@@ -2210,6 +2210,42 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM scored GROUP BY doc_id
         """,
     ),
+    "doc_bigram_logprob": QuerySpec(
+        # word-ORDER quality signal (r10): self-model MLE bigram
+        # conditional logprob, unigram entry's quantize-once float
+        # discipline; empties filtered BEFORE pairing in both engines
+        # so adjacency is over real tokens
+        text.doc_bigram_logprob,
+        """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, toks,
+                   generate_subscripts(toks, 1) AS i
+            FROM d WHERE len(toks) >= 2
+        ), bi AS (
+            SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2
+            FROM idx WHERE i < len(toks)
+        ), counts AS (
+            SELECT t1, t2, COUNT(*) AS c_bi FROM bi GROUP BY t1, t2
+        ), margins AS (
+            SELECT t1, SUM(c_bi) AS c_ctx FROM counts GROUP BY t1
+        ), scored AS (
+            SELECT b.doc_id,
+                   CAST(ln(CAST(c.c_bi AS DOUBLE) / CAST(m.c_ctx AS DOUBLE))
+                        AS DECIMAL(38,6)) AS lnp
+            FROM bi b
+            JOIN counts c USING (t1, t2)
+            JOIN margins m USING (t1)
+        )
+        SELECT doc_id,
+               CAST(SUM(lnp) AS DOUBLE) / COUNT(*) AS avg_bigram_logprob,
+               COUNT(*) AS n_bigrams
+        FROM scored GROUP BY doc_id
+        """,
+    ),
     "bm25_topk": QuerySpec(
         text.bm25_topk,
         # formula mirrored parenthesis-for-parenthesis; each term

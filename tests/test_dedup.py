@@ -324,3 +324,23 @@ def test_jaccard_prefix_join_durable_checkpoint(spark, tmp_path):
     for root, _dirs, files in os.walk(ckdir):
         found += files
     assert found, "durable checkpoint dir is empty"
+
+
+def test_bigram_logprob_is_word_order_sensitive(spark):
+    """The bigram score must see what unigrams can't: per-context
+    probabilities are a proper distribution (ln p ≤ 0, margins from
+    the same counts), n_bigrams = real-token count − 1, and sub-2-token
+    docs drop out."""
+    from data_ingestion_pipeline_spark.operators import text
+
+    out = {r.doc_id: r for r in text.doc_bigram_logprob(spark, SF_TEST).collect()}
+    assert out and all(r.avg_bigram_logprob <= 0.0 for r in out.values())
+    stats = {
+        r.doc_id: r.token_count
+        for r in text.doc_stats(spark, SF_TEST).collect()
+    }
+    for did, r in out.items():
+        assert r.n_bigrams == stats[did] - 1, did
+    for did, n in stats.items():
+        if n < 2:
+            assert did not in out
