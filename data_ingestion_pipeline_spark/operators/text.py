@@ -495,7 +495,13 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     once to DECIMAL(38,6), the per-doc sum is exact, one final double
     divide.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Core of doc_bigram_logprob over an arbitrary (doc_id, text)
+    frame — separated so tests can probe constructed corpora (word
+    order, whitespace, sub-2-token drop-out) directly."""
     toks = F.filter(_tokens(), lambda t: t != "")
     n = F.size(F.col("toks"))
     bi = (

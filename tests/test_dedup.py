@@ -327,20 +327,41 @@ def test_jaccard_prefix_join_durable_checkpoint(spark, tmp_path):
 
 
 def test_bigram_logprob_is_word_order_sensitive(spark):
-    """The bigram score must see what unigrams can't: per-context
-    probabilities are a proper distribution (ln p ≤ 0, margins from
-    the same counts), n_bigrams = real-token count − 1, and sub-2-token
-    docs drop out."""
+    """The bigram score must see what unigrams can't: on the fixture
+    corpus every score is a log-probability (ln p ≤ 0) and n_bigrams
+    is the NON-EMPTY token count − 1; on a constructed corpus, two
+    docs with identical token MULTISETS but different orderings score
+    differently (the operator's whole point — unigram scores tie),
+    irregular whitespace doesn't distort pairing, and a 1-token doc
+    drops out."""
     from data_ingestion_pipeline_spark.operators import text
 
     out = {r.doc_id: r for r in text.doc_bigram_logprob(spark, SF_TEST).collect()}
     assert out and all(r.avg_bigram_logprob <= 0.0 for r in out.values())
-    stats = {
-        r.doc_id: r.token_count
-        for r in text.doc_stats(spark, SF_TEST).collect()
+    real_counts = {
+        r.doc_id: r.n
+        for r in text.load_table(spark, SF_TEST, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("n"),
+        )
+        .collect()
     }
     for did, r in out.items():
-        assert r.n_bigrams == stats[did] - 1, did
-    for did, n in stats.items():
-        if n < 2:
-            assert did not in out
+        assert r.n_bigrams == real_counts[did] - 1, did
+
+    tiny = spark.createDataFrame(
+        [
+            # 1 & 2: same multiset {a:3, b:2, c:2}, different order
+            (1, "a b c a b c a"),
+            (2, "a a  a b b c c"),  # double space: empties must not pair
+            (3, "lonely"),          # <2 real tokens: no transitions
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text.bigram_logprob(tiny).collect()}
+    assert 3 not in got
+    assert got[1].n_bigrams == 6 and got[2].n_bigrams == 6
+    assert got[1].avg_bigram_logprob != got[2].avg_bigram_logprob
