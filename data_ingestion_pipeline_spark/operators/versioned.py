@@ -540,17 +540,27 @@ def stats_candidate_files(path: str, col: str, lo, hi) -> list[str]:
             f"{index.get('format')}, engine is at {STATS_FORMAT}; "
             "rebuild with build_column_stats"
         )
+    return sorted(
+        rel
+        for rel, mm in index["files"].items()
+        if _stats_overlaps(mm, lo, hi)
+    )
+
+
+def _stats_overlaps(mm, lo, hi) -> bool:
+    """Pure candidacy predicate: does a file with encoded stats `mm`
+    ([encoded_min, encoded_max], or None for no-usable-stats)
+    possibly contain values in [lo, hi] (None bound = unbounded)?
+    Statless files are always candidates. The NO-FALSE-NEGATIVE
+    contract (a pruned file provably contains no matching value,
+    including across date/datetime kind mixing) is property-tested in
+    tests/test_properties.py."""
+    if mm is None:
+        return True
     qlo = _stats_encode(lo)[1] if lo is not None else None
     qhi = _stats_encode(hi)[1] if hi is not None else None
-    out = []
-    for rel, mm in index["files"].items():
-        if mm is None:
-            out.append(rel)  # no stats → always a candidate
-            continue
-        fmin, fmax = mm[0][1], mm[1][1]
-        if (qhi is None or fmin <= qhi) and (qlo is None or fmax >= qlo):
-            out.append(rel)
-    return sorted(out)
+    fmin, fmax = mm[0][1], mm[1][1]
+    return (qhi is None or fmin <= qhi) and (qlo is None or fmax >= qlo)
 
 
 def stats_lookup(

@@ -104,3 +104,94 @@ def test_lttb_edges_always_valid(n, k):
     edges = np.arange(k - 1, dtype=np.int64) * (n - 2) // (k - 2) + 1
     assert edges[0] == 1 and edges[-1] == n - 1
     assert (np.diff(edges) >= 1).all()
+
+
+# ---- stats-index data skipping: the no-false-negative claim --------
+
+import datetime as _dt
+
+from data_ingestion_pipeline_spark.operators.versioned import (
+    _stats_encode,
+    _stats_overlaps,
+)
+
+
+def _coerce(v):
+    """Spark's date→timestamp coercion: a date compares as midnight."""
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
+_num = st.one_of(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+_temporal = st.one_of(
+    st.dates(min_value=_dt.date(1900, 1, 1), max_value=_dt.date(2199, 12, 31)),
+    st.datetimes(
+        min_value=_dt.datetime(1900, 1, 1),
+        max_value=_dt.datetime(2199, 12, 31),
+    ),
+)
+_strs = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=12,
+)
+
+
+def _no_false_negative(values, bounds):
+    """Core property: a file whose [min,max] stats come from `values`
+    must be a candidate for every probe [lo,hi] that matches ANY of
+    its values — across every supported kind, including date/datetime
+    mixing (Spark coerces dates to midnight; the encoding must agree)."""
+    lo, hi = bounds
+    if lo is not None and hi is not None and _coerce(lo) > _coerce(hi):
+        lo, hi = hi, lo
+    key = _coerce
+    mm = [
+        _stats_encode(min(values, key=key)),
+        _stats_encode(max(values, key=key)),
+    ]
+    contains = any(
+        (lo is None or _coerce(lo) <= _coerce(v))
+        and (hi is None or _coerce(v) <= _coerce(hi))
+        for v in values
+    )
+    if contains:
+        assert _stats_overlaps(mm, lo, hi), (values, lo, hi)
+    assert _stats_overlaps(None, lo, hi)  # statless → always candidate
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    values=st.lists(_num, min_size=1, max_size=20),
+    bounds=st.tuples(st.none() | _num, st.none() | _num),
+)
+def test_stats_skipping_no_false_negatives_numeric(values, bounds):
+    _no_false_negative(values, bounds)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    values=st.lists(_temporal, min_size=1, max_size=20),
+    bounds=st.tuples(st.none() | _temporal, st.none() | _temporal),
+)
+def test_stats_skipping_no_false_negatives_temporal(values, bounds):
+    """Mixed date/datetime universes: the r10 review found the
+    original short-ISO date encoding pruned files whose max DATE
+    equaled a datetime probe's lower bound; the canonical
+    midnight-datetime encoding must agree with Spark's coercion for
+    every mixture."""
+    _no_false_negative(values, bounds)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    values=st.lists(_strs, min_size=1, max_size=20),
+    bounds=st.tuples(st.none() | _strs, st.none() | _strs),
+)
+def test_stats_skipping_no_false_negatives_strings(values, bounds):
+    _no_false_negative(values, bounds)
