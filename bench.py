@@ -54,6 +54,89 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# The driver records the LAST ~2000 chars of stdout (BENCH_r04's
+# capture cut the first ~11 timings — exactly the slowest entries,
+# which the verification order had put first). The registry (156
+# entries × ~19-char names) outgrew that window in r6-r8, which
+# forced a lossy "rest" roll-up; itemized per-entry evidence now
+# fits by SHORTENING THE KEYS, not dropping entries: if the
+# full-name line exceeds the window, keys become q<i> with i the
+# entry's index in the ALPHABETICALLY SORTED name list and values
+# whole centiseconds ("qkeys"/"qunit" fields declare the scheme;
+# BENCH_SELF.json, committed, carries the same timings under full
+# names). Degradation cascade: full names → compact keys → roll-up of
+# the fastest entries → totals-only. The last step means a reporting
+# size problem can never crash the bench after the timing work is done.
+MAX_LINE = 1900
+
+
+def stdout_line(
+    cold: dict, full: dict, sf: float, cpus: int, repeat: int = 1
+) -> str:
+    def scalars(out: dict) -> dict:
+        out.update(
+            metric="total_wall_sec",
+            value=full["value"],
+            unit="sec",
+            sf=sf,
+            cpus=cpus,
+        )
+        if repeat > 1:
+            out["warm_total"] = full["warm_total"]
+        return out
+
+    def full_line() -> str:
+        asc = sorted(cold, key=cold.get)
+        return json.dumps(
+            scalars({"queries": {n: cold[n] for n in asc}}),
+            separators=(",", ":"),
+        )
+
+    def compact_line() -> str:
+        alpha = sorted(cold)
+        out = {
+            "queries": {
+                f"q{i}": int(round(cold[n] * 100)) for i, n in enumerate(alpha)
+            },
+            "qkeys": "qN = Nth name, alphabetical; full map in BENCH_SELF.json",
+            "qunit": "centisec",
+        }
+        return json.dumps(scalars(out), separators=(",", ":"))
+
+    def rollup_line() -> str | None:
+        # itemize the slowest entries, roll the rest into one bucket —
+        # a parseable line beats a head-cut one; BENCH_SELF.json still
+        # carries every entry under full names.
+        desc = sorted(cold, key=cold.get, reverse=True)
+        out = None
+        for keep in range(len(desc), 0, -1):
+            head = {n: cold[n] for n in desc[:keep]}
+            rest = [cold[n] for n in desc[keep:]]
+            q = dict(head)
+            if rest:
+                q["rest"] = round(sum(rest), 2)
+                q["rest_n"] = len(rest)
+            out = json.dumps(scalars({"queries": q}), separators=(",", ":"))
+            if len(out) <= MAX_LINE:
+                return out
+        return out
+
+    def totals_line() -> str:
+        # absolute floor: even rollup_line's keep=1 form overflowed
+        # (pathological name lengths / timing inflation) — totals-only
+        # is still parseable; never crash after the timing work.
+        return json.dumps(scalars({"queries": {}}), separators=(",", ":"))
+
+    line = full_line()
+    if len(line) > MAX_LINE:
+        line = compact_line()
+    if len(line) > MAX_LINE:
+        line = rollup_line()
+    if line is None or len(line) > MAX_LINE:
+        line = totals_line()
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -110,90 +193,7 @@ def main() -> None:
                            "BENCH_SELF.json"), "w") as f:
         json.dump(full, f, indent=1)
 
-    # The driver records the LAST ~2000 chars of stdout (BENCH_r04's
-    # capture cut the first ~11 timings — exactly the slowest entries,
-    # which the verification order had put first). The registry (156
-    # entries × ~19-char names) outgrew that window in r6-r8, which
-    # forced a lossy "rest" roll-up; itemized per-entry evidence now
-    # fits by SHORTENING THE KEYS, not dropping entries: if the
-    # full-name line exceeds the window, keys become q<i> with i the
-    # entry's index in the ALPHABETICALLY SORTED name list and values
-    # whole centiseconds ("qkeys"/"qunit" fields declare the scheme;
-    # BENCH_SELF.json, committed, carries the same timings under full
-    # names). Every benched entry is itemized either way.
-    MAX_LINE = 1900
-
-    def full_line() -> str:
-        asc = sorted(cold, key=cold.get)
-        out = {"queries": {n: cold[n] for n in asc}}
-        out.update(
-            metric="total_wall_sec",
-            value=full["value"],
-            unit="sec",
-            sf=sf,
-            cpus=cpus,
-        )
-        if repeat > 1:
-            out["warm_total"] = full["warm_total"]
-        return json.dumps(out, separators=(",", ":"))
-
-    def compact_line() -> str:
-        alpha = sorted(cold)
-        out = {
-            "queries": {
-                f"q{i}": int(round(cold[n] * 100)) for i, n in enumerate(alpha)
-            },
-            "qkeys": "qN = Nth name, alphabetical; full map in BENCH_SELF.json",
-            "qunit": "centisec",
-        }
-        out.update(
-            metric="total_wall_sec",
-            value=full["value"],
-            unit="sec",
-            sf=sf,
-            cpus=cpus,
-        )
-        if repeat > 1:
-            out["warm_total"] = full["warm_total"]
-        return json.dumps(out, separators=(",", ":"))
-
-    def rollup_line() -> str:
-        # last-resort fallback (registry growth / slow-host timing
-        # inflation pushing even the compact form past the window):
-        # itemize the slowest entries, roll the rest into one bucket —
-        # a parseable line beats a head-cut one; BENCH_SELF.json still
-        # carries every entry under full names.
-        desc = sorted(cold, key=cold.get, reverse=True)
-        out = None
-        for keep in range(len(desc), 0, -1):
-            head = {n: cold[n] for n in desc[:keep]}
-            rest = [cold[n] for n in desc[keep:]]
-            q = dict(head)
-            if rest:
-                q["rest"] = round(sum(rest), 2)
-                q["rest_n"] = len(rest)
-            cand = {"queries": q}
-            cand.update(
-                metric="total_wall_sec",
-                value=full["value"],
-                unit="sec",
-                sf=sf,
-                cpus=cpus,
-            )
-            if repeat > 1:
-                cand["warm_total"] = full["warm_total"]
-            out = json.dumps(cand, separators=(",", ":"))
-            if len(out) <= MAX_LINE:
-                return out
-        return out
-
-    line = full_line()
-    if len(line) > MAX_LINE:
-        line = compact_line()
-    if len(line) > MAX_LINE:
-        line = rollup_line()
-    assert len(line) <= MAX_LINE, len(line)
-    print(line)
+    print(stdout_line(cold, full, sf, cpus, repeat))
     spark.stop()
 
 

@@ -347,6 +347,14 @@ def _unit_quantized(C: np.ndarray) -> np.ndarray:
     return np.floor((C / norms) * EMB_SCALE).astype(np.int64)
 
 
+# Bump whenever _ivf_params' cells/nprobe FORMULA changes (r10 moved
+# cells/4 → cells/2): the version rides in the persisted-index
+# fingerprint so a formula change invalidates stale indexes, while
+# comment/docstring edits don't (and source-less deployments —
+# zipapp/frozen, where inspect.getsource raises — still fingerprint).
+IVF_PARAMS_VERSION = 2
+
+
 def _ivf_params(n: int) -> tuple[int, int]:
     """(n_cells, nprobe) from the candidate count — √n cells, probe
     half of them. Shared by the operator and its tests so the test
@@ -1393,17 +1401,21 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     elif os.path.exists(base):
         st = os.stat(base)
         parts.append((os.path.basename(base), st.st_size, st.st_mtime_ns))
-    # the SOURCE TEXT of _ivf_params rides in the fingerprint: any
-    # change to the cells/nprobe formula (including clamp edits that a
-    # single sampled n would miss) retrains different centroids /
-    # stores a different nprobe, so it must invalidate persisted
-    # indexes — r10 itself moved cells/4 → cells/2
-    import inspect
-
-    ivf_src = hashlib.md5(inspect.getsource(_ivf_params).encode()).hexdigest()
+    # IVF_PARAMS_VERSION rides in the fingerprint: any change to the
+    # cells/nprobe formula must invalidate persisted indexes (r10
+    # itself moved cells/4 → cells/2, bumping the version). An explicit
+    # version constant, not inspect.getsource(_ivf_params): source
+    # hashing crashes in source-less deployments (zipapp/frozen) and
+    # invalidates every index on a mere comment edit. A probe over a
+    # spread of n values backs the constant — it catches formula edits
+    # someone forgets to version.
+    ivf_probe = ",".join(
+        f"{n}:{c}:{p}" for n in (16, 1000, 100000) for c, p in [_ivf_params(n)]
+    )
     cfg = (
         f"pq_m={PQ_M},pq_ks={PQ_KS},train_max={IVF_TRAIN_MAX},"
-        f"scale={EMB_SCALE},ivf_iters={IVF_ITERS},ivf_src={ivf_src}"
+        f"scale={EMB_SCALE},ivf_iters={IVF_ITERS},"
+        f"ivf_v={IVF_PARAMS_VERSION},ivf_probe={ivf_probe}"
     )
     return hashlib.md5((repr(parts) + "|" + cfg).encode()).hexdigest()
 

@@ -2901,31 +2901,23 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY: set[str] = {
-    # r10: graded fn swapped to the md5-leaf twin (production default
-    # now xxhash64; bench_fn times it) — same construction, but the
-    # registry fn object changed, so demand a fresh verdict
-    "simhash_buckets",
-    "simhash_candidates",
-    # r10 ANN production-recall upgrade: nprobe cells/4→cells/2,
-    # PQ_KS 16→64, SHORTLIST 64→128, floors re-tightened to 0.70-0.90
-    # — every audited verdict recomputes against new shortlists
-    "ann_hamming_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_index_roundtrip",
-    # r10: single multi-probe GEMM pass (rank-0-derived primary cell)
-    # — results identical by construction, but the plan changed
+    # r11: versioned-table index path rewritten (executor-built parquet
+    # sidecars replace driver-collected bitmaps / footer loops) and the
+    # manifest gained incremental commits + checkpoints — every entry
+    # that commits through or probes the versioned format re-verifies
+    "stats_skipping_roundtrip",
+    "bloom_index_lookup",
+    "compaction_roundtrip",
+    # r11: semantic_dedup hot-cell cap + pairing-side nprobe raise —
+    # candidate set changes, fresh verdict required
     "semantic_dedup",
 }
-# r10 prune: all 22 r9 names (the four r8 versioned-table rewrites, the
-# 14 former no_oracle oracle-upgrades, and the four r9 implementation
-# rewrites) were sampled in CORRECTNESS_r09.json and hold clean
-# hash-matched verdicts (VERDICT r9 §next 1), so the set is empty —
-# letting the r10 rotation reach the r6-stale tail.  Earlier prunes:
-# r7 rewrites (stream_click_purchase_left_join, corpus_token_budget,
-# purge_roundtrip, debounce_events) pruned after CORRECTNESS_r07.
-# Names rewritten in r10 are re-added below as the rewrites land.
+# r10 prune history: all 8 r10 names (simhash md5-leaf twins, the five
+# ANN recall-upgrade entries, semantic_dedup's single-GEMM pass) were
+# sampled in CORRECTNESS_r10.json and hold clean hash-matched verdicts
+# (VERDICT r10 coverage table). Earlier prunes: 22 r9 names after
+# CORRECTNESS_r09; r7 rewrites after CORRECTNESS_r07. Names rewritten
+# in r11 are re-added above as the rewrites land.
 
 
 def _verification_order(names: list[str]) -> list[str]:

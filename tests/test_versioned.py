@@ -518,7 +518,7 @@ def test_bloom_index_prunes_files(spark, tmp_path):
     ev = _events(spark)
     versioned.commit_version(spark, path, ev.repartition(8))
     versioned.build_bloom_index(spark, path, "event_id")
-    cand = versioned.bloom_candidate_files(path, "event_id", [7, 901])
+    cand = versioned.bloom_candidate_files(spark, path, "event_id", [7, 901])
     total = len(versioned._manifest(path)["files"])
     assert total == 8
     assert 0 < len(cand) < total, (len(cand), total)
@@ -646,15 +646,77 @@ def test_bloom_index_stale_after_commit(spark, tmp_path):
     df = spark.createDataFrame([(i, f"r{i}") for i in range(20)], "k int, v string")
     versioned.commit_version(spark, path, df.repartition(4))
     versioned.build_bloom_index(spark, path, "k")
-    assert versioned.bloom_candidate_files(path, "k", [7])  # fresh: serves
+    assert versioned.bloom_candidate_files(spark, path, "k", [7])  # fresh: serves
     versioned.upsert_version(spark, path,
         spark.createDataFrame([(99, "new")], "k int, v string"), ["k"])
     with pytest.raises(versioned.StaleBloomIndexError):
-        versioned.bloom_candidate_files(path, "k", [7])
+        versioned.bloom_candidate_files(spark, path, "k", [7])
     got = versioned.bloom_lookup(spark, path, "k", [99])  # rebuilds
     assert [r.v for r in got.collect()] == ["new"]
     # and the rebuilt index is current again
-    assert versioned.bloom_candidate_files(path, "k", [99])
+    assert versioned.bloom_candidate_files(spark, path, "k", [99])
+
+
+def test_index_pointer_json_is_payload_free_and_vacuum_reclaims_sidecars(
+    spark, tmp_path
+):
+    """The 100 TB contract of the index rework (r10 VERDICT finding a):
+    the pointer JSONs beside the manifests carry a SIDECAR PATH, never
+    per-file payloads (no bitmaps, no per-file stats — the JSON stays
+    O(1) at any file count); per-file rows live in an executor-written
+    parquet sidecar; a rebuild orphans the previous sidecar dir and
+    vacuum reclaims exactly the orphans, keeping the active ones
+    serving."""
+    import glob
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(400)], "k int, v string"
+    )
+    versioned.commit_version(spark, path, df.repartition(6))
+    versioned.build_bloom_index(spark, path, "k")
+    versioned.build_column_stats(spark, path, "k")
+
+    for pj in ("_BLOOM_k.json", "_STATS_k.json"):
+        idx = _json.loads(open(os.path.join(path, pj)).read())
+        assert "files" not in idx  # pointer, not payload
+        assert idx["sidecar"].startswith("_index" + os.sep)
+        assert os.path.getsize(os.path.join(path, pj)) < 1024
+        # sidecar rows == data files, written as parquet
+        sc = spark.read.parquet(os.path.join(path, idx["sidecar"]))
+        assert sc.count() == len(versioned._manifest(path)["files"])
+
+    # a commit + rebuild orphans both old sidecars
+    versioned.upsert_version(
+        spark, path, spark.createDataFrame([(999, "x")], "k int, v string"), ["k"]
+    )
+    versioned.build_bloom_index(spark, path, "k")
+    versioned.build_column_stats(spark, path, "k")
+    all_dirs = {
+        os.path.relpath(d, path)
+        for d in glob.glob(os.path.join(path, "_index", "*", "v*"))
+    }
+    active = {
+        os.path.normpath(
+            _json.loads(open(os.path.join(path, pj)).read())["sidecar"]
+        )
+        for pj in ("_BLOOM_k.json", "_STATS_k.json")
+    }
+    assert len(all_dirs) == 4 and len(active) == 2
+
+    removed = versioned.vacuum(path, keep_from=1)
+    left = {
+        os.path.relpath(d, path)
+        for d in glob.glob(os.path.join(path, "_index", "*", "v*"))
+    }
+    assert left == active, (left, active)
+    assert all_dirs - active <= {os.path.relpath(r, path) for r in removed}
+    # and the surviving indexes still serve correctly
+    got = versioned.bloom_lookup(spark, path, "k", [999])
+    assert [r.v for r in got.collect()] == ["x"]
+    assert versioned.stats_lookup(spark, path, "k", 999, None).count() == 1
 
 
 def test_metadata_ddl_occ_conflict(spark, tmp_path):
@@ -754,10 +816,10 @@ def test_stats_index_prunes_files_and_serves_ranges(spark, tmp_path):
     os.makedirs(path)
     ev = _events(spark)
     versioned.commit_version(spark, path, ev.repartitionByRange(8, "event_id"))
-    versioned.build_column_stats(path, "event_id")
+    versioned.build_column_stats(spark, path, "event_id")
     m = versioned._manifest(path)
 
-    cand = versioned.stats_candidate_files(path, "event_id", 100, 200)
+    cand = versioned.stats_candidate_files(spark, path, "event_id", 100, 200)
     assert 0 < len(cand) < len(m["files"])
     got = versioned.stats_lookup(spark, path, "event_id", 100, 200)
     assert set(got.inputFiles()) <= {
@@ -770,7 +832,7 @@ def test_stats_index_prunes_files_and_serves_ranges(spark, tmp_path):
 
     # timestamp kind: every file spans all days (clustered by id), so
     # candidates = all files — and the result is still exact
-    versioned.build_column_stats(path, "ts")
+    versioned.build_column_stats(spark, path, "ts")
     lo, hi = datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 11)
     got_ts = versioned.stats_lookup(spark, path, "ts", lo, hi)
     want_ts = ev.filter(
@@ -778,14 +840,34 @@ def test_stats_index_prunes_files_and_serves_ranges(spark, tmp_path):
     ).count()
     assert got_ts.count() == want_ts
 
-    # (c) a statless entry is always a candidate
+    # (c) a statless entry is always a candidate: flip one sidecar
+    # row's has_stats off in place and re-probe
+    import glob as _glob
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
     sp = os.path.join(path, "_STATS_event_id.json")
-    idx = _json.loads(open(sp).read())
-    victim = sorted(idx["files"])[0]
-    idx["files"][victim] = None
-    open(sp, "w").write(_json.dumps(idx))
+    sc_rel = _json.loads(open(sp).read())["sidecar"]
+    victim = None
+    for shard in sorted(
+        _glob.glob(os.path.join(path, sc_rel, "*.parquet"))
+    ):
+        t = _pq.read_table(shard).to_pandas()
+        if len(t) and victim is None:
+            victim = sorted(t["file"])[0]
+            t.loc[t["file"] == victim, "has_stats"] = False
+            _pq.write_table(
+                _pa.Table.from_pandas(t, preserve_index=False), shard
+            )
+            # the in-place rewrite invalidates Hadoop's .crc sibling
+            crc = os.path.join(
+                os.path.dirname(shard), "." + os.path.basename(shard) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
     assert victim in versioned.stats_candidate_files(
-        path, "event_id", 100, 200
+        spark, path, "event_id", 100, 200
     )
 
     # (d) staleness: new commit → metadata probe raises, lookup rebuilds
@@ -793,7 +875,7 @@ def test_stats_index_prunes_files_and_serves_ranges(spark, tmp_path):
         spark, path, ev.limit(5).withColumn("value", F.lit(0.0)), ["event_id"]
     )
     with _pytest.raises(versioned.StaleStatsIndexError):
-        versioned.stats_candidate_files(path, "event_id", 100, 200)
+        versioned.stats_candidate_files(spark, path, "event_id", 100, 200)
     relookup = versioned.stats_lookup(spark, path, "event_id", 100, 200)
     assert relookup.count() == len(want)
 
@@ -886,7 +968,7 @@ def test_stats_date_column_probed_with_datetime_has_no_false_negatives(
         "id bigint, d date",
     )
     versioned.commit_version(spark, path, df.repartitionByRange(5, "d"))
-    versioned.build_column_stats(path, "d")
+    versioned.build_column_stats(spark, path, "d")
     lo = datetime.datetime(2024, 1, 5)      # == a date boundary exactly
     hi = datetime.datetime(2024, 1, 9, 12)  # mid-day: excludes 1-10
     got = versioned.stats_lookup(spark, path, "d", lo, hi).count()
@@ -895,5 +977,5 @@ def test_stats_date_column_probed_with_datetime_has_no_false_negatives(
     ).count()
     assert got == want > 0
     # and pruning still happens on the range-clustered layout
-    cand = versioned.stats_candidate_files(path, "d", lo, hi)
+    cand = versioned.stats_candidate_files(spark, path, "d", lo, hi)
     assert len(cand) < len(versioned._manifest(path)["files"])
