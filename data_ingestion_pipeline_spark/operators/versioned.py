@@ -49,9 +49,101 @@ from data_ingestion_pipeline_spark.sources.tables import load_table
 
 POINTER = "_CURRENT"
 
+# Full-manifest cadence: every CHECKPOINT_EVERY-th version is written
+# as a CHECKPOINT (complete file list); versions between are DELTAS
+# ({base, add, remove, partitions_add} against the previous version).
+# This is the Delta-log shape that removes the second O(files) scale
+# ceiling (r10 VERDICT finding b): a single-JSON manifest rewrote the
+# entire file list on EVERY commit — ~100 MB of JSON per commit at a
+# 10⁶-file table — whereas a delta commit writes O(changed files)
+# bytes and a reader resolves at most CHECKPOINT_EVERY-1 deltas on top
+# of one checkpoint. Scalar fields (version/schema/meta/committed_at/
+# partition_col/project_schema) stay inline in every manifest, so
+# meta/committed_at probes (manifest_meta, read_as_of) never resolve
+# the chain.
+CHECKPOINT_EVERY = 10
+
 
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, f"manifest_v{version}.json")
+
+
+_DELTA_KEYS = ("base", "add", "remove", "partitions_add")
+
+
+def _resolve_chain(path: str, version: int) -> tuple[dict, list[int]]:
+    """(materialized manifest, versions visited). Walks delta bases
+    back to the nearest checkpoint, then replays adds/removes forward.
+    The returned dict always carries a full 'files' list (and
+    'partitions' when the table is partitioned) with the delta
+    bookkeeping keys stripped — every reader sees the same shape a
+    checkpoint has."""
+    chain: list[dict] = []
+    v = version
+    while True:
+        with open(_manifest_path(path, v)) as fh:
+            m = json.load(fh)
+        chain.append(m)
+        if "files" in m:
+            break
+        v = m["base"]
+    base = chain[-1]
+    files = set(base["files"])
+    parts = dict(base.get("partitions", {}))
+    partitioned = "partitions" in base
+    for d in reversed(chain[:-1]):
+        files.difference_update(d.get("remove", ()))
+        for f in d.get("remove", ()):
+            parts.pop(f, None)
+        files.update(d.get("add", ()))
+        if "partitions_add" in d:
+            partitioned = True
+            parts.update(d["partitions_add"])
+    out = {k: v for k, v in chain[0].items() if k not in _DELTA_KEYS}
+    out["files"] = sorted(files)
+    if partitioned:
+        out["partitions"] = parts
+    return out, [m["version"] for m in chain]
+
+
+def _encode_manifest(path: str, manifest: dict) -> dict:
+    """Choose the on-disk form for a new manifest: a DELTA against the
+    previous version when one exists, the cadence allows it, and the
+    delta is strictly smaller than the full list — else a CHECKPOINT
+    (the full manifest as given). The encoding is verified by
+    round-trip: if replaying the delta over the previous state would
+    not reproduce the intended manifest exactly (files AND partition
+    tags), the checkpoint form wins — correctness can never depend on
+    a writer's carried-tag discipline."""
+    v = manifest["version"]
+    if v <= 1 or v % CHECKPOINT_EVERY == 0:
+        return manifest
+    try:
+        prev, _ = _resolve_chain(path, v - 1)
+    except FileNotFoundError:
+        return manifest
+    prev_files = set(prev["files"])
+    new_files = set(manifest["files"])
+    add = sorted(new_files - prev_files)
+    remove = sorted(prev_files - new_files)
+    if len(add) + len(remove) >= len(manifest["files"]):
+        return manifest
+    delta = {k: val for k, val in manifest.items() if k not in ("files", "partitions")}
+    delta.update(base=v - 1, add=add, remove=remove)
+    if "partitions" in manifest:
+        delta["partitions_add"] = {f: manifest["partitions"][f] for f in add}
+        # round-trip check on carried tags: a writer that retagged a
+        # carried file (nothing does today) must fall back to full
+        replay = dict(prev.get("partitions", {}))
+        for f in remove:
+            replay.pop(f, None)
+        replay.update(delta["partitions_add"])
+        if replay != manifest["partitions"]:
+            return manifest
+    elif "partitions" in prev:
+        # partitioned → unpartitioned shape change: checkpoint
+        return manifest
+    return delta
 
 
 def current_version(path: str) -> int:
@@ -110,22 +202,17 @@ def commit_version(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    check()
-    with open(_manifest_path(path, v), "w") as fh:
-        # schema rides in every manifest so an empty commit (zero part
-        # files) stays readable via _empty_snapshot; committed_at backs
-        # AS-OF-timestamp time travel (wall clock — an audit attribute,
-        # never a correctness input to any query result)
-        json.dump(
-            {"version": v, "files": files, "meta": meta or {},
-             "schema": df.schema.json(), "committed_at": time.time()},
-            fh,
-        )
-    check()
-    tmp = os.path.join(path, POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(path, POINTER))  # the atomic commit
+    # schema rides in every manifest so an empty commit (zero part
+    # files) stays readable via _empty_snapshot; committed_at backs
+    # AS-OF-timestamp time travel (wall clock — an audit attribute,
+    # never a correctness input to any query result)
+    _publish_manifest(
+        path,
+        v,
+        {"version": v, "files": files, "meta": meta or {},
+         "schema": df.schema.json(), "committed_at": time.time()},
+        expected_current,
+    )
     return v
 
 
@@ -145,8 +232,7 @@ def read_version(
     then reads exactly the manifest's files — immune to concurrent
     commits."""
     v = current_version(path) if version is None else version
-    with open(_manifest_path(path, v)) as fh:
-        manifest = json.load(fh)
+    manifest = _manifest(path, v)
     files = [os.path.join(path, f) for f in manifest["files"]]
     if not files:
         return _empty_snapshot(spark, manifest)
@@ -260,25 +346,20 @@ def evolve_schema(
             raise ValueError(f"column {name} already exists")
         schema = schema.add(name, dtype, nullable=True)
     v = cur + 1
-    _occ_check(path, expected_current)
-    with open(_manifest_path(path, v), "w") as fh:
-        json.dump(
-            {
-                "version": v,
-                "files": m["files"],  # by reference — no data write
-                **({"partitions": m["partitions"]} if "partitions" in m else {}),
-                "schema": schema.json(),
-                "project_schema": True,
-                "committed_at": time.time(),
-                "meta": {"evolved": [c for c, _ in added_cols]},
-            },
-            fh,
-        )
-    _occ_check(path, expected_current)
-    tmp = os.path.join(path, POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(path, POINTER))
+    _publish_manifest(
+        path,
+        v,
+        {
+            "version": v,
+            "files": m["files"],  # by reference — no data write
+            **({"partitions": m["partitions"]} if "partitions" in m else {}),
+            "schema": schema.json(),
+            "project_schema": True,
+            "committed_at": time.time(),
+            "meta": {"evolved": [c for c, _ in added_cols]},
+        },
+        expected_current,
+    )
     return v
 
 
@@ -834,6 +915,7 @@ def vacuum(path: str, keep_from: int) -> list[str]:
 
     removed = []
     keep_versions = set()
+    drop_versions = set()
     cur = current_version(path)
     for v in range(1, cur + 1):
         if not os.path.isfile(_manifest_path(path, v)):
@@ -841,8 +923,19 @@ def vacuum(path: str, keep_from: int) -> list[str]:
         if v >= keep_from or v in pinned:
             keep_versions.add(v)
         else:
-            os.remove(_manifest_path(path, v))
-            removed.append(_manifest_path(path, v))
+            drop_versions.add(v)
+    # A retained DELTA manifest whose resolution chain crosses a
+    # to-be-removed version would become unresolvable: materialize it
+    # to checkpoint form first (only the retained versions nearest the
+    # horizon ever need this — chains are ≤ CHECKPOINT_EVERY long).
+    for v in sorted(keep_versions):
+        full, chain = _resolve_chain(path, v)
+        if any(c in drop_versions for c in chain):
+            with open(_manifest_path(path, v), "w") as fh:
+                json.dump(full, fh)
+    for v in sorted(drop_versions):
+        os.remove(_manifest_path(path, v))
+        removed.append(_manifest_path(path, v))
     # Torn commits leave manifest_v{>cur}.json files the pointer never
     # reached — unreachable by any reader, but if left behind while
     # their data files are reclaimed below, read_version(path, v)
@@ -1000,21 +1093,16 @@ def commit_version_clustered(
     df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
     files = _walk_rel_parquet(data_dir, path)
     partitions = {f: _partition_of(f, partition_col) for f in files}
-    check()
-    with open(_manifest_path(path, v), "w") as fh:
-        json.dump(
-            {"version": v, "files": files, "partitions": partitions,
-             "partition_col": partition_col,
-             "schema": df.schema.json(),
-             "committed_at": time.time(),
-             "meta": meta or {}},
-            fh,
-        )
-    check()
-    tmp = os.path.join(path, POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(path, POINTER))
+    _publish_manifest(
+        path,
+        v,
+        {"version": v, "files": files, "partitions": partitions,
+         "partition_col": partition_col,
+         "schema": df.schema.json(),
+         "committed_at": time.time(),
+         "meta": meta or {}},
+        expected_current,
+    )
     return v
 
 
@@ -1052,23 +1140,18 @@ def commit_version_partitioned(
     new_files = _walk_rel_parquet(data_dir, path)
     files = sorted(list(carried or []) + new_files)
     partitions = {f: _partition_of(f) for f in files}
-    check()
-    with open(_manifest_path(path, v), "w") as fh:
-        json.dump(
-            {"version": v, "files": files, "partitions": partitions,
-             # a partitionBy write of ZERO rows emits no data files
-             # (the write_time_partitioned issue); the recorded schema
-             # lets read_version serve the empty snapshot correctly
-             "schema": df.schema.json(),
-             "committed_at": time.time(),
-             "meta": meta or {}},
-            fh,
-        )
-    check()
-    tmp = os.path.join(path, POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(path, POINTER))
+    _publish_manifest(
+        path,
+        v,
+        {"version": v, "files": files, "partitions": partitions,
+         # a partitionBy write of ZERO rows emits no data files
+         # (the write_time_partitioned issue); the recorded schema
+         # lets read_version serve the empty snapshot correctly
+         "schema": df.schema.json(),
+         "committed_at": time.time(),
+         "meta": meta or {}},
+        expected_current,
+    )
     return v
 
 
@@ -1105,28 +1188,25 @@ def append_version_clustered(
     files = sorted(list(prior["files"]) + new_files)
     partitions = dict(prior.get("partitions", {}))
     partitions.update({f: _partition_of(f, partition_col) for f in new_files})
-    check()
-    with open(_manifest_path(path, v), "w") as fh:
-        json.dump(
-            {"version": v, "files": files, "partitions": partitions,
-             "partition_col": partition_col,
-             "schema": df.schema.json(),
-             "committed_at": time.time(),
-             "meta": {**prior.get("meta", {}), **(meta or {})}},
-            fh,
-        )
-    check()
-    tmp = os.path.join(path, POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(path, POINTER))
+    _publish_manifest(
+        path,
+        v,
+        {"version": v, "files": files, "partitions": partitions,
+         "partition_col": partition_col,
+         "schema": df.schema.json(),
+         "committed_at": time.time(),
+         "meta": {**prior.get("meta", {}), **(meta or {})}},
+        expected_current,
+    )
     return v
 
 
 def _manifest(path: str, version: int | None = None) -> dict:
+    """The MATERIALIZED manifest for a version (default current):
+    delta chains resolve to the same full shape a checkpoint has, so
+    no reader ever sees the on-disk encoding."""
     v = current_version(path) if version is None else version
-    with open(_manifest_path(path, v)) as fh:
-        return json.load(fh)
+    return _resolve_chain(path, v)[0]
 
 
 def compact_files(
@@ -1340,13 +1420,18 @@ def compact_files(
 def _publish_manifest(
     path: str, v: int, manifest: dict, expected_current: int | None
 ) -> None:
-    """Shared publish tail for the compaction branches: OCC-checked
-    manifest write, OCC re-check, atomic pointer swap. Any future
+    """Shared publish tail for EVERY manifest writer: delta-vs-
+    checkpoint encoding (_encode_manifest), OCC-checked manifest
+    write, OCC re-check, atomic pointer swap. Any future
     publish-protocol hardening (e.g. fsync before the replace) lands
-    once here instead of drifting between the two variants."""
+    once here instead of drifting between writers. `manifest` is
+    always the writer's FULL intent (complete file list); the
+    encoding choice is invisible to readers (_manifest resolves)."""
+    _occ_check(path, expected_current)
+    enc = _encode_manifest(path, manifest)
     _occ_check(path, expected_current)
     with open(_manifest_path(path, v), "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(enc, fh)
     _occ_check(path, expected_current)
     tmp = os.path.join(path, POINTER + ".tmp")
     with open(tmp, "w") as fh:
@@ -1624,6 +1709,21 @@ def purge_rows(
             rewritten[rel] = None  # every row matched: file vanishes
         os.remove(abs_of[rel])
     _shutil.rmtree(tmp, ignore_errors=True)
+
+    # Delta chains cannot survive a rename-based purge: a delta's
+    # remove list keys on the OLD file name, so repointing its base
+    # would resurrect files the delta removed. Materialize every
+    # retained manifest to checkpoint form first (purge is the rare
+    # compliance-weight pass; O(versions × files) JSON is its price).
+    for v in range(1, cur + 1):
+        mp = _manifest_path(path, v)
+        if os.path.isfile(mp):
+            with open(mp) as fh:
+                raw = json.load(fh)
+            if "files" not in raw:
+                full = _manifest(path, v)  # resolve BEFORE truncating
+                with open(mp, "w") as fh:
+                    json.dump(full, fh)
 
     # repoint every retained manifest, preserving partition tags
     for v in range(1, cur + 1):
@@ -1971,25 +2071,20 @@ def drop_partitions_before(
         raise ValueError("retention needs a partitioned table")
     keep = [f for f in m["files"] if (parts.get(f) is None or parts[f] >= cutoff)]
     v = m["version"] + 1
-    _occ_check(path, expected_current)
-    with open(_manifest_path(path, v), "w") as fh:
-        json.dump(
-            {
-                "version": v,
-                "files": keep,
-                "partitions": {f: parts[f] for f in keep if f in parts},
-                "schema": m["schema"],
-                **({"project_schema": True} if m.get("project_schema") else {}),
-                "committed_at": time.time(),
-                "meta": {"retention_dropped_before": cutoff},
-            },
-            fh,
-        )
-    _occ_check(path, expected_current)
-    tmp = os.path.join(path, POINTER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, os.path.join(path, POINTER))
+    _publish_manifest(
+        path,
+        v,
+        {
+            "version": v,
+            "files": keep,
+            "partitions": {f: parts[f] for f in keep if f in parts},
+            "schema": m["schema"],
+            **({"project_schema": True} if m.get("project_schema") else {}),
+            "committed_at": time.time(),
+            "meta": {"retention_dropped_before": cutoff},
+        },
+        expected_current,
+    )
     return v
 
 

@@ -73,6 +73,108 @@ def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
     assert versioned.read_version(spark, path).count() == 7
 
 
+def test_manifest_deltas_checkpoints_and_commit_cost_at_1e4_files(
+    spark, tmp_path
+):
+    """The manifest scale contract (r10 VERDICT finding b): commits
+    between checkpoints write O(changed files) bytes, not O(table
+    files) — measured here against a synthetic 10,000-file snapshot —
+    while every reader sees the same materialized shape a checkpoint
+    has. Cadence: v1 and every CHECKPOINT_EVERY-th version are full;
+    versions between are {base, add, remove} deltas."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+
+    # synthetic 10^4-file snapshot: encoding/resolution never stat
+    # data files, so the file list can be fabricated — this measures
+    # the MANIFEST layer at a scale where full rewrites visibly hurt
+    n = 10_000
+    files1 = sorted(f"data/v1/part-{i:05d}.parquet" for i in range(n))
+    m1 = {
+        "version": 1,
+        "files": files1,
+        "schema": spark.createDataFrame([], "k int").schema.json(),
+        "committed_at": 0.0,
+        "meta": {},
+    }
+    versioned._publish_manifest(path, 1, m1, None)
+    assert versioned.current_version(path) == 1
+    full_bytes = os.path.getsize(os.path.join(path, "manifest_v1.json"))
+    assert full_bytes > 100_000  # the cost a delta must not pay
+
+    # an append-shaped commit: +2 files, -1 file out of 10,000
+    files2 = sorted(files1[1:] + ["data/v2/a.parquet", "data/v2/b.parquet"])
+    m2 = dict(m1, version=2, files=files2, committed_at=1.0,
+              meta={"batch": 2})
+    versioned._publish_manifest(path, 2, m2, None)
+    delta_bytes = os.path.getsize(os.path.join(path, "manifest_v2.json"))
+    assert delta_bytes < 2_000, delta_bytes  # O(delta), ~50x under full
+    raw2 = _json.loads(open(os.path.join(path, "manifest_v2.json")).read())
+    assert "files" not in raw2 and raw2["base"] == 1
+    assert sorted(raw2["add"]) == ["data/v2/a.parquet", "data/v2/b.parquet"]
+    assert raw2["remove"] == [files1[0]]
+
+    # resolution materializes the delta exactly; scalars stay inline
+    got2 = versioned._manifest(path, 2)
+    assert got2["files"] == files2 and got2["meta"] == {"batch": 2}
+    assert versioned.manifest_meta(path) == {"batch": 2}  # no chain walk
+
+    # walk to the checkpoint boundary: v3..v9 deltas, v10 full
+    files = files2
+    for v in range(3, 11):
+        files = sorted(files + [f"data/v{v}/x.parquet"])
+        versioned._publish_manifest(
+            path, v, dict(m1, version=v, files=files, committed_at=float(v)),
+            None,
+        )
+    raw9 = _json.loads(open(os.path.join(path, "manifest_v9.json")).read())
+    raw10 = _json.loads(open(os.path.join(path, "manifest_v10.json")).read())
+    assert "files" not in raw9 and "files" in raw10  # checkpoint cadence
+    assert versioned._manifest(path, 10)["files"] == files
+    # chain depth is bounded by the cadence
+    _, chain = versioned._resolve_chain(path, 9)
+    assert chain == [9, 8, 7, 6, 5, 4, 3, 2, 1]
+
+
+def test_manifest_deltas_compose_with_vacuum_and_time_travel(
+    spark, tmp_path
+):
+    """Vacuuming past a delta's base must not strand it: retained
+    manifests whose chain crosses the horizon are materialized to
+    checkpoint form, so every retained version (and AS-OF time travel
+    onto it) keeps reading after the horizon moves."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], "k int, v double")
+    # v1 full; v2..v6 deltas via append-only commits
+    versioned.commit_version(spark, path, df.limit(10).coalesce(1))
+    for v in range(2, 7):
+        versioned.append_version_clustered(
+            spark, path, df.filter((F.col("k") >= v * 5) & (F.col("k") < v * 5 + 3)),
+            partition_col="k",
+        )
+    assert versioned.current_version(path) == 6
+    raw4 = _json.loads(open(os.path.join(path, "manifest_v4.json")).read())
+    assert "files" not in raw4  # precondition: deltas exist
+
+    counts = {v: versioned.read_version(spark, path, v).count() for v in range(1, 7)}
+    removed = versioned.vacuum(path, keep_from=4)
+    assert any("manifest_v1.json" in r for r in removed)
+    # v4 (chain crossed v1-v3) was materialized; v4..v6 still read
+    raw4b = _json.loads(open(os.path.join(path, "manifest_v4.json")).read())
+    assert "files" in raw4b
+    for v in range(4, 7):
+        assert versioned.read_version(spark, path, v).count() == counts[v]
+    # AS-OF resolution over the retained range still works
+    import time as _time
+
+    assert versioned.read_as_of(spark, path, _time.time()).count() == counts[6]
+
+
 def test_vacuum_drops_history_keeps_current(spark, tmp_path):
     path = str(tmp_path / "t")
     os.makedirs(path)
@@ -105,8 +207,7 @@ def test_optimistic_concurrency_conflict(spark, tmp_path):
         versioned.commit_version(spark, path, ev.limit(7), expected_current=1)
 
     assert versioned.current_version(path) == 2
-    with open(os.path.join(path, "manifest_v2.json")) as fh:
-        assert len(json.load(fh)["files"]) > 0
+    assert len(versioned._manifest(path, 2)["files"]) > 0
     assert versioned.read_version(spark, path).count() == 5
 
 
@@ -154,8 +255,7 @@ def test_cow_upsert_reuses_untouched_files(spark, tmp_path):
     os.makedirs(path)
     ev = _events(spark)
     versioned.commit_version_partitioned(spark, path, ev)
-    with open(os.path.join(path, "manifest_v1.json")) as fh:
-        m1 = json.load(fh)
+    m1 = versioned._manifest(path, 1)
 
     def sha(rel):
         with open(os.path.join(path, rel), "rb") as fh:
@@ -169,8 +269,7 @@ def test_cow_upsert_reuses_untouched_files(spark, tmp_path):
     )
     assert updates.count() > 0
     versioned.upsert_version_cow(spark, path, updates, ["event_id"])
-    with open(os.path.join(path, "manifest_v2.json")) as fh:
-        m2 = json.load(fh)
+    m2 = versioned._manifest(path, 2)
 
     untouched_v1 = [f for f in m1["files"] if m1["partitions"][f] != day]
     assert set(untouched_v1) <= set(m2["files"])
@@ -282,8 +381,7 @@ def test_vacuum_preserves_cow_carried_files_and_tags(spark, tmp_path):
     versioned.tag_version(path, "release-1")
     removed = versioned.vacuum(path, keep_from=2)
     assert os.path.join(path, "manifest_v1.json") in removed
-    with open(os.path.join(path, "manifest_v2.json")) as fh:
-        m2 = json.load(fh)
+    m2 = versioned._manifest(path, 2)
     for f in m2["files"]:
         assert os.path.isfile(os.path.join(path, f)), f
     assert versioned.read_version(spark, path).count() == ev.count()
