@@ -785,7 +785,17 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- SemDeDup: cluster-then-prune semantic deduplication -----------
 
-SEMANTIC_DEDUP_NPROBE = 2  # probed cells per vector for pairing (recall dial)
+SEMANTIC_DEDUP_NPROBE = 3  # probed cells per vector for pairing (recall dial)
+# Hot-cell cap: within-cell pairing is quadratic in a cell's
+# population, and skew happens (SimHash shipped with 17% of docs in
+# one bucket at sf0.1 before r4 widened its bands — BASELINE.md). A
+# cell holding more than CAP_FACTOR× the expected population is
+# salted into ceil(pop/cap) sub-cells by xxhash64(vec_id) —
+# deterministic, bounded pair count per sub-cell, at the price of
+# missing pairs split across sub-cells of the SAME hot cell (the
+# audit's recall floor still gates the result; an even split of an
+# over-dense cell loses few true dups because near-dups concentrate).
+SEMANTIC_DEDUP_CELL_CAP_FACTOR = 8
 SEMANTIC_DUP_COSINE = 0.45  # dup threshold; matches NEAR_DUP_COSINE's
 # aggressive setting for the synthetic corpus (realistic deployments
 # use 0.9+; the threshold is a parameter, not a design constant)
@@ -819,11 +829,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Multi-probe pairing (SEMANTIC_DEDUP_NPROBE nearest cells per
     vector, pairs deduped) is the recall dial for the paper's known
     blind spot — near-dup pairs split by a cell boundary. Measured on
-    the fixed testdata: nprobe 1→2 lifts dropped/true-dup recall from
-    0/7 to 3/7 (sf0.001) and 7/14 to 12/14 (sf0.01) at ≤4× the
-    within-cell pair volume — still O(n^1.5) overall, and at 100 TB
-    the k≫√n cell-count regime keeps cells small so the factor stays
-    a constant, not a blow-up.
+    the fixed testdata: nprobe 1→2→3 lifts dropped/true-dup recall
+    0/7→3/7→4/7 (sf0.001) and 7/14→12/14→13/14 (sf0.01; 101/135 at
+    sf0.1) at ≤nprobe² the within-cell pair volume — still O(n^1.5)
+    overall, and at 100 TB the k≫√n cell-count regime keeps cells
+    small so the factor stays a constant, not a blow-up.
+
+    Skew safety is ENFORCED, not advisory: a cell whose probe
+    population exceeds the cap (CAP_FACTOR× the expected per-cell
+    population) splits into salted sub-cells before pairing, so a
+    degenerate assignment (the SimHash 17%-bucket incident,
+    BASELINE.md) bounds at cap² pairs per join key instead of going
+    quadratic in the hot cell. GROWTH_CURVE.json carries this
+    operator's measured scaling exponent.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     rows, n = _ivf_train_sample(emb, min_vec_id=0)
@@ -839,21 +857,45 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thing a production pipeline persists between stages.
     probes = _ivf_assign(emb, Cq, nprobe=SEMANTIC_DEDUP_NPROBE, with_rank=True)
     cells = probes.filter(F.col("rank") == 0).select("vec_id", "cell")
-    embn = _with_norm(emb).join(probes.select("vec_id", "cell"), "vec_id")
+
+    # ENFORCED hot-cell cap (not just k-as-dial documentation): a cell
+    # whose probe population exceeds cap splits into ceil(pop/cap)
+    # salted sub-cells; pairing joins on the sub-cell, so no single
+    # key's pair count can exceed cap² regardless of assignment skew.
+    # The population table is O(cells) — broadcast. Salt is
+    # xxhash64(vec_id): deterministic, uniform, reproducible.
+    cap = max(64, (SEMANTIC_DEDUP_CELL_CAP_FACTOR * n * SEMANTIC_DEDUP_NPROBE) // max(n_cells, 1))
+    pop = probes.groupBy("cell").agg(F.count("*").alias("pop"))
+    salted = (
+        probes.join(F.broadcast(pop), "cell")
+        .withColumn(
+            "subcell",
+            F.concat_ws(
+                ":",
+                F.col("cell"),
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    F.ceil(F.col("pop") / F.lit(cap)).cast("long"),
+                ),
+            ),
+        )
+        .select("vec_id", "cell", "subcell")
+    )
+    embn = _with_norm(emb).join(salted.select("vec_id", "subcell"), "vec_id")
     a = embn.select(
-        F.col("cell"),
+        F.col("subcell"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = embn.select(
-        F.col("cell"),
+        F.col("subcell"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     dup_pairs = (
-        a.join(b, "cell")
+        a.join(b, "subcell")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(
@@ -1224,7 +1266,11 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact by construction on both operators (final fixed-point cosine).
 NEAR_DUP_AUDIT_SURE_COS = 0.60  # above this, every exact pair must be found
 NEAR_DUP_AUDIT_RECALL_FLOOR = 0.70  # aggregate recall floor at threshold
-SEMANTIC_AUDIT_RECALL_FLOOR = 0.30  # dropped / true-dup vecs, sf0.01 margin
+# dropped / true-dup vecs. Measured (r11, nprobe=3 + hot-cell cap):
+# 4/7 = 0.57 at sf0.001, 13/14 = 0.93 at sf0.01, 101/135 = 0.75 at
+# sf0.1 — floor set under the smallest-n measurement (deterministic,
+# no variance; the margin absorbs future testdata regeneration only).
+SEMANTIC_AUDIT_RECALL_FLOOR = 0.50
 
 
 def embedding_near_dup_recall_audit(
