@@ -1,0 +1,131 @@
+"""Deterministic 10x-scale fixture for the growth-curve harness.
+
+The committed growth exponents extrapolate 500 -> 5,000 rows (sf0.01
+-> sf0.1) — a thin base for 100 TB claims. This generator produces an
+"sf1-equivalent" documents/embeddings pair, one decade above sf0.1
+(50,000 docs / 20,000 embeddings), mirroring the driver testdata's
+statistical shape so the candidate-generation operators run unchanged:
+
+- documents: same 31-word vocabulary, 45-100 token lengths, same
+  lang/source columns; ~4% of docs are planted near-duplicates of an
+  earlier doc (3% token mutations — high shingle overlap, the
+  structure MinHash/SimHash/PPJoin candidates key on).
+- embeddings: unit-norm float32[64]; ~6% planted near-duplicates of
+  an earlier vector (small additive noise, renormalized — cosine
+  ~0.99 against the source, matching the testdata's dup family).
+
+Everything is seeded (RandomState(42)); the fixture is regenerated on
+demand (scripts/growth_curve.py calls ensure()) and ignored by git —
+~20 MB of parquet is derived state, not source. Do NOT use it for
+oracle grading: it extends the SCALING evidence, not correctness.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+OUT = ROOT / ".growth_fixture" / "sf1"
+N_DOCS = 50_000
+N_EMB = 20_000
+DIM = 64
+SEED = 42
+
+VOCAB = np.array([
+    "the", "line", "small", "group", "spark", "fast", "customer",
+    "batch", "data", "sort", "value", "hash", "filter", "big", "dup",
+    "column", "order", "a", "vector", "part", "scan", "slow", "agg",
+    "key", "window", "table", "merge", "join", "query", "row",
+    "stream",
+])
+LANGS = np.array(["en", "de", "fr", "es", "zh"])
+
+
+def _documents(rng: np.random.RandomState):
+    import pandas as pd
+
+    texts: list[str] = []
+    toks_of: list[np.ndarray] = []
+    for i in range(N_DOCS):
+        if i > 100 and rng.rand() < 0.04:
+            # near-dup: clone an earlier doc, mutate ~3% of tokens
+            src = toks_of[rng.randint(max(0, i - 2000), i)]
+            toks = src.copy()
+            n_mut = max(1, int(0.03 * len(toks)))
+            pos = rng.choice(len(toks), size=n_mut, replace=False)
+            toks[pos] = VOCAB[rng.randint(0, len(VOCAB), size=n_mut)]
+        else:
+            n = rng.randint(45, 101)
+            toks = VOCAB[rng.randint(0, len(VOCAB), size=n)]
+        toks_of.append(toks)
+        texts.append(" ".join(toks))
+    lang = LANGS[rng.randint(0, len(LANGS), size=N_DOCS)]
+    source = np.array([f"src{j}" for j in rng.randint(0, 20, size=N_DOCS)])
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(N_DOCS, dtype=np.int64),
+            "text": texts,
+            "lang": lang,
+            "source": source,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
+def _embeddings(rng: np.random.RandomState):
+    import pandas as pd
+
+    E = rng.randn(N_EMB, DIM)
+    dup_mask = (np.arange(N_EMB) > 100) & (rng.rand(N_EMB) < 0.06)
+    for i in np.flatnonzero(dup_mask):
+        j = rng.randint(max(0, i - 2000), i)
+        E[i] = E[j] + 0.05 * rng.randn(DIM)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(N_EMB, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in E],
+            "label": rng.randint(0, 10, size=N_EMB).astype(np.int32),
+        }
+    )
+
+
+def ensure() -> str:
+    """Generate the fixture if absent; return its directory path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done = OUT / "_GENERATED"
+    if done.is_file():
+        return str(OUT)
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.RandomState(SEED)
+    docs = _documents(rng)
+    emb = _embeddings(rng)
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        OUT / "documents.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            emb,
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        OUT / "embeddings.parquet",
+    )
+    done.write_text("seed=42 docs=50000 emb=20000\n")
+    return str(OUT)
+
+
+if __name__ == "__main__":
+    print(ensure())

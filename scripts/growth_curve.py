@@ -8,12 +8,16 @@ across scale factors and fits the growth exponent
 
     alpha = log(t_big / t_small) / log(n_big / n_small)
 
-on the sf0.01 -> sf0.1 segment — the only real scale step in the
-testdata (documents/embeddings are both 500 rows at sf0.001 AND
-sf0.01; sf0.1 has 5000 docs / 2000 embeddings). sf0.01 is run first
-untimed as warmup so the fixed job overhead doesn't inflate the small
-point. All-pairs work is alpha ~= 2; the gate is alpha < 1.5, matching
-the operators' advertised O(n·~const) / O(n^1.5) shapes.
+over TWO decades: sf0.01 -> sf0.1 (500 -> 5,000 docs / 2,000
+embeddings, driver testdata) and sf0.1 -> sf1-equivalent (50,000 docs
+/ 20,000 embeddings, the deterministic generated fixture —
+scripts/gen_growth_fixture.py). The second decade exists because a
+single 10x step is a thin extrapolation base for 100 TB claims; two
+consecutive exponents that agree are much harder to fake with fixed
+overheads. sf0.01 is run first untimed as warmup so fixed job overhead
+doesn't inflate the small point. All-pairs work is alpha ~= 2; the
+gate is alpha < 1.5 on EVERY segment, matching the operators'
+advertised O(n·~const) / O(n^1.5) shapes.
 
 Each operator also reports its OUTPUT row count per SF — deterministic
 corroborating evidence that candidate volume, not just time, grows
@@ -22,7 +26,7 @@ sub-quadratically.
 Writes GROWTH_CURVE.json (committed per round) and prints one line per
 operator. Exits non-zero if any exponent breaches the gate.
 
-Usage: python scripts/growth_curve.py   (~2-4 min, local[32])
+Usage: python scripts/growth_curve.py   (~5-10 min, local[32])
 """
 
 from __future__ import annotations
@@ -35,15 +39,14 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from gen_growth_fixture import ensure as ensure_fixture  # noqa: E402
 
 from data_ingestion_pipeline_spark.operators import dedup, similarity  # noqa: E402
 from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
 from data_ingestion_pipeline_spark.sources.tables import load_table  # noqa: E402
 
-SF_DIRS = [
-    "/root/testdata/sf0.01",
-    "/root/testdata/sf0.1",
-]
 ALPHA_GATE = 1.5
 
 # production candidate-generation paths (the bench_fn side — grading
@@ -54,60 +57,83 @@ OPS = {
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
     "jaccard_prefix_join": dedup.jaccard_prefix_join,
     "dup_clusters": dedup.dup_clusters,
+    "semantic_dedup": similarity.semantic_dedup,
 }
+EMB_OPS = {"embedding_near_dup_lsh", "semantic_dedup"}
 
 
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("growth-curve", cpus=cpus)
+    sf_dirs = [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        ensure_fixture(),  # sf1-equivalent, generated + gitignored
+    ]
 
     # rows per sf: documents for the text family, embeddings for LSH
-    doc_rows = {d: load_table(spark, d, "documents").count() for d in SF_DIRS}
-    emb_rows = {d: load_table(spark, d, "embeddings").count() for d in SF_DIRS}
-    rows_for = lambda name: emb_rows if name == "embedding_near_dup_lsh" else doc_rows  # noqa: E731
+    doc_rows = {d: load_table(spark, d, "documents").count() for d in sf_dirs}
+    emb_rows = {d: load_table(spark, d, "embeddings").count() for d in sf_dirs}
+    rows_for = lambda name: emb_rows if name in EMB_OPS else doc_rows  # noqa: E731
 
     # untimed warmup (JVM/codegen boot otherwise lands on the first op)
-    load_table(spark, SF_DIRS[0], "documents").count()
+    load_table(spark, sf_dirs[0], "documents").count()
 
     out, failed = {}, []
     for name, fn in OPS.items():
         # per-operator warmup at the small SF: codegen/compile cost
         # otherwise inflates the small point and with it the exponent
-        fn(spark, SF_DIRS[0]).count()
+        fn(spark, sf_dirs[0]).count()
         times, counts = [], []
-        for d in SF_DIRS:
+        for d in sf_dirs:
             t0 = time.perf_counter()
             n_out = fn(spark, d).count()
             times.append(round(time.perf_counter() - t0, 2))
             counts.append(n_out)
-        n = [rows_for(name)[d] for d in SF_DIRS]
-        alpha_time = math.log(times[1] / times[0]) / math.log(n[1] / n[0])
-        alpha_out = (
-            math.log(max(counts[1], 1) / max(counts[0], 1))
-            / math.log(n[1] / n[0])
-        )
+        n = [rows_for(name)[d] for d in sf_dirs]
+        alphas, alphas_out = [], []
+        for i in range(1, len(sf_dirs)):
+            alphas.append(
+                round(
+                    math.log(times[i] / times[i - 1])
+                    / math.log(n[i] / n[i - 1]),
+                    3,
+                )
+            )
+            alphas_out.append(
+                round(
+                    math.log(max(counts[i], 1) / max(counts[i - 1], 1))
+                    / math.log(n[i] / n[i - 1]),
+                    3,
+                )
+            )
+        ok = all(a < ALPHA_GATE for a in alphas)
         out[name] = {
             "rows": n,
             "sec": times,
             "out_rows": counts,
-            "alpha_time": round(alpha_time, 3),
-            "alpha_out": round(alpha_out, 3),
+            "alpha_time": alphas,
+            "alpha_out": alphas_out,
             "gate": ALPHA_GATE,
-            "ok": alpha_time < ALPHA_GATE,
+            "ok": ok,
         }
-        line = (
+        print(
             f"{name}: n={n} sec={times} out={counts} "
-            f"alpha_time={alpha_time:.3f} alpha_out={alpha_out:.3f} "
-            f"{'OK' if alpha_time < ALPHA_GATE else 'BREACH'}"
+            f"alpha_time={alphas} alpha_out={alphas_out} "
+            f"{'OK' if ok else 'BREACH'}",
+            flush=True,
         )
-        print(line, flush=True)
-        if alpha_time >= ALPHA_GATE:
+        if not ok:
             failed.append(name)
 
     root = pathlib.Path(__file__).resolve().parents[1]
     (root / "GROWTH_CURVE.json").write_text(
         json.dumps(
-            {"gate": ALPHA_GATE, "segment": "sf0.01->sf0.1", "ops": out},
+            {
+                "gate": ALPHA_GATE,
+                "segments": ["sf0.01->sf0.1", "sf0.1->sf1eq(generated)"],
+                "ops": out,
+            },
             indent=1,
         )
     )
@@ -115,7 +141,7 @@ def main() -> None:
     if failed:
         print(f"GROWTH GATE BREACH: {failed}")
         sys.exit(1)
-    print("all operators sub-quadratic (alpha < 1.5)")
+    print("all operators sub-quadratic (alpha < 1.5) on every segment")
 
 
 if __name__ == "__main__":
