@@ -796,6 +796,33 @@ SEMANTIC_DEDUP_NPROBE = 3  # probed cells per vector for pairing (recall dial)
 # audit's recall floor still gates the result; an even split of an
 # over-dense cell loses few true dups because near-dups concentrate).
 SEMANTIC_DEDUP_CELL_CAP_FACTOR = 8
+
+
+def _salted_subcells(probes: DataFrame, cap: int) -> DataFrame:
+    """(vec_id, cell, subcell): cells at or under `cap` probe rows
+    keep one sub-cell ("cell:0" — behavior identical to the unsalted
+    join); hotter cells split into ceil(pop/cap) sub-cells by
+    xxhash64(vec_id) — deterministic, uniform, reproducible. The
+    population table is O(cells) and broadcast; the split bounds any
+    single join key's pair count at ~cap² regardless of assignment
+    skew (tests/test_similarity.py pins the bound under a degenerate
+    all-one-cell assignment)."""
+    pop = probes.groupBy("cell").agg(F.count("*").alias("pop"))
+    return (
+        probes.join(F.broadcast(pop), "cell")
+        .withColumn(
+            "subcell",
+            F.concat_ws(
+                ":",
+                F.col("cell"),
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    F.ceil(F.col("pop") / F.lit(cap)).cast("long"),
+                ),
+            ),
+        )
+        .select("vec_id", "cell", "subcell")
+    )
 SEMANTIC_DUP_COSINE = 0.45  # dup threshold; matches NEAR_DUP_COSINE's
 # aggressive setting for the synthetic corpus (realistic deployments
 # use 0.9+; the threshold is a parameter, not a design constant)
@@ -861,26 +888,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ENFORCED hot-cell cap (not just k-as-dial documentation): a cell
     # whose probe population exceeds cap splits into ceil(pop/cap)
     # salted sub-cells; pairing joins on the sub-cell, so no single
-    # key's pair count can exceed cap² regardless of assignment skew.
-    # The population table is O(cells) — broadcast. Salt is
-    # xxhash64(vec_id): deterministic, uniform, reproducible.
-    cap = max(64, (SEMANTIC_DEDUP_CELL_CAP_FACTOR * n * SEMANTIC_DEDUP_NPROBE) // max(n_cells, 1))
-    pop = probes.groupBy("cell").agg(F.count("*").alias("pop"))
-    salted = (
-        probes.join(F.broadcast(pop), "cell")
-        .withColumn(
-            "subcell",
-            F.concat_ws(
-                ":",
-                F.col("cell"),
-                F.pmod(
-                    F.xxhash64("vec_id"),
-                    F.ceil(F.col("pop") / F.lit(cap)).cast("long"),
-                ),
-            ),
-        )
-        .select("vec_id", "cell", "subcell")
+    # key's pair count can exceed ~cap² regardless of assignment skew.
+    cap = max(
+        64,
+        (SEMANTIC_DEDUP_CELL_CAP_FACTOR * n * SEMANTIC_DEDUP_NPROBE)
+        // max(n_cells, 1),
     )
+    salted = _salted_subcells(probes, cap)
     embn = _with_norm(emb).join(salted.select("vec_id", "subcell"), "vec_id")
     a = embn.select(
         F.col("subcell"),

@@ -148,6 +148,39 @@ def test_ann_ivf_queries_only_slice(spark, tmp_path):
     assert similarity.ann_ivf_topk(spark, sf).count() == 0
 
 
+def test_semantic_dedup_hot_cell_cap_bounds_join_keys(spark):
+    """The enforced skew guard: under a DEGENERATE assignment (every
+    vector probing the same cell — the SimHash 17%-bucket incident
+    class), _salted_subcells must split the hot cell so no join key
+    holds more than ~cap rows (binomial slack allowed), while cells at
+    or under the cap keep the unsalted single sub-cell — behavior
+    identical to the pre-cap join."""
+    from data_ingestion_pipeline_spark.operators.similarity import (
+        _salted_subcells,
+    )
+
+    # 2000 probe rows all in cell 0 (hot), 50 rows in cell 1 (cool)
+    rows = [(i, 0) for i in range(2000)] + [(10_000 + i, 1) for i in range(50)]
+    probes = spark.createDataFrame(rows, "vec_id bigint, cell int")
+    out = _salted_subcells(probes, cap=100).collect()
+
+    hot = [r for r in out if r.cell == 0]
+    cool = [r for r in out if r.cell == 1]
+    assert {r.subcell for r in cool} == {"1:0"}  # under cap: unsalted
+
+    from collections import Counter
+
+    sizes = Counter(r.subcell for r in hot)
+    assert len(sizes) == 20  # ceil(2000/100) sub-cells
+    assert max(sizes.values()) <= 2 * 100  # bounded, with binomial slack
+    # deterministic: same input -> same salt assignment
+    again = Counter(
+        r.subcell for r in _salted_subcells(probes, cap=100).collect()
+        if r.cell == 0
+    )
+    assert again == sizes
+
+
 def test_semantic_dedup_verdicts_and_determinism(spark):
     """SemDeDup ground truth (multi-probe contract): every vector gets
     a verdict; dup_of pairs genuinely clear the cosine threshold AND
