@@ -8,11 +8,19 @@ statistical shape so the candidate-generation operators run unchanged:
 
 - documents: same 31-word vocabulary, 45-100 token lengths, same
   lang/source columns; ~4% of docs are planted near-duplicates of an
-  earlier doc (3% token mutations — high shingle overlap, the
-  structure MinHash/SimHash/PPJoin candidates key on).
+  earlier ORIGINAL doc (3% token mutations — high shingle overlap,
+  the structure MinHash/SimHash/PPJoin candidates key on).
 - embeddings: unit-norm float32[64]; ~6% planted near-duplicates of
-  an earlier vector (small additive noise, renormalized — cosine
-  ~0.99 against the source, matching the testdata's dup family).
+  an earlier ORIGINAL vector (small additive noise, renormalized —
+  cosine ~0.99 against the source, matching the testdata's dup
+  family).
+
+Duplicate family sizes are CAPPED at 3 (each original takes at most 2
+copies, copies never copy copies): without the cap, dup-of-dup chains
+compound into large mutually-similar families whose TRUE pair count —
+the exact output any correct near-dup operator must emit — grows
+quadratically, and the growth gate would then measure the data's pair
+density, not the operator's join strategy.
 
 Everything is seeded (RandomState(42)); the fixture is regenerated on
 demand (scripts/growth_curve.py calls ensure()) and ignored by git —
@@ -49,17 +57,21 @@ def _documents(rng: np.random.RandomState):
 
     texts: list[str] = []
     toks_of: list[np.ndarray] = []
+    originals: list[int] = []
+    copies = np.zeros(N_DOCS, dtype=np.int32)
     for i in range(N_DOCS):
-        if i > 100 and rng.rand() < 0.04:
-            # near-dup: clone an earlier doc, mutate ~3% of tokens
-            src = toks_of[rng.randint(max(0, i - 2000), i)]
-            toks = src.copy()
+        j = originals[rng.randint(0, len(originals))] if originals else -1
+        if i > 100 and rng.rand() < 0.04 and j >= 0 and copies[j] < 2:
+            # near-dup: clone an earlier ORIGINAL, mutate ~3% of tokens
+            copies[j] += 1
+            toks = toks_of[j].copy()
             n_mut = max(1, int(0.03 * len(toks)))
             pos = rng.choice(len(toks), size=n_mut, replace=False)
             toks[pos] = VOCAB[rng.randint(0, len(VOCAB), size=n_mut)]
         else:
             n = rng.randint(45, 101)
             toks = VOCAB[rng.randint(0, len(VOCAB), size=n)]
+            originals.append(i)
         toks_of.append(toks)
         texts.append(" ".join(toks))
     lang = LANGS[rng.randint(0, len(LANGS), size=N_DOCS)]
@@ -80,8 +92,12 @@ def _embeddings(rng: np.random.RandomState):
 
     E = rng.randn(N_EMB, DIM)
     dup_mask = (np.arange(N_EMB) > 100) & (rng.rand(N_EMB) < 0.06)
+    copies = np.zeros(N_EMB, dtype=np.int32)
     for i in np.flatnonzero(dup_mask):
-        j = rng.randint(max(0, i - 2000), i)
+        j = rng.randint(0, i)
+        if dup_mask[j] or copies[j] >= 2:
+            continue  # copies never copy copies; family size ≤ 3
+        copies[j] += 1
         E[i] = E[j] + 0.05 * rng.randn(DIM)
     E /= np.linalg.norm(E, axis=1, keepdims=True)
     return pd.DataFrame(

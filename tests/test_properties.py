@@ -195,3 +195,69 @@ def test_stats_skipping_no_false_negatives_temporal(values, bounds):
 )
 def test_stats_skipping_no_false_negatives_strings(values, bounds):
     _no_false_negative(values, bounds)
+
+
+# ---- manifest delta-log: encode/resolve round-trip ------------------
+# _publish_manifest needs no SparkSession: the delta-vs-checkpoint
+# choice and the chain resolution are pure JSON-on-filesystem logic,
+# so hypothesis can drive hundreds of commit histories through it.
+
+_fname = st.integers(min_value=0, max_value=200).map(
+    lambda i: f"data/f{i:03d}.parquet"
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sets(_fname, max_size=12),   # files added this commit
+            st.sets(_fname, max_size=12),   # files dropped this commit
+            st.booleans(),                  # partitioned table?
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_manifest_encode_resolve_roundtrip(tmp_path_factory, steps):
+    """For ANY commit history (adds, drops, partitioned or not, across
+    checkpoint boundaries), resolving version v must reproduce exactly
+    the file set and partition tags the writer intended at v — the
+    invariant that makes the on-disk delta encoding invisible to every
+    reader."""
+    import json
+    import os
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    path = str(tmp_path_factory.mktemp("mt"))
+    cur: set[str] = set()
+    partitioned = steps[0][2]
+    intents = []
+    for i, (add, drop, _) in enumerate(steps, start=1):
+        cur = (cur - drop) | add
+        m = {
+            "version": i,
+            "files": sorted(cur),
+            "schema": '{"type":"struct","fields":[]}',
+            "committed_at": float(i),
+            "meta": {"i": i},
+        }
+        if partitioned:
+            m["partitions"] = {f: f[5:9] for f in sorted(cur)}
+        intents.append(m)
+        V._publish_manifest(path, i, dict(m), None)
+
+    assert V.current_version(path) == len(steps)
+    for i, intent in enumerate(intents, start=1):
+        got = V._manifest(path, i)
+        assert got["files"] == intent["files"], i
+        assert got.get("partitions") == intent.get("partitions"), i
+        assert got["meta"] == {"i": i}
+    # checkpoint cadence holds on disk: v1 and multiples of
+    # CHECKPOINT_EVERY are full; other versions are deltas unless the
+    # encoder chose full because the delta wasn't smaller
+    for i in range(1, len(steps) + 1):
+        raw = json.loads(open(os.path.join(path, f"manifest_v{i}.json")).read())
+        if i == 1 or i % V.CHECKPOINT_EVERY == 0:
+            assert "files" in raw, i
