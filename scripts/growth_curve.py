@@ -20,8 +20,14 @@ gate is alpha < 1.5 on EVERY segment, matching the operators'
 advertised O(n·~const) / O(n^1.5) shapes.
 
 Each operator also reports its OUTPUT row count per SF — deterministic
-corroborating evidence that candidate volume, not just time, grows
-sub-quadratically.
+corroborating evidence for candidate volume. Caveat on reading
+alpha_out for the exact-output operators (embedding_near_dup_lsh,
+simhash_candidates): at a FIXED similarity threshold over near-random
+vectors/short-vocab docs, the TRUE pair count itself grows ~n² (random
+background pairs cross the threshold at a constant per-pair rate), so
+any CORRECT operator's output is quadratic there — which is why the
+gate is on alpha_TIME: the join strategy's cost must stay sub-
+quadratic even when the data's answer volume doesn't.
 
 Writes GROWTH_CURVE.json (committed per round) and prints one line per
 operator. Exits non-zero if any exponent breaches the gate.
