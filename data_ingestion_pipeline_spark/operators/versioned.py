@@ -398,7 +398,8 @@ def _atomic_json(file_path: str, obj: dict) -> None:
 def _index_shards(n_files: int) -> int:
     """Sidecar write parallelism: one shard per ~64 Ki indexed files
     (a shard row is ≤ ~8 KiB, so shards stay well under task-output
-    limits at any table size)."""
+    limits at any table size). Applied with coalesce — a merge of the
+    upstream tasks, never a shuffle."""
     import math as _math
 
     return max(1, _math.ceil(n_files / 65536))
@@ -470,7 +471,7 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
             .groupBy("file")
             .agg(F.collect_set("bit").alias("bits"))
             .mapInPandas(pack, "file string, bitmap binary")
-            .repartition(_index_shards(len(m["files"])))
+            .coalesce(_index_shards(len(m["files"])))
             .write.mode("overwrite")
             .parquet(sidecar_dir)
         )
@@ -713,7 +714,7 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
             spark.createDataFrame([(rel,) for rel in m["files"]], "file string")
             .repartition(min(len(m["files"]), 32))
             .mapInPandas(harvest, _STATS_SIDECAR_SCHEMA)
-            .repartition(_index_shards(len(m["files"])))
+            .coalesce(_index_shards(len(m["files"])))
             .write.mode("overwrite")
             .parquet(sidecar_dir)
         )
