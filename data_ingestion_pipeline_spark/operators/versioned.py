@@ -63,6 +63,16 @@ POINTER = "_CURRENT"
 # the chain.
 CHECKPOINT_EVERY = 10
 
+# Checkpoints of tables past this file count externalize their file
+# list to a PARQUET sidecar (`_manifest_files/v{N}-….parquet`, columns
+# file[, partition]) and the JSON keeps only a pointer — Delta's
+# parquet-checkpoint move. A 10⁶-file list is ~100 MB of JSON but
+# ~10 MB of parquet, and every reader needs the list anyway (it IS the
+# scan plan), so the sidecar read replaces the JSON parse one-for-one.
+# Below the threshold the inline JSON form wins (no extra file, no
+# second read).
+FILES_REF_MIN = 20_000
+
 
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, f"manifest_v{version}.json")
@@ -71,18 +81,62 @@ def _manifest_path(path: str, version: int) -> str:
 _DELTA_KEYS = ("base", "add", "remove", "partitions_add")
 
 
+def _inflate_files_ref(path: str, m: dict) -> dict:
+    """Materialize a parquet-checkpoint manifest into the standard
+    inline shape (files [+ partitions] lists present, pointer keys
+    gone)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(path, m["files_ref"]))
+    out = {k: v for k, v in m.items() if k != "files_ref"}
+    files = t.column("file").to_pylist()
+    out["files"] = files  # written sorted
+    if "partition" in t.column_names:
+        out["partitions"] = dict(zip(files, t.column("partition").to_pylist()))
+    return out
+
+
+def _checkpoint_form(path: str, manifest: dict) -> dict:
+    """The on-disk form for a CHECKPOINT manifest: inline JSON below
+    FILES_REF_MIN files, parquet files_ref sidecar above it. Sidecar
+    first, pointer after — a crash between the two leaves an orphan
+    parquet (vacuum-reclaimable), never a dangling pointer."""
+    files = manifest["files"]
+    if len(files) < FILES_REF_MIN:
+        return manifest
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    rel = os.path.join(
+        "_manifest_files",
+        f"v{manifest['version']}-{uuid.uuid4().hex[:8]}.parquet",
+    )
+    os.makedirs(os.path.join(path, "_manifest_files"), exist_ok=True)
+    cols = {"file": sorted(files)}
+    if "partitions" in manifest:
+        cols["partition"] = [manifest["partitions"].get(f) for f in cols["file"]]
+    _pq.write_table(_pa.table(cols), os.path.join(path, rel))
+    out = {
+        k: v for k, v in manifest.items() if k not in ("files", "partitions")
+    }
+    out["files_ref"] = rel
+    return out
+
+
 def _resolve_chain(path: str, version: int) -> tuple[dict, list[int]]:
     """(materialized manifest, versions visited). Walks delta bases
-    back to the nearest checkpoint, then replays adds/removes forward.
-    The returned dict always carries a full 'files' list (and
-    'partitions' when the table is partitioned) with the delta
-    bookkeeping keys stripped — every reader sees the same shape a
-    checkpoint has."""
+    back to the nearest checkpoint (inflating parquet-checkpoint
+    pointers), then replays adds/removes forward. The returned dict
+    always carries a full 'files' list (and 'partitions' when the
+    table is partitioned) with the delta bookkeeping keys stripped —
+    every reader sees the same shape an inline checkpoint has."""
     chain: list[dict] = []
     v = version
     while True:
         with open(_manifest_path(path, v)) as fh:
             m = json.load(fh)
+        if "files_ref" in m:
+            m = _inflate_files_ref(path, m)
         chain.append(m)
         if "files" in m:
             break
@@ -117,17 +171,17 @@ def _encode_manifest(path: str, manifest: dict) -> dict:
     a writer's carried-tag discipline."""
     v = manifest["version"]
     if v <= 1 or v % CHECKPOINT_EVERY == 0:
-        return manifest
+        return _checkpoint_form(path, manifest)
     try:
         prev, _ = _resolve_chain(path, v - 1)
     except FileNotFoundError:
-        return manifest
+        return _checkpoint_form(path, manifest)
     prev_files = set(prev["files"])
     new_files = set(manifest["files"])
     add = sorted(new_files - prev_files)
     remove = sorted(prev_files - new_files)
     if len(add) + len(remove) >= len(manifest["files"]):
-        return manifest
+        return _checkpoint_form(path, manifest)
     delta = {k: val for k, val in manifest.items() if k not in ("files", "partitions")}
     delta.update(base=v - 1, add=add, remove=remove)
     if "partitions" in manifest:
@@ -139,10 +193,10 @@ def _encode_manifest(path: str, manifest: dict) -> dict:
             replay.pop(f, None)
         replay.update(delta["partitions_add"])
         if replay != manifest["partitions"]:
-            return manifest
+            return _checkpoint_form(path, manifest)
     elif "partitions" in prev:
         # partitioned → unpartitioned shape change: checkpoint
-        return manifest
+        return _checkpoint_form(path, manifest)
     return delta
 
 
@@ -932,8 +986,9 @@ def vacuum(path: str, keep_from: int) -> list[str]:
     for v in sorted(keep_versions):
         full, chain = _resolve_chain(path, v)
         if any(c in drop_versions for c in chain):
+            enc = _checkpoint_form(path, full)
             with open(_manifest_path(path, v), "w") as fh:
-                json.dump(full, fh)
+                json.dump(enc, fh)
     for v in sorted(drop_versions):
         os.remove(_manifest_path(path, v))
         removed.append(_manifest_path(path, v))
@@ -983,6 +1038,22 @@ def vacuum(path: str, keep_from: int) -> list[str]:
                 if rel not in active:
                     _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
                     removed.append(os.path.join(path, rel))
+    # parquet-checkpoint sidecars: keep exactly those a retained
+    # manifest still points at (rebuilds/purge repoints orphan the
+    # previous sidecar; removed manifests orphan theirs)
+    mf_root = os.path.join(path, "_manifest_files")
+    if os.path.isdir(mf_root):
+        live_refs = set()
+        for v in keep_versions:
+            with open(_manifest_path(path, v)) as fh:
+                ref = json.load(fh).get("files_ref")
+            if ref:
+                live_refs.add(os.path.normpath(ref))
+        for fn in sorted(os.listdir(mf_root)):
+            rel = os.path.normpath(os.path.join("_manifest_files", fn))
+            if rel not in live_refs:
+                os.remove(os.path.join(path, rel))
+                removed.append(os.path.join(path, rel))
     return removed
 
 
@@ -1721,10 +1792,11 @@ def purge_rows(
         if os.path.isfile(mp):
             with open(mp) as fh:
                 raw = json.load(fh)
-            if "files" not in raw:
+            if "files" not in raw and "files_ref" not in raw:
                 full = _manifest(path, v)  # resolve BEFORE truncating
+                enc = _checkpoint_form(path, full)
                 with open(mp, "w") as fh:
-                    json.dump(full, fh)
+                    json.dump(enc, fh)
 
     # repoint every retained manifest, preserving partition tags
     for v in range(1, cur + 1):
@@ -1747,8 +1819,9 @@ def purge_rows(
         m["files"] = sorted(files)
         if "partitions" in m:
             m["partitions"] = parts_map
+        enc = _checkpoint_form(path, m)
         with open(mp, "w") as fh:
-            json.dump(m, fh)
+            json.dump(enc, fh)
     return rewritten
 
 

@@ -138,6 +138,71 @@ def test_manifest_deltas_checkpoints_and_commit_cost_at_1e4_files(
     assert chain == [9, 8, 7, 6, 5, 4, 3, 2, 1]
 
 
+def test_parquet_checkpoint_externalizes_large_file_lists(
+    spark, tmp_path, monkeypatch
+):
+    """Above FILES_REF_MIN files, a checkpoint's file list moves to a
+    parquet sidecar (_manifest_files/) and the JSON keeps a pointer —
+    Delta's parquet-checkpoint shape. Resolution is identical to the
+    inline form, deltas stack on top unchanged, and vacuum reclaims
+    exactly the sidecars no retained manifest references."""
+    import glob
+    import json as _json
+
+    monkeypatch.setattr(versioned, "FILES_REF_MIN", 100)
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+
+    n = 10_000
+    files1 = sorted(f"data/v1/part-{i:05d}.parquet" for i in range(n))
+    m1 = {
+        "version": 1,
+        "files": files1,
+        "partitions": {f: f[13:15] for f in files1},
+        "schema": spark.createDataFrame([], "k int").schema.json(),
+        "committed_at": 0.0,
+        "meta": {},
+    }
+    versioned._publish_manifest(path, 1, dict(m1), None)
+    raw1 = _json.loads(open(os.path.join(path, "manifest_v1.json")).read())
+    assert "files" not in raw1 and raw1["files_ref"].startswith(
+        "_manifest_files"
+    )
+    assert os.path.getsize(os.path.join(path, "manifest_v1.json")) < 1024
+    sidecars = glob.glob(os.path.join(path, "_manifest_files", "*.parquet"))
+    assert len(sidecars) == 1
+
+    got1 = versioned._manifest(path, 1)
+    assert got1["files"] == files1
+    assert got1["partitions"] == m1["partitions"]
+
+    # a delta on top of the parquet checkpoint resolves through it
+    files2 = sorted(files1[2:] + ["data/v2/a.parquet"])
+    m2 = dict(m1, version=2, files=files2,
+              partitions={f: f[13:15] for f in files2}, committed_at=1.0)
+    versioned._publish_manifest(path, 2, dict(m2), None)
+    raw2 = _json.loads(open(os.path.join(path, "manifest_v2.json")).read())
+    assert raw2.get("base") == 1  # delta, not another checkpoint
+    got2 = versioned._manifest(path, 2)
+    assert got2["files"] == files2
+    assert got2["partitions"] == m2["partitions"]
+
+    # vacuum past v1: v2's chain crossed it, so v2 materializes (as a
+    # parquet checkpoint again at this size) and v1's sidecar is
+    # reclaimed while v2's stays
+    removed = versioned.vacuum(path, keep_from=2)
+    assert versioned._manifest(path, 2)["files"] == files2
+    live = _json.loads(
+        open(os.path.join(path, "manifest_v2.json")).read()
+    )["files_ref"]
+    left = {
+        os.path.relpath(p_, path)
+        for p_ in glob.glob(os.path.join(path, "_manifest_files", "*.parquet"))
+    }
+    assert left == {os.path.normpath(live)}
+    assert any("_manifest_files" in r for r in removed)
+
+
 def test_manifest_deltas_compose_with_vacuum_and_time_travel(
     spark, tmp_path
 ):
