@@ -238,16 +238,7 @@ def commit_version(
     of protocol. `meta` rides along in the manifest (e.g. the
     streaming sink's batch id — see stream lifecycle below).
     """
-    def check() -> None:
-        # re-checked before every shared-name write, not just the
-        # swap: a losing writer must never clobber the winner's
-        # manifest file for the contested version number
-        if expected_current is not None and current_version(path) != expected_current:
-            raise ConcurrentCommitError(
-                f"expected v{expected_current}, found v{current_version(path)}"
-            )
-
-    check()
+    _occ_check(path, expected_current)
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -532,6 +523,7 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     index = {
         "key_col": key_col,
         "version": m["version"],
+        "format": BLOOM_FORMAT,
         "bits": BLOOM_BITS,
         "hashes": BLOOM_HASHES,
         "sidecar": sidecar_rel,
@@ -577,6 +569,14 @@ def bloom_candidate_files(
         raise StaleBloomIndexError(
             f"bloom index on {key_col!r} built at v{index['version']}, "
             f"table is at v{cur}; rebuild with build_bloom_index"
+        )
+    if index.get("format") != BLOOM_FORMAT or "sidecar" not in index:
+        # e.g. a pre-sidecar pointer carrying inline payloads: treat a
+        # layout mismatch as stale, never KeyError past the rebuild
+        raise StaleBloomIndexError(
+            f"bloom index on {key_col!r} uses layout format "
+            f"{index.get('format')}, engine is at {BLOOM_FORMAT}; "
+            "rebuild with build_bloom_index"
         )
     pos = [_bloom_positions(v) for v in values]
 
@@ -639,7 +639,15 @@ class StaleStatsIndexError(RuntimeError):
     or under a superseded encoding format."""
 
 
-STATS_FORMAT = 2  # bump with _stats_encode's canonical forms
+# Bump with _stats_encode's canonical forms OR the sidecar layout
+# (v2 = dates as midnight ISO datetimes; v3 = parquet sidecar with
+# exact-string values replacing the inline-JSON payload).
+STATS_FORMAT = 3
+# The bloom pointer's layout stamp (v2 = parquet bitmap sidecar
+# replacing inline base64 payloads). A pre-sidecar pointer (no stamp,
+# no "sidecar" key) must read as STALE — the probe rebuilds instead of
+# crashing on the missing key.
+BLOOM_FORMAT = 2
 
 
 def _stats_encode(v):
@@ -698,10 +706,24 @@ def _footer_minmax(abs_file: str, col: str):
     return lo, hi, ok
 
 
+# Values ride as EXACT strings: "num" kinds as repr(int)/repr(float)
+# (parsed back by _stats_decode_num — a double column would round
+# bigints above 2^53 and could prune a file that contains the probed
+# value, the false negative the contract forbids), "ts"/"str" kinds as
+# the canonical _stats_encode strings compared lexicographically.
 _STATS_SIDECAR_SCHEMA = (
     "file string, has_stats boolean, kind string, "
-    "min_num double, min_str string, max_num double, max_str string"
+    "min_val string, max_val string"
 )
+
+
+def _stats_decode_num(s: str):
+    """Exact inverse of repr() for the "num" kind: int when integral
+    (arbitrary precision), float otherwise (inf/nan included)."""
+    try:
+        return int(s)
+    except ValueError:
+        return float(s)
 
 
 def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
@@ -733,10 +755,7 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
         "_index", f"stats_{col}", f"v{m['version']}-{uuid.uuid4().hex[:8]}"
     )
     sidecar_dir = os.path.join(abs_root, sidecar_rel)
-    cols = [
-        "file", "has_stats", "kind",
-        "min_num", "min_str", "max_num", "max_str",
-    ]
+    cols = ["file", "has_stats", "kind", "min_val", "max_val"]
 
     def harvest(batches):
         for pdf in batches:
@@ -749,13 +768,11 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
                     num = klo == "num"
                     recs.append((
                         rel, True, klo,
-                        float(vlo) if num else None,
-                        None if num else str(vlo),
-                        float(vhi) if num else None,
-                        None if num else str(vhi),
+                        repr(vlo) if num else str(vlo),
+                        repr(vhi) if num else str(vhi),
                     ))
                 else:
-                    recs.append((rel, False, None, None, None, None, None))
+                    recs.append((rel, False, None, None, None))
             if recs:
                 yield pd.DataFrame(recs, columns=cols)
 
@@ -815,7 +832,7 @@ def stats_candidate_files(
             f"stats index on {col!r} built at v{index['version']}, "
             f"table is at v{cur}; rebuild with build_column_stats"
         )
-    if index.get("format") != STATS_FORMAT:
+    if index.get("format") != STATS_FORMAT or "sidecar" not in index:
         raise StaleStatsIndexError(
             f"stats index on {col!r} uses encoding format "
             f"{index.get('format')}, engine is at {STATS_FORMAT}; "
@@ -828,8 +845,11 @@ def stats_candidate_files(
             for r in pdf.itertuples(index=False):
                 mm = None
                 if r.has_stats:
-                    vmin = r.min_num if r.kind == "num" else r.min_str
-                    vmax = r.max_num if r.kind == "num" else r.max_str
+                    if r.kind == "num":
+                        vmin = _stats_decode_num(r.min_val)
+                        vmax = _stats_decode_num(r.max_val)
+                    else:
+                        vmin, vmax = r.min_val, r.max_val
                     mm = [[r.kind, vmin], [r.kind, vmax]]
                 keep.append(_stats_overlaps(mm, lo, hi))
             out = pdf.loc[keep, ["file"]]
@@ -960,7 +980,14 @@ def vacuum(path: str, keep_from: int) -> list[str]:
     Do not run concurrently with an in-flight commit: its data files
     are unreferenced until the pointer swap and would be reclaimed
     (the table formats gate this with a file-age retention window;
-    the same `mtime > N hours` guard drops in here unchanged).
+    the same `mtime > N hours` guard drops in here unchanged). The
+    same window guards the one reader race deltas introduce: a reader
+    that resolved a retained delta's base chain just as vacuum drops
+    those base manifests sees FileNotFoundError mid-resolve — the
+    materialize-then-remove order below closes it for every read that
+    STARTS after vacuum begins, and the retention window covers reads
+    already in flight. Manifest rewrites here are atomic
+    (write-tmp-then-rename), so no reader can observe a torn file.
     """
     try:
         with open(os.path.join(path, "_TAGS.json")) as fh:
@@ -983,12 +1010,22 @@ def vacuum(path: str, keep_from: int) -> list[str]:
     # to-be-removed version would become unresolvable: materialize it
     # to checkpoint form first (only the retained versions nearest the
     # horizon ever need this — chains are ≤ CHECKPOINT_EVERY long).
+    # Self-contained manifests ("files" inline or a files_ref pointer)
+    # are skipped by a raw peek — no chain walk, no sidecar inflation —
+    # and the resolutions done here are cached for the referenced-file
+    # sweep below so no version resolves twice. Rewrites go through
+    # write-tmp-then-rename: a concurrent reader can never see a torn
+    # manifest.
+    resolved: dict[int, dict] = {}
     for v in sorted(keep_versions):
+        with open(_manifest_path(path, v)) as fh:
+            raw = json.load(fh)
+        if "files" in raw or "files_ref" in raw:
+            continue  # self-contained; inflate lazily below if needed
         full, chain = _resolve_chain(path, v)
+        resolved[v] = full
         if any(c in drop_versions for c in chain):
-            enc = _checkpoint_form(path, full)
-            with open(_manifest_path(path, v), "w") as fh:
-                json.dump(enc, fh)
+            _atomic_json(_manifest_path(path, v), _checkpoint_form(path, full))
     for v in sorted(drop_versions):
         os.remove(_manifest_path(path, v))
         removed.append(_manifest_path(path, v))
@@ -1004,7 +1041,8 @@ def vacuum(path: str, keep_from: int) -> list[str]:
 
     referenced = set()
     for v in keep_versions:
-        referenced.update(_manifest(path, v)["files"])
+        m = resolved.get(v) or _manifest(path, v)
+        referenced.update(m["files"])
     data_root = os.path.join(path, "data")
     for rel in _walk_rel_parquet(data_root, path) if os.path.isdir(data_root) else []:
         if rel not in referenced:
@@ -1149,17 +1187,11 @@ def commit_version_clustered(
     cluster column (e.g. an ANN index's cell id) instead of the
     derived day column: data lands partitionBy(partition_col) in a
     fresh immutable data/v{N} directory, every file is tagged with its
-    partition value in the manifest, and the same check()-guarded
+    partition value in the manifest, and the same OCC-guarded
     atomic pointer swap publishes it. read_version_pruned then serves
     metadata-pruned partition reads against it unchanged."""
 
-    def check() -> None:
-        if expected_current is not None and current_version(path) != expected_current:
-            raise ConcurrentCommitError(
-                f"expected v{expected_current}, found v{current_version(path)}"
-            )
-
-    check()
+    _occ_check(path, expected_current)
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
     df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
@@ -1193,17 +1225,11 @@ def commit_version_partitioned(
     rewritten or copied) plus the new version's files, each tagged
     with its partition. Data files stay immutable; only the manifest
     knows which version contributed which partition — exactly how
-    Iceberg manifests span snapshots. Same check()-guarded atomic
+    Iceberg manifests span snapshots. Same OCC-guarded atomic
     publish as commit_version."""
     from data_ingestion_pipeline_spark.operators.upsert import with_partition_col
 
-    def check() -> None:
-        if expected_current is not None and current_version(path) != expected_current:
-            raise ConcurrentCommitError(
-                f"expected v{expected_current}, found v{current_version(path)}"
-            )
-
-    check()
+    _occ_check(path, expected_current)
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
     with_partition_col(df, ts_col).write.partitionBy(PART_COL).mode(
@@ -1245,13 +1271,7 @@ def append_version_clustered(
     the new commit's keys (so a model artifact riding in meta — the
     IVF-PQ index's centroids/codebooks — survives appends)."""
 
-    def check() -> None:
-        if expected_current is not None and current_version(path) != expected_current:
-            raise ConcurrentCommitError(
-                f"expected v{expected_current}, found v{current_version(path)}"
-            )
-
-    check()
+    _occ_check(path, expected_current)
     prior = _manifest(path) if current_version(path) > 0 else {"files": [], "partitions": {}}
     v = prior.get("version", 0) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
@@ -1793,10 +1813,8 @@ def purge_rows(
             with open(mp) as fh:
                 raw = json.load(fh)
             if "files" not in raw and "files_ref" not in raw:
-                full = _manifest(path, v)  # resolve BEFORE truncating
-                enc = _checkpoint_form(path, full)
-                with open(mp, "w") as fh:
-                    json.dump(enc, fh)
+                full = _manifest(path, v)
+                _atomic_json(mp, _checkpoint_form(path, full))
 
     # repoint every retained manifest, preserving partition tags
     for v in range(1, cur + 1):
@@ -1819,9 +1837,7 @@ def purge_rows(
         m["files"] = sorted(files)
         if "partitions" in m:
             m["partitions"] = parts_map
-        enc = _checkpoint_form(path, m)
-        with open(mp, "w") as fh:
-            json.dump(enc, fh)
+        _atomic_json(mp, _checkpoint_form(path, m))
     return rewritten
 
 

@@ -138,6 +138,56 @@ def test_manifest_deltas_checkpoints_and_commit_cost_at_1e4_files(
     assert chain == [9, 8, 7, 6, 5, 4, 3, 2, 1]
 
 
+def test_stats_index_exact_above_2_53_and_stale_old_pointers(
+    spark, tmp_path
+):
+    """(a) Precision: a bigint column holding values above 2^53 must
+    never be pruned by float rounding — the sidecar stores exact
+    string reprs (a double column would collapse 2^53+1 onto 2^53 and
+    silently drop the file). (b) Upgrade path: a pre-sidecar pointer
+    JSON (inline payloads, no 'sidecar' key) must read as STALE so
+    lookups rebuild instead of KeyError-ing."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    big = 2**53  # float64 rounds big+1 down onto this
+    df = spark.createDataFrame(
+        [(big - 5,), (big + 1,), (big + 7,)], "k bigint"
+    )
+    versioned.commit_version(spark, path, df.repartition(1))
+    versioned.build_column_stats(spark, path, "k")
+    got = versioned.stats_lookup(spark, path, "k", big + 1, big + 1)
+    assert [r.k for r in got.collect()] == [big + 1]
+    # the metadata probe agrees (file not pruned)
+    assert versioned.stats_candidate_files(spark, path, "k", big + 1, big + 1)
+
+    # (b) simulate an r10-era pointer: payload inline, no sidecar key
+    sp = os.path.join(path, "_STATS_k.json")
+    _json.dump(
+        {"col": "k", "version": versioned.current_version(path),
+         "format": 2, "files": {"data/v1/x.parquet": None}},
+        open(sp, "w"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(versioned.StaleStatsIndexError):
+        versioned.stats_candidate_files(spark, path, "k", 0, 1)
+    # and the lookup transparently rebuilds + serves
+    assert versioned.stats_lookup(spark, path, "k", big + 1, big + 1).count() == 1
+
+    bp = os.path.join(path, "_BLOOM_k.json")
+    _json.dump(
+        {"key_col": "k", "version": versioned.current_version(path),
+         "bits": versioned.BLOOM_BITS, "hashes": versioned.BLOOM_HASHES,
+         "files": {"data/v1/x.parquet": "AAAA"}},
+        open(bp, "w"),
+    )
+    with _pytest.raises(versioned.StaleBloomIndexError):
+        versioned.bloom_candidate_files(spark, path, "k", [big + 1])
+    assert versioned.bloom_lookup(spark, path, "k", [big + 1]).count() == 1
+
+
 def test_parquet_checkpoint_externalizes_large_file_lists(
     spark, tmp_path, monkeypatch
 ):
