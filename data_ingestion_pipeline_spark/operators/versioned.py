@@ -1092,6 +1092,13 @@ def vacuum(path: str, keep_from: int) -> list[str]:
             if rel not in live_refs:
                 os.remove(os.path.join(path, rel))
                 removed.append(os.path.join(path, rel))
+    # a crash between _atomic_json's tmp write and its rename leaves a
+    # *.tmp-XXXX orphan beside the metadata — never referenced, safe
+    # to sweep (vacuum already forbids concurrent writers)
+    for fn in sorted(os.listdir(path)):
+        if ".tmp-" in fn and os.path.isfile(os.path.join(path, fn)):
+            os.remove(os.path.join(path, fn))
+            removed.append(os.path.join(path, fn))
     return removed
 
 
