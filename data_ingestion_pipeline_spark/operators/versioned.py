@@ -304,20 +304,23 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
     reads; AS OF answers "what did readers see at 3pm".
     """
     cur = current_version(path)
-    best = None
-    for v in range(1, cur + 1):
+    # walk BACKWARD with early exit: the answer is the HIGHEST version
+    # committed at or before ts, so the first hit going down is it —
+    # identical result to a full ascending scan (which also keeps the
+    # highest satisfying version, monotonic clocks or not), but a
+    # recent-ts probe on a 10⁵-commit streaming table opens a handful
+    # of manifests instead of all of them
+    for v in range(cur, 0, -1):
         mp = _manifest_path(path, v)
         if not os.path.isfile(mp):
             continue  # vacuumed
         with open(mp) as fh:
             committed = json.load(fh).get("committed_at") or os.path.getmtime(mp)
         if committed <= ts:
-            best = v
-    if best is None:
-        raise ValueError(
-            f"no snapshot of {path} existed at {ts} (earliest retained is newer)"
-        )
-    return read_version(spark, path, best)
+            return read_version(spark, path, v)
+    raise ValueError(
+        f"no snapshot of {path} existed at {ts} (earliest retained is newer)"
+    )
 
 
 def _empty_snapshot(spark: SparkSession, manifest: dict) -> DataFrame:
