@@ -424,3 +424,78 @@ def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload"
     )
     return audio_rms_windows(decode_audio_fake(docs))
+
+
+# ---- raw-file ingestion: the binaryFile source ----------------------
+# A real multimodal corpus starts as FILES ON DISK/OBJECT STORE
+# (images, audio clips), not as a binary column in parquet. Spark's
+# built-in `binaryFile` source is the distributed raw-file reader for
+# that boundary: one scan plans over the file listing, partitions are
+# sized by spark.sql.files.maxPartitionBytes, pathGlobFilter +
+# modifiedAfter push file-level pruning into the listing, and each row
+# carries (path, modificationTime, length, content). At 100 TB this is
+# the ingestion edge every decode/feature step downstream consumes —
+# the same opaque-payload contract with_binary_payload fakes from
+# parquet text.
+
+BINARY_FILE_DOCS = 64  # files materialized per sf fixture
+
+
+def _binary_file_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a deterministic on-disk file tree (one `.bin` per
+    doc_id < BINARY_FILE_DOCS, payload = the doc's UTF-8 text) under a
+    per-sf scratch dir — harness setup standing in for a media drop
+    zone, like the streaming feed fixtures. Idempotent: content is
+    rewritten only when changed and stale files are removed, so a
+    shrunk source (e.g. the empty-input sweep) leaves an empty tree."""
+    import glob
+    import os
+
+    from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    d = scratch_path("binfiles", sf_name, "tree")
+    os.makedirs(d, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_FILE_DOCS)
+        .select("doc_id", "text")
+        .collect()  # ≤ BINARY_FILE_DOCS rows — fixture-bounded
+    )
+    keep = set()
+    for r in rows:
+        p = os.path.join(d, f"doc_{r.doc_id:05d}.bin")
+        data = r.text.encode("utf-8")
+        keep.add(p)
+        try:
+            with open(p, "rb") as fh:
+                if fh.read() == data:
+                    continue
+        except FileNotFoundError:
+            pass
+        with open(p, "wb") as fh:
+            fh.write(data)
+    for p in set(glob.glob(os.path.join(d, "*.bin"))) - keep:
+        os.remove(p)
+    return d
+
+
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ingest a raw-file tree through the binaryFile
+    source and emit per-file metadata (name, byte size, content
+    address). The content hash is computed on the HEX encoding of the
+    bytes so the DuckDB oracle (sha256 over hex(read-from-documents
+    bytes)) reproduces it exactly — both engines uppercase hex and
+    lower-hex the digest. The scan itself is the production shape:
+    distributed file listing, no driver I/O, pathGlobFilter pruning."""
+    d = _binary_file_fixture(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.sha2(F.hex(F.col("content")), 256).alias("content_sha256"),
+    )

@@ -1920,6 +1920,19 @@ REGISTRY: dict[str, QuerySpec] = {
         bench_fn=similarity.semantic_dedup,
     ),
     # ---- multimodal binary columns (north-star scope) ----
+    "binary_file_ingest": QuerySpec(
+        # raw-file-tree ingestion through Spark's binaryFile source:
+        # the fixture materializes doc_id < 64 as .bin files; the scan
+        # is the production distributed file-read shape. Hash rides on
+        # hex(content) so both engines agree byte-for-byte.
+        multimodal.binary_file_ingest,
+        f"""
+        SELECT printf('doc_%05d.bin', doc_id) AS file_name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(hex(encode(text))) AS content_sha256
+        FROM documents WHERE doc_id < {multimodal.BINARY_FILE_DOCS}
+        """,
+    ),
     "binary_metadata": QuerySpec(
         multimodal.binary_metadata,
         # DuckDB sha256(VARCHAR) hashes the string's UTF-8 bytes — the
