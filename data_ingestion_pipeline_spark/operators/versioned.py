@@ -160,7 +160,7 @@ def _resolve_chain(path: str, version: int) -> tuple[dict, list[int]]:
     return out, [m["version"] for m in chain]
 
 
-def _encode_manifest(path: str, manifest: dict) -> dict:
+def _encode_manifest(path: str, manifest: dict, prev: dict | None = None) -> dict:
     """Choose the on-disk form for a new manifest: a DELTA against the
     previous version when one exists, the cadence allows it, and the
     delta is strictly smaller than the full list — else a CHECKPOINT
@@ -172,10 +172,14 @@ def _encode_manifest(path: str, manifest: dict) -> dict:
     v = manifest["version"]
     if v <= 1 or v % CHECKPOINT_EVERY == 0:
         return _checkpoint_form(path, manifest)
-    try:
-        prev, _ = _resolve_chain(path, v - 1)
-    except FileNotFoundError:
-        return _checkpoint_form(path, manifest)
+    if prev is None or prev.get("version") != v - 1:
+        # writers that already resolved the previous snapshot pass it
+        # in (prev) so a commit never materializes the same file list
+        # twice; everyone else resolves here
+        try:
+            prev, _ = _resolve_chain(path, v - 1)
+        except FileNotFoundError:
+            return _checkpoint_form(path, manifest)
     prev_files = set(prev["files"])
     new_files = set(manifest["files"])
     add = sorted(new_files - prev_files)
@@ -407,6 +411,7 @@ def evolve_schema(
             "meta": {"evolved": [c for c, _ in added_cols]},
         },
         expected_current,
+        prev=m,
     )
     return v
 
@@ -446,8 +451,11 @@ def _atomic_json(file_path: str, obj: dict) -> None:
 def _index_shards(n_files: int) -> int:
     """Sidecar write parallelism: one shard per ~64 Ki indexed files
     (a shard row is ≤ ~8 KiB, so shards stay well under task-output
-    limits at any table size). Applied with coalesce — a merge of the
-    upstream tasks, never a shuffle."""
+    limits at any table size). Applied with repartition, NOT coalesce:
+    coalesce would merge the upstream harvest/reduce stage down to
+    shard-many tasks (one task reading every footer at <64 Ki files —
+    the serial bottleneck this build exists to avoid); the shuffle it
+    costs moves only the tiny index rows."""
     import math as _math
 
     return max(1, _math.ceil(n_files / 65536))
@@ -484,6 +492,22 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
             return bytes(buf)
 
         for pdf in batches:
+            # drift sentinel (purge_rows' __HIVE_DEFAULT_PARTITION__
+            # discipline): if the prefix strip missed — input path
+            # normalization diverged from the driver's abs root — the
+            # derived name is still absolute/URI-shaped, and a silent
+            # no-op here would store non-manifest names the probes
+            # would then serve as garbage candidates. Fail the build
+            # loudly instead.
+            bad = [
+                f for f in pdf["file"]
+                if f.startswith(("/", "file:")) or "://" in f
+            ]
+            if bad:
+                raise RuntimeError(
+                    "bloom index file-name derivation missed the table "
+                    f"root (path normalization drift): {bad[:3]}"
+                )
             pdf = pdf.assign(bitmap=pdf["bits"].map(one))
             yield pdf[["file", "bitmap"]]
 
@@ -519,7 +543,7 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
             .groupBy("file")
             .agg(F.collect_set("bit").alias("bits"))
             .mapInPandas(pack, "file string, bitmap binary")
-            .coalesce(_index_shards(len(m["files"])))
+            .repartition(_index_shards(len(m["files"])))
             .write.mode("overwrite")
             .parquet(sidecar_dir)
         )
@@ -567,7 +591,9 @@ def bloom_candidate_files(
     metadata-only callers must rebuild."""
     with open(os.path.join(path, f"_BLOOM_{key_col}.json")) as fh:
         index = json.load(fh)
-    cur = (manifest or _manifest(path))["version"]
+    # version only — never resolve the chain (current_version is the
+    # O(1) pointer read; a passed manifest is already resolved)
+    cur = manifest["version"] if manifest else current_version(path)
     if index["version"] != cur:
         raise StaleBloomIndexError(
             f"bloom index on {key_col!r} built at v{index['version']}, "
@@ -788,7 +814,7 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
             spark.createDataFrame([(rel,) for rel in m["files"]], "file string")
             .repartition(min(len(m["files"]), 32))
             .mapInPandas(harvest, _STATS_SIDECAR_SCHEMA)
-            .coalesce(_index_shards(len(m["files"])))
+            .repartition(_index_shards(len(m["files"])))
             .write.mode("overwrite")
             .parquet(sidecar_dir)
         )
@@ -829,7 +855,7 @@ def stats_candidate_files(
     index predates that version or uses a superseded encoding."""
     with open(os.path.join(path, f"_STATS_{col}.json")) as fh:
         index = json.load(fh)
-    cur = (manifest or _manifest(path))["version"]
+    cur = manifest["version"] if manifest else current_version(path)
     if index["version"] != cur:
         raise StaleStatsIndexError(
             f"stats index on {col!r} built at v{index['version']}, "
@@ -1299,6 +1325,7 @@ def append_version_clustered(
          "committed_at": time.time(),
          "meta": {**prior.get("meta", {}), **(meta or {})}},
         expected_current,
+        prev=prior if prior.get("version") else None,
     )
     return v
 
@@ -1510,7 +1537,7 @@ def compact_files(
         manifest["partition_col"] = m["partition_col"]
     if m.get("project_schema"):
         manifest["project_schema"] = m["project_schema"]
-    _publish_manifest(path, v, manifest, expected_current)
+    _publish_manifest(path, v, manifest, expected_current, prev=m)
     return {
         "version": v,
         "files_in": len(selected),
@@ -1520,7 +1547,11 @@ def compact_files(
 
 
 def _publish_manifest(
-    path: str, v: int, manifest: dict, expected_current: int | None
+    path: str,
+    v: int,
+    manifest: dict,
+    expected_current: int | None,
+    prev: dict | None = None,
 ) -> None:
     """Shared publish tail for EVERY manifest writer: delta-vs-
     checkpoint encoding (_encode_manifest), OCC-checked manifest
@@ -1528,12 +1559,16 @@ def _publish_manifest(
     publish-protocol hardening (e.g. fsync before the replace) lands
     once here instead of drifting between writers. `manifest` is
     always the writer's FULL intent (complete file list); the
-    encoding choice is invisible to readers (_manifest resolves)."""
+    encoding choice is invisible to readers (_manifest resolves).
+    `prev` is the writer's already-resolved previous snapshot, when it
+    has one — the delta encoder then skips its own resolution (at a
+    files_ref checkpoint base that second resolution re-read the whole
+    parquet sidecar per commit). The JSON write is atomic
+    (tmp + rename): a crash mid-publish leaves no torn manifest."""
     _occ_check(path, expected_current)
-    enc = _encode_manifest(path, manifest)
+    enc = _encode_manifest(path, manifest, prev=prev)
     _occ_check(path, expected_current)
-    with open(_manifest_path(path, v), "w") as fh:
-        json.dump(enc, fh)
+    _atomic_json(_manifest_path(path, v), enc)
     _occ_check(path, expected_current)
     tmp = os.path.join(path, POINTER + ".tmp")
     with open(tmp, "w") as fh:
@@ -1626,7 +1661,7 @@ def _compact_unpartitioned(
     }
     if m.get("project_schema"):
         manifest["project_schema"] = m["project_schema"]
-    _publish_manifest(path, v, manifest, expected_current)
+    _publish_manifest(path, v, manifest, expected_current, prev=m)
     return {
         "version": v,
         "files_in": len(small),
@@ -2184,6 +2219,7 @@ def drop_partitions_before(
             "meta": {"retention_dropped_before": cutoff},
         },
         expected_current,
+        prev=m,
     )
     return v
 
