@@ -223,6 +223,7 @@ def commit_version(
     df: DataFrame,
     expected_current: int | None = None,
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write df as the next snapshot and publish it atomically.
 
@@ -241,6 +242,14 @@ def commit_version(
     put / atomic rename-if-absent, which is a swap of primitive, not
     of protocol. `meta` rides along in the manifest (e.g. the
     streaming sink's batch id — see stream lifecycle below).
+
+    `stats_cols` is WRITE-TIME INDEX MAINTENANCE (what Delta/Iceberg
+    do on every write): immediately after the pointer swap, the
+    min/max skipping index is rebuilt for each named column, so range
+    probes through `stats_lookup` never hit the stale-rebuild path for
+    tables whose writers declare their skip columns. Same distributed
+    footer harvest as calling build_column_stats by hand; a lookup on
+    an undeclared column still rebuilds transparently.
     """
     _occ_check(path, expected_current)
     v = current_version(path) + 1
@@ -262,6 +271,8 @@ def commit_version(
          "schema": df.schema.json(), "committed_at": time.time()},
         expected_current,
     )
+    for col in stats_cols or ():
+        build_column_stats(spark, path, col)
     return v
 
 

@@ -138,6 +138,29 @@ def test_manifest_deltas_checkpoints_and_commit_cost_at_1e4_files(
     assert chain == [9, 8, 7, 6, 5, 4, 3, 2, 1]
 
 
+def test_write_time_stats_maintenance(spark, tmp_path):
+    """commit_version(stats_cols=[...]) rebuilds the skipping index as
+    part of the commit (the Delta/Iceberg write-time collection shape):
+    a metadata probe right after the commit serves WITHOUT the
+    stale-rebuild path, and a second commit keeps it current."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(
+        spark, path, ev.repartitionByRange(4, "event_id"),
+        stats_cols=["event_id"],
+    )
+    # metadata-only probe succeeds immediately — no StaleStatsIndexError
+    cand = versioned.stats_candidate_files(spark, path, "event_id", 0, 10)
+    assert cand and len(cand) < len(versioned._manifest(path)["files"])
+
+    versioned.commit_version(
+        spark, path, ev.limit(50).repartition(2), stats_cols=["event_id"]
+    )
+    cand2 = versioned.stats_candidate_files(spark, path, "event_id", 0, 10)
+    assert cand2  # still current at v2, again without a rebuild
+
+
 def test_stats_index_exact_above_2_53_and_stale_old_pointers(
     spark, tmp_path
 ):
