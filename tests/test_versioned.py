@@ -1215,3 +1215,137 @@ def test_stats_date_column_probed_with_datetime_has_no_false_negatives(
     # and pruning still happens on the range-clustered layout
     cand = versioned.stats_candidate_files(spark, path, "d", lo, hi)
     assert len(cand) < len(versioned._manifest(path)["files"])
+
+
+def test_incremental_index_maintenance_harvests_only_new_files(spark, tmp_path):
+    """The Delta/Iceberg write-time contract: after an APPEND (prior
+    files carried by reference), rebuilding the stats/bloom index must
+    scan ONLY the appended files — the pointer's harvested_files
+    telemetry proves it — and the incremental sidecar must serve the
+    exact same candidates as a from-scratch rebuild."""
+    path = str(tmp_path / "inc")
+    os.makedirs(path)
+    ev = _events(spark)
+    base = ev.filter(F.col("event_id") < 500)
+    extra = ev.filter(F.col("event_id") >= 500)
+    versioned.commit_version_clustered(
+        spark, path, base.repartitionByRange(4, "event_id"), "event_type"
+    )
+    idx1 = versioned.build_column_stats(spark, path, "event_id")
+    b1 = versioned.build_bloom_index(spark, path, "event_id")
+    n1 = len(versioned._manifest(path)["files"])
+    assert idx1["harvested_files"] == n1 and idx1["carried_files"] == 0
+    assert b1["harvested_files"] == n1 and b1["carried_files"] == 0
+
+    versioned.append_version_clustered(
+        spark, path, extra.repartition(2), "event_type"
+    )
+    m2 = versioned._manifest(path)
+    n_added = len(m2["files"]) - n1
+    assert n_added > 0
+
+    idx2 = versioned.build_column_stats(spark, path, "event_id")
+    b2 = versioned.build_bloom_index(spark, path, "event_id")
+    assert idx2["harvested_files"] == n_added, "stats re-harvested old files"
+    assert idx2["carried_files"] == n1
+    assert b2["harvested_files"] == n_added, "bloom re-scanned old files"
+    assert b2["carried_files"] == n1
+
+    inc_stats = versioned.stats_candidate_files(spark, path, "event_id", 490, 510)
+    inc_bloom = versioned.bloom_candidate_files(spark, path, "event_id", [499, 501])
+
+    # from-scratch rebuild (pointer removed → incremental prior gone)
+    os.remove(os.path.join(path, "_STATS_event_id.json"))
+    os.remove(os.path.join(path, "_BLOOM_event_id.json"))
+    full_stats_idx = versioned.build_column_stats(spark, path, "event_id")
+    full_bloom_idx = versioned.build_bloom_index(spark, path, "event_id")
+    assert full_stats_idx["harvested_files"] == len(m2["files"])
+    assert full_bloom_idx["harvested_files"] == len(m2["files"])
+    assert versioned.stats_candidate_files(
+        spark, path, "event_id", 490, 510
+    ) == inc_stats
+    assert versioned.bloom_candidate_files(
+        spark, path, "event_id", [499, 501]
+    ) == inc_bloom
+
+    # and the lookups stay exact through the incremental sidecars
+    got = versioned.stats_lookup(spark, path, "event_id", 490, 510).count()
+    want = ev.filter(F.col("event_id").between(490, 510)).count()
+    assert got == want > 0
+
+
+def test_incremental_maintenance_after_compaction_drops_removed_files(
+    spark, tmp_path
+):
+    """Compaction rewrites files: the incremental rebuild must drop
+    the removed files' rows (a stale carried row would name a deleted
+    file as a candidate) and harvest only the compacted outputs."""
+    path = str(tmp_path / "cmp")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_clustered(
+        spark, path, ev.repartition(8), "event_type"
+    )
+    versioned.build_column_stats(spark, path, "event_id")
+    m1 = set(versioned._manifest(path)["files"])
+    stats = versioned.compact_files(spark, path, target_bytes=1 << 30)
+    assert stats["files_out"] < stats["files_in"]
+    m2 = versioned._manifest(path)
+    added = sorted(set(m2["files"]) - m1)
+
+    idx = versioned.build_column_stats(spark, path, "event_id")
+    assert idx["harvested_files"] == len(added)
+    cand = versioned.stats_candidate_files(spark, path, "event_id", None, None)
+    assert set(cand) <= set(m2["files"]), "carried row names a removed file"
+    got = versioned.stats_lookup(spark, path, "event_id", 0, 10**9).count()
+    assert got == 1000
+
+
+def test_fresh_same_version_index_build_is_a_noop(spark, tmp_path):
+    """Sidecars are immutable: re-running the build at an unchanged
+    version returns the existing pointer without writing a new
+    sidecar dir."""
+    path = str(tmp_path / "noop")
+    os.makedirs(path)
+    versioned.commit_version(spark, path, _events(spark).limit(500))
+    idx1 = versioned.build_column_stats(spark, path, "event_id")
+    idx2 = versioned.build_column_stats(spark, path, "event_id")
+    assert idx2["sidecar"] == idx1["sidecar"]
+    b1 = versioned.build_bloom_index(spark, path, "event_id")
+    b2 = versioned.build_bloom_index(spark, path, "event_id")
+    assert b2["sidecar"] == b1["sidecar"]
+
+
+def test_index_maintenance_failure_is_distinct_and_commit_durable(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: stats maintenance runs after the pointer swap — a
+    failure there must surface as IndexMaintenanceError (carrying the
+    committed version), never as a generic commit failure a caller
+    would retry into a double-commit."""
+    import pytest
+
+    path = str(tmp_path / "imf")
+    os.makedirs(path)
+
+    def boom(*a, **k):
+        raise RuntimeError("index build exploded")
+
+    monkeypatch.setattr(versioned, "build_column_stats", boom)
+    with pytest.raises(versioned.IndexMaintenanceError) as ei:
+        versioned.commit_version(
+            spark, path, _events(spark).limit(100), stats_cols=["event_id"]
+        )
+    assert ei.value.committed_version == 1
+    # the commit IS durable and readable despite the raised error
+    assert versioned.current_version(path) == 1
+    assert versioned.read_version(spark, path).count() == 100
+
+
+def test_harvest_tasks_scales_with_file_count():
+    """Footer-harvest parallelism derives from file count (r11 pinned
+    it at 32, a serial bottleneck at 10⁵-10⁶ files on a wide cluster)."""
+    assert versioned._harvest_tasks(4) == 4
+    assert versioned._harvest_tasks(500) == 32
+    assert versioned._harvest_tasks(10_000) == 40
+    assert versioned._harvest_tasks(1_000_000) == 3907
