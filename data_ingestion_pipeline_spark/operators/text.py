@@ -671,29 +671,13 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def train_bpe(
-    spark: SparkSession,
-    sf_dir: str,
-    num_merges: int = 32,
-    max_word_types: int = BPE_MAX_WORD_TYPES,
+def _merge_loop_reference(
+    words: dict[tuple[str, ...], int], num_merges: int
 ) -> list[tuple[str, str]]:
-    """Train BPE merges: collect the frequency-capped word-type table
-    (the ONE bounded collect — top max_word_types by (freq desc, word),
-    deterministic), then run the standard greedy loop driver-side:
-    each round merges the adjacent symbol pair with the highest total
-    weight (ties break to the lexicographically smallest pair), until
-    num_merges or no pair repeats. Returns the ordered merge list —
-    the artifact a tokenizer ships. Determinism: every step is a pure
-    function of the word-frequency table."""
-    rows = (
-        _word_freq(spark, sf_dir)
-        .orderBy(F.desc("freq"), "word")
-        .limit(max_word_types)
-        .collect()
-    )
-    words: dict[tuple[str, ...], int] = {
-        tuple(r.word): int(r.freq) for r in rows
-    }
+    """The textbook greedy loop: recount EVERY pair and rewrite EVERY
+    word each round — O(num_merges × total symbols). Kept as the
+    semantic specification `_merge_loop` is property-tested against
+    (tests/test_dedup.py); production uses the incremental loop."""
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -726,3 +710,237 @@ def train_bpe(
             out[key] = out.get(key, 0) + freq
         words = out
     return merges
+
+
+def _apply_merge_word(syms: list[str], a: str, b: str) -> list[str] | None:
+    """Left-to-right non-overlapping merge of (a, b) in one word;
+    None when the word contains no occurrence (lazy inverted-index
+    entries go stale — callers skip without touching counts)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    changed = False
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+            changed = True
+        else:
+            out.append(syms[i])
+            i += 1
+    return out if changed else None
+
+
+def _merge_loop(
+    words: dict[tuple[str, ...], int], num_merges: int
+) -> list[tuple[str, str]]:
+    """INCREMENTAL greedy BPE merge loop — the structure real trainers
+    (GPT-2, HF tokenizers) use: a pair→words inverted index plus a
+    lazy max-heap over pair weights, so each merge touches ONLY the
+    words containing the merged pair instead of rescanning the world.
+    Per merge: O(affected words × their length) count updates +
+    O(log P) heap ops, vs the reference loop's O(total symbols) full
+    recount — at a 30-50 K-merge vocabulary over 10⁶ word types the
+    difference is ~10⁴× (VERDICT r11 finding b). Identical output to
+    `_merge_loop_reference` (property-tested): the heap orders by
+    (-weight, pair), so the valid top is exactly the reference's
+    min((-count, pair)) — highest weight, lexicographically smallest
+    pair on ties — and stale heap entries are skipped by comparing
+    against the live count. Stops at num_merges or when the best pair
+    weight drops below 2 (merging a singleton adds vocab without
+    compression)."""
+    import heapq
+
+    syms_list: list[list[str]] = []
+    freqs: list[int] = []
+    for syms, freq in words.items():
+        syms_list.append(list(syms))
+        freqs.append(freq)
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wid, syms in enumerate(syms_list):
+        f = freqs[wid]
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(wid)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, best = heapq.heappop(heap)
+        c = counts.get(best, 0)
+        if c != -negc or c == 0:
+            continue  # stale entry: the pair's weight moved on
+        if c < 2:
+            break
+        merges.append(best)
+        a, b = best
+        # batch the count deltas: one heap push per DISTINCT changed
+        # pair per round (not per occurrence) — the heap is the hot
+        # path, and per-occurrence pushes made it O(affected words ×
+        # word length) churn
+        changed: set[tuple[str, str]] = set()
+        for wid in where.pop(best, ()):
+            syms = syms_list[wid]
+            new = _apply_merge_word(syms, a, b)
+            if new is None:
+                continue  # stale membership: earlier merge rewrote it
+            f = freqs[wid]
+            # full-word recount: subtract every old adjacency, add
+            # every new one — unaffected regions cancel exactly, and
+            # the word is short, so this stays O(len) per hit
+            for p in zip(syms, syms[1:]):
+                counts[p] -= f
+                changed.add(p)
+            for p in zip(new, new[1:]):
+                counts[p] = counts.get(p, 0) + f
+                changed.add(p)
+                where.setdefault(p, set()).add(wid)
+            syms_list[wid] = new
+        changed.discard(best)
+        counts.pop(best, None)  # every occurrence was consumed
+        for p in changed:
+            nc = counts.get(p, 0)
+            if nc <= 0:
+                counts.pop(p, None)
+            else:
+                heapq.heappush(heap, (-nc, p))
+    return merges
+
+
+def train_bpe(
+    spark: SparkSession,
+    sf_dir: str,
+    num_merges: int = 32,
+    max_word_types: int = BPE_MAX_WORD_TYPES,
+) -> list[tuple[str, str]]:
+    """Train BPE merges: collect the frequency-capped word-type table
+    (the ONE bounded collect — top max_word_types by (freq desc, word),
+    deterministic), then run the greedy loop driver-side: each round
+    merges the adjacent symbol pair with the highest total weight
+    (ties break to the lexicographically smallest pair), until
+    num_merges or no pair repeats. The loop is the INCREMENTAL
+    pair-index form (`_merge_loop`): per merge it touches only words
+    containing the merged pair, so a real 30-50 K-merge vocabulary is
+    O(merges × affected words), not O(merges × total symbols).
+    Returns the ordered merge list — the artifact a tokenizer ships.
+    Determinism: every step is a pure function of the word-frequency
+    table."""
+    rows = (
+        _word_freq(spark, sf_dir)
+        .orderBy(F.desc("freq"), "word")
+        .limit(max_word_types)
+        .collect()
+    )
+    words: dict[tuple[str, ...], int] = {
+        tuple(r.word): int(r.freq) for r in rows
+    }
+    return _merge_loop(words, num_merges)
+
+
+# ---- BPE encode (the APPLY half a 100 TB pipeline actually runs) ----
+# Representation trick that keeps the whole encode JVM-side: a word
+# becomes its characters joined by a separator byte that cannot occur
+# in text (0x1F, ASCII unit separator), and applying merge (a, b) is
+# then EXACTLY `replace(word, 'a<SEP>b', 'ab')` — literal replace is
+# left-to-right non-overlapping, the same greedy order a BPE merge
+# applies. The full encode is a constant chain of replaces inside one
+# transform() lambda: whole-stage codegen, zero Python in the plan,
+# and DuckDB reproduces it bit-for-bit with its own replace chain
+# (the oracle for `bpe_encode_corpus`).
+BPE_SEP = "\x1f"
+
+# Frozen tokenizer artifact: train_bpe(sf0.001, num_merges=24) —
+# trained once, shipped, applied everywhere (the deployment shape:
+# encode runs under a FROZEN merge list; retraining is a separate
+# lifecycle). Constant so the DuckDB oracle can carry the identical
+# chain at every scale factor.
+BPE_MERGES_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"),
+]
+
+
+def _bpe_encode_col(tok: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Encoded form of one token: chars sep-joined, then the ordered
+    replace chain. Splitting the result on BPE_SEP yields the BPE
+    token sequence."""
+    enc = F.concat_ws(BPE_SEP, F.split(tok, ""))
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(a + BPE_SEP + b), F.lit(a + b))
+    return enc
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE encode under a frozen ordered merge list: adds
+    `bpe_tokens` (array<array<string>> — per word, its BPE tokens) via
+    a map-only all-JVM plan (split → per-word replace chain → split).
+    Merges apply IN TRAINING ORDER, each merging every left-to-right
+    non-overlapping occurrence — the sequential-apply semantics, which
+    for a list produced by train_bpe equals the rank-min encode loop.
+    No shuffle, no Python workers: this is the pass that runs over
+    100 TB, and it compiles to whole-stage codegen."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    enc = F.transform(words, lambda w: _bpe_encode_col(w, merges))
+    return df.withColumn(
+        "bpe_tokens", F.transform(enc, lambda e: F.split(e, BPE_SEP))
+    )
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: encode every document under the frozen
+    BPE_MERGES_V1 artifact and emit per-doc accounting — word count,
+    BPE token count, and an md5 fingerprint of the full encoded
+    sequence (seps intact, words joined by spaces), which the DuckDB
+    oracle recomputes bit-for-bit through the identical replace
+    chain. token count < character count proves compression happened;
+    the fingerprint proves every merge landed in the same place."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(_tokens(), lambda t: t != "")
+    enc = F.transform(words, lambda w: _bpe_encode_col(w, BPE_MERGES_V1))
+    n_tokens = F.aggregate(
+        enc,
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + F.size(F.split(e, BPE_SEP)),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        F.md5(F.concat_ws(" ", enc)).alias("enc_fp"),
+    )
+
+
+def bpe_encode_oracle_sql() -> str:
+    """DuckDB twin of bpe_encode_corpus: the identical ordered replace
+    chain over chr(31)-joined characters — literal replace is
+    left-to-right non-overlapping in both engines, so the fingerprints
+    match bit-for-bit."""
+    chain = "array_to_string(string_split(w, ''), chr(31))"
+    for a, b in BPE_MERGES_V1:
+        chain = f"replace({chain}, '{a}' || chr(31) || '{b}', '{a}{b}')"
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ws
+            FROM documents
+        ), enc AS (
+            SELECT doc_id, ws,
+                   list_transform(ws, w -> {chain}) AS encs
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(encs,
+                    t -> len(string_split(t, chr(31))))), 0) AS BIGINT)
+                    AS n_tokens,
+               md5(array_to_string(encs, ' ')) AS enc_fp
+        FROM enc
+        """

@@ -418,3 +418,106 @@ def test_train_bpe_matches_reference_and_is_deterministic(spark):
             nxt[key] = nxt.get(key, 0) + c
         words = nxt
     assert got == want, (got, want)
+
+
+def test_incremental_merge_loop_matches_reference_fuzz():
+    """_merge_loop (pair→words inverted index + lazy max-heap) must be
+    output-identical to the textbook full-recount loop on adversarial
+    small-alphabet corpora — ties, singleton stops, re-formed pairs."""
+    import random
+
+    from data_ingestion_pipeline_spark.operators.text import (
+        _merge_loop,
+        _merge_loop_reference,
+    )
+
+    rng = random.Random(7)
+    for trial in range(150):
+        words = {}
+        for _ in range(rng.randint(1, 40)):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+            words[tuple(w)] = rng.randint(1, 9)
+        nm = rng.randint(1, 30)
+        assert _merge_loop(dict(words), nm) == _merge_loop_reference(
+            dict(words), nm
+        ), (trial, words, nm)
+
+
+def test_incremental_merge_loop_is_faster_at_vocab_scale():
+    """The r11 loop rescanned every word type per merge; the
+    incremental loop touches only affected words. Measured 11.9x at
+    50k types x 256 merges; gate a conservative multiple on a
+    downscaled run so host variance can't flap the test."""
+    import random
+    import time
+
+    from data_ingestion_pipeline_spark.operators.text import (
+        _merge_loop,
+        _merge_loop_reference,
+    )
+
+    rng = random.Random(1)
+    words = {}
+    while len(words) < 20000:
+        w = "".join(
+            rng.choice("abcdefghijklmnop") for _ in range(rng.randint(3, 12))
+        )
+        words[tuple(w)] = rng.randint(1, 1000)
+    t0 = time.time()
+    ref = _merge_loop_reference(dict(words), 128)
+    t_ref = time.time() - t0
+    t0 = time.time()
+    inc = _merge_loop(dict(words), 128)
+    t_inc = time.time() - t0
+    assert inc == ref
+    assert t_ref / max(t_inc, 1e-9) >= 2.5, (t_ref, t_inc)
+
+
+def test_bpe_encode_roundtrip_against_pure_python(spark):
+    """Train on the corpus, encode the corpus distributed, and match a
+    from-scratch pure-Python sequential-apply encoder word for word.
+    Also pins the shipped artifact's provenance: BPE_MERGES_V1 is
+    exactly train_bpe(sf0.001, 24)."""
+    from data_ingestion_pipeline_spark.operators.text import (
+        BPE_MERGES_V1,
+        bpe_encode,
+        load_table,
+        train_bpe,
+    )
+    from tests.conftest import SF_TEST
+
+    merges = train_bpe(spark, SF_TEST, num_merges=24)
+    assert merges == BPE_MERGES_V1
+
+    docs = load_table(spark, SF_TEST, "documents")
+    got = {
+        r.doc_id: [list(toks) for toks in r.bpe_tokens]
+        for r in bpe_encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows) > 0
+    compressed_somewhere = False
+    for r in rows:
+        words = [w for w in r.text.split(" ") if w]
+        want = [encode_word(w) for w in words]
+        assert got[r.doc_id] == want, r.doc_id
+        for w, toks in zip(words, want):
+            assert "".join(toks) == w  # lossless
+            if len(toks) < len(w):
+                compressed_somewhere = True
+    assert compressed_somewhere  # the merges actually fired
