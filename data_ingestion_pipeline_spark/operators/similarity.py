@@ -785,7 +785,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- SemDeDup: cluster-then-prune semantic deduplication -----------
 
-SEMANTIC_DEDUP_NPROBE = 3  # probed cells per vector for pairing (recall dial)
+# Probed cells per vector for pairing — the recall dial for the
+# paper's cell-boundary blind spot. 5 (r12, up from 3): measured
+# dropped/true-dup recall 0.57/0.93/0.75 → 1.0/1.0/0.956 across
+# sf0.001/0.01/0.1 at unchanged sf0.1 wall time; pair volume grows
+# ~(5/3)² but stays O(n^1.5) with the enforced sub-cell cap bounding
+# any single join key, and at 100 TB the k≫√n cell regime keeps the
+# factor constant.
+SEMANTIC_DEDUP_NPROBE = 5
 # Hot-cell cap: within-cell pairing is quadratic in a cell's
 # population, and skew happens (SimHash shipped with 17% of docs in
 # one bucket at sf0.1 before r4 widened its bands — BASELINE.md). A
@@ -856,9 +863,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Multi-probe pairing (SEMANTIC_DEDUP_NPROBE nearest cells per
     vector, pairs deduped) is the recall dial for the paper's known
     blind spot — near-dup pairs split by a cell boundary. Measured on
-    the fixed testdata: nprobe 1→2→3 lifts dropped/true-dup recall
-    0/7→3/7→4/7 (sf0.001) and 7/14→12/14→13/14 (sf0.01; 101/135 at
-    sf0.1) at ≤nprobe² the within-cell pair volume — still O(n^1.5)
+    the fixed testdata: nprobe 3→5 lifts dropped/true-dup recall
+    4/7→7/7 (sf0.001), 13/14→14/14 (sf0.01), 101/135→129/135 = 0.956
+    (sf0.1) at ≤nprobe² the within-cell pair volume — still O(n^1.5)
     overall, and at 100 TB the k≫√n cell-count regime keeps cells
     small so the factor stays a constant, not a blow-up.
 
@@ -1280,11 +1287,12 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact by construction on both operators (final fixed-point cosine).
 NEAR_DUP_AUDIT_SURE_COS = 0.60  # above this, every exact pair must be found
 NEAR_DUP_AUDIT_RECALL_FLOOR = 0.70  # aggregate recall floor at threshold
-# dropped / true-dup vecs. Measured (r11, nprobe=3 + hot-cell cap):
-# 4/7 = 0.57 at sf0.001, 13/14 = 0.93 at sf0.01, 101/135 = 0.75 at
-# sf0.1 — floor set under the smallest-n measurement (deterministic,
-# no variance; the margin absorbs future testdata regeneration only).
-SEMANTIC_AUDIT_RECALL_FLOOR = 0.50
+# dropped / true-dup vecs. Measured (r12, nprobe=5 + hot-cell cap):
+# 7/7 = 1.0 at sf0.001, 14/14 = 1.0 at sf0.01, 129/135 = 0.956 at
+# sf0.1 (up from 4/7 / 13/14 / 101/135 under r11's nprobe=3) — floor
+# set under the sf0.1 measurement (deterministic, no variance; the
+# margin absorbs future testdata regeneration only).
+SEMANTIC_AUDIT_RECALL_FLOOR = 0.90
 
 
 def embedding_near_dup_recall_audit(
