@@ -2192,6 +2192,21 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM p GROUP BY 1, 2
         """,
     ),
+    "bpe_encode_corpus": QuerySpec(
+        # the APPLY half of tokenizer support: distributed BPE encode
+        # of every document under the frozen BPE_MERGES_V1 artifact
+        # (trained once by text.train_bpe on sf0.001 and shipped as a
+        # constant — the deployment shape: encoding always runs under
+        # a frozen merge list). Whole plan is JVM: split -> per-word
+        # ordered replace chain over chr(31)-joined characters ->
+        # per-doc token accounting + md5 fingerprint of the encoded
+        # sequence, which DuckDB recomputes bit-for-bit through the
+        # identical replace chain. The train->encode roundtrip under
+        # corpus-trained merges is pinned against a pure-Python
+        # encoder in tests/test_dedup.py.
+        text.bpe_encode_corpus,
+        text.bpe_encode_oracle_sql(),
+    ),
     "vocab_top_tokens": QuerySpec(
         text.vocab_top_tokens,
         """
@@ -2940,23 +2955,28 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY: set[str] = {
-    # r11: versioned-table index path rewritten (executor-built parquet
-    # sidecars replace driver-collected bitmaps / footer loops) and the
-    # manifest gained incremental commits + checkpoints — every entry
-    # that commits through or probes the versioned format re-verifies
+    # r12: stats/bloom index builds went incremental (carry prior
+    # sidecar rows, harvest only added files) and harvest parallelism
+    # derives from file count — the two index-probe entries exercise
+    # that code and re-verify
     "stats_skipping_roundtrip",
     "bloom_index_lookup",
-    "compaction_roundtrip",
-    # r11: semantic_dedup hot-cell cap + pairing-side nprobe raise —
-    # candidate set changes, fresh verdict required
+    # r12: semantic_dedup pairing nprobe 3→5 (recall 0.75→0.956 at
+    # sf0.1) — candidate set changes, fresh verdict required
     "semantic_dedup",
 }
-# r10 prune history: all 8 r10 names (simhash md5-leaf twins, the five
-# ANN recall-upgrade entries, semantic_dedup's single-GEMM pass) were
-# sampled in CORRECTNESS_r10.json and hold clean hash-matched verdicts
-# (VERDICT r10 coverage table). Earlier prunes: 22 r9 names after
-# CORRECTNESS_r09; r7 rewrites after CORRECTNESS_r07. Names rewritten
-# in r11 are re-added above as the rewrites land.
+# r11 prune history: all four r11 names (the three versioned-index
+# entries + semantic_dedup) hold clean r11 hash-matched verdicts.
+# ADVICE r11 asked why the OTHER versioned-format writers (upsert /
+# CDF / time-travel / exactly-once streaming sinks) were not listed
+# when the delta-log manifest encoding changed under them: their r11
+# driver verdicts (upsert_table_roundtrip, stream_dedup_upsert,
+# stream_corpus_ingest, versioned_table_changes, … — CORRECTNESS_r11)
+# were produced WITH the delta-log format live, so the concern is
+# now settled by direct evidence, not only by the encode/resolve
+# property test. Earlier prunes: 8 r10 names after CORRECTNESS_r10,
+# 22 r9 names after CORRECTNESS_r09, r7 rewrites after
+# CORRECTNESS_r07.
 
 
 def _verification_order(names: list[str]) -> list[str]:

@@ -133,16 +133,18 @@ def main() -> None:
             failed.append(name)
 
     root = pathlib.Path(__file__).resolve().parents[1]
-    (root / "GROWTH_CURVE.json").write_text(
-        json.dumps(
-            {
-                "gate": ALPHA_GATE,
-                "segments": ["sf0.01->sf0.1", "sf0.1->sf1eq(generated)"],
-                "ops": out,
-            },
-            indent=1,
-        )
-    )
+    gc_path = root / "GROWTH_CURVE.json"
+    # merge-preserve the metadata-path block scripts/metadata_growth.py
+    # maintains (and symmetrically there)
+    prev = json.loads(gc_path.read_text()) if gc_path.is_file() else {}
+    doc = {
+        "gate": ALPHA_GATE,
+        "segments": ["sf0.01->sf0.1", "sf0.1->sf1eq(generated)"],
+        "ops": out,
+    }
+    if "metadata_path" in prev:
+        doc["metadata_path"] = prev["metadata_path"]
+    gc_path.write_text(json.dumps(doc, indent=1))
     spark.stop()
     if failed:
         print(f"GROWTH GATE BREACH: {failed}")
