@@ -244,6 +244,7 @@ def commit_version(
     expected_current: int | None = None,
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write df as the next snapshot and publish it atomically.
 
@@ -300,6 +301,14 @@ def commit_version(
             build_column_stats(spark, path, col)
         except Exception as e:  # noqa: BLE001 — commit already durable
             raise IndexMaintenanceError(v, e) from e
+    # `bloom_cols` is the point-lookup twin of stats_cols: write-time
+    # bloom maintenance (incremental, same carry/harvest split), same
+    # post-publish failure contract
+    for col in bloom_cols or ():
+        try:
+            build_bloom_index(spark, path, col)
+        except Exception as e:  # noqa: BLE001 — commit already durable
+            raise IndexMaintenanceError(v, e) from e
     return v
 
 
@@ -323,15 +332,9 @@ def read_version(
     files = [os.path.join(path, f) for f in manifest["files"]]
     if not files:
         return _empty_snapshot(spark, manifest)
-    if manifest.get("project_schema"):
-        # snapshot schema is WIDER than some data files (metadata-only
-        # evolution, see evolve_schema): project every file through the
-        # manifest schema — Spark null-fills columns a file predates.
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        return spark.read.schema(schema).parquet(*files)
-    return spark.read.parquet(*files)
+    # project_schema (metadata-only evolution) and dv (deletion
+    # vector) both apply here — the one snapshot-contract read path
+    return _read_files_as_snapshot(spark, manifest, files, path=path)
 
 
 def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
@@ -446,12 +449,152 @@ def evolve_schema(
             "schema": schema.json(),
             "project_schema": True,
             "committed_at": time.time(),
+            **({"dv": m["dv"]} if m.get("dv") else {}),
             "meta": {"evolved": [c for c, _ in added_cols]},
         },
         expected_current,
         prev=m,
     )
     return v
+
+
+# --- deletion vectors: O(deleted rows) row-level DELETE ------------
+# The Delta Lake deletion-vector / Iceberg positional-delete
+# construction: a DELETE commit writes only a parquet sidecar of
+# (file relpath, row ordinal) keys plus a metadata-only manifest that
+# references every data file UNCHANGED — no rewrite, no position
+# shift. Readers anti-join the DV during the scan. At 100 TB this is
+# the difference between deleting k rows in O(k) and rewriting every
+# touched file (upsert_version_cow's COW path) — the write/read
+# trade both formats ship: reads pay one small anti-join until
+# materialize_deletes() folds the DV into a fresh snapshot.
+DV_DIR = "_dv"
+
+
+def _tagged_scan(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    """The manifest's files with (__dv_file, __dv_pos) row identity
+    attached from the scan's `_metadata` struct — relpath via the same
+    anchored strip the bloom index uses, position from
+    `_metadata.row_index` (scan bookkeeping, zero extra I/O)."""
+    import re as _re
+
+    abs_root = os.path.abspath(path)
+    base = _read_files_raw(
+        spark, m, [os.path.join(path, f) for f in m["files"]]
+    )
+    rel = F.regexp_replace(
+        _norm_input_path(), "^" + _re.escape(abs_root + os.sep), ""
+    )
+    return base.select(
+        *[F.col(c) for c in base.columns],
+        rel.alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+
+
+def delete_rows_dv(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    expected_current: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Row-level DELETE as a deletion-vector commit: rows matching
+    `predicate` (a Column or SQL string) are soft-deleted by position.
+    The commit writes ONE parquet sidecar (`_dv/v{N}-…`: file, pos)
+    holding the cumulative deleted set — prior DV rows carry in, the
+    new matches append — and publishes a manifest that references the
+    SAME data files (delta-encoded: O(1) manifest bytes). Matching
+    runs over the DV-filtered snapshot, so re-deleting an
+    already-deleted row is a no-op and the sidecar never holds
+    duplicates. Cost: one predicate scan + O(total deleted) sidecar
+    write; zero data-file writes. Deletes are snapshot-isolated:
+    time travel to an earlier version still sees the rows
+    (tests/test_versioned.py). Same OCC protocol as commit_version.
+
+    Rewrite-maintenance interplay: compact_files and purge_rows
+    REFUSE a DV-bearing snapshot (their rewrites shift row ordinals,
+    which would corrupt position-keyed deletes) — run
+    materialize_deletes first. upsert_version_cow, evolve_schema,
+    append_version_clustered and drop_partitions_before carry the DV
+    pointer by reference, which is always sound: DV rows naming files
+    a later commit rewrote or dropped can never match a scan of that
+    commit's files (see _anti_join_dv)."""
+    _occ_check(path, expected_current)
+    m = _manifest(path)
+    if m["version"] == 0:
+        raise ValueError("cannot delete from an empty table")
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    abs_root = os.path.abspath(path)
+    v = m["version"] + 1
+    sidecar_rel = os.path.join(DV_DIR, f"v{v}-{uuid.uuid4().hex[:8]}")
+    sidecar_dir = os.path.join(abs_root, sidecar_rel)
+
+    tagged = _tagged_scan(spark, path, m) if m["files"] else None
+    prior_dv = (
+        spark.read.parquet(os.path.join(path, m["dv"]["sidecar"]))
+        if m.get("dv")
+        else None
+    )
+    if tagged is not None and prior_dv is not None:
+        tagged = tagged.join(
+            prior_dv.select(
+                F.col("file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+    matched = (
+        tagged.filter(cond).select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").cast("bigint").alias("pos"),
+        )
+        if tagged is not None
+        else spark.createDataFrame([], "file string, pos bigint")
+    )
+    out = matched if prior_dv is None else prior_dv.unionByName(matched)
+    out.repartition(_index_shards(max(1, len(m["files"])))).write.mode(
+        "overwrite"
+    ).parquet(sidecar_dir)
+    n_dv = spark.read.parquet(sidecar_dir).count()  # footer-count job
+    manifest = {
+        "version": v,
+        "files": m["files"],
+        **({"partitions": m["partitions"]} if "partitions" in m else {}),
+        **({"partition_col": m["partition_col"]} if "partition_col" in m else {}),
+        "schema": m["schema"],
+        **({"project_schema": True} if m.get("project_schema") else {}),
+        "committed_at": time.time(),
+        "meta": {**(meta or {}), "dv_rows": n_dv},
+        "dv": {"sidecar": sidecar_rel, "rows": n_dv},
+    }
+    _publish_manifest(path, v, manifest, expected_current, prev=m)
+    return v
+
+
+def materialize_deletes(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> int:
+    """Fold the current deletion vector into a fresh DV-free snapshot
+    (Delta's REORG TABLE ... APPLY (PURGE)): one full read through the
+    anti-join, one rewrite commit. Run before compact_files /
+    purge_rows, or when accumulated DVs make the per-read anti-join
+    tax noticeable. No-op (returns the current version) when no DV is
+    present. Note: the rewrite commits unpartitioned — re-cluster with
+    commit_version_clustered / upsert-time partitioning as a separate
+    maintenance step if the table was partitioned (reading an explicit
+    file list does not recover partition-directory columns)."""
+    m = _manifest(path)
+    if not m.get("dv"):
+        return m["version"]
+    df = read_version(spark, path)
+    return commit_version(
+        spark,
+        path,
+        df,
+        meta={**(meta or {}), "materialized_dv_rows": m["dv"]["rows"]},
+    )
 
 
 # --- per-file bloom index: point-lookup pruning on a NON-partition,
@@ -666,7 +809,7 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
             _norm_input_path(), "^" + _re.escape(abs_root + os.sep), ""
         ).alias("file")
         return (
-            _read_files_as_snapshot(
+            _read_files_raw(
                 spark, m, [os.path.join(abs_root, r) for r in scan_rel]
             )
             .select(rel, F.col(key_col))
@@ -812,7 +955,7 @@ def bloom_lookup(
             return _empty_snapshot(spark, m)
         vals = [str(v) for v in values]
         return _read_files_as_snapshot(
-            spark, m, [os.path.join(path, rel) for rel in cand]
+            spark, m, [os.path.join(path, rel) for rel in cand], path=path
         ).filter(F.col(key_col).cast("string").isin(vals))
     raise last  # commits outran every rebuild attempt
 
@@ -1126,7 +1269,7 @@ def stats_lookup(
         if not cand:
             return _empty_snapshot(spark, m)
         df = _read_files_as_snapshot(
-            spark, m, [os.path.join(path, rel) for rel in cand]
+            spark, m, [os.path.join(path, rel) for rel in cand], path=path
         )
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
@@ -1136,8 +1279,24 @@ def stats_lookup(
     raise last  # commits outran every rebuild attempt
 
 
-def _read_files_as_snapshot(
+def _read_files_raw(
     spark: SparkSession, m: dict, files: list[str]
+) -> DataFrame:
+    """Schema-contract file read WITHOUT deletion-vector filtering —
+    for index builds only: indexing soft-deleted rows makes the index
+    a superset (bloom/stats admit extra candidates, the exact
+    post-filter runs on DV-filtered reads), never a false negative,
+    and it keeps the build independent of DV churn."""
+    if m.get("project_schema"):
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        return spark.read.schema(schema).parquet(*files)
+    return spark.read.parquet(*files)
+
+
+def _read_files_as_snapshot(
+    spark: SparkSession, m: dict, files: list[str], path: str | None = None
 ) -> DataFrame:
     """Read a file SUBSET under the snapshot's schema contract: when
     the manifest records a metadata-only evolution (project_schema),
@@ -1147,13 +1306,59 @@ def _read_files_as_snapshot(
     drop the evolved columns from the whole result. Takes the CALLER's
     already-resolved manifest (readers resolve the pointer once — a
     second read here could apply a concurrent commit's schema to
-    candidate files selected under the previous version)."""
+    candidate files selected under the previous version). When the
+    manifest carries a DELETION VECTOR (`path` required then), the
+    soft-deleted (file, pos) rows are anti-joined out — every file
+    subset a DV table serves must flow through here or read_version,
+    or deletes would silently resurrect."""
     if m.get("project_schema"):
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        return spark.read.schema(schema).parquet(*files)
-    return spark.read.parquet(*files)
+        base = spark.read.schema(schema).parquet(*files)
+    else:
+        base = spark.read.parquet(*files)
+    if m.get("dv"):
+        if path is None:
+            raise ValueError(
+                "manifest carries a deletion vector; the table path is "
+                "required to resolve its sidecar"
+            )
+        return _anti_join_dv(spark, path, m, base)
+    return base
+
+
+def _anti_join_dv(
+    spark: SparkSession, path: str, m: dict, base: DataFrame
+) -> DataFrame:
+    """Apply a manifest's deletion vector to a scan of its files: tag
+    every row with (manifest relpath, parquet row ordinal) from the
+    scan's `_metadata` struct — zero extra I/O, the position is scan
+    bookkeeping — and LEFT ANTI join the DV sidecar's (file, pos)
+    keys. The DV is O(deleted rows) and AQE broadcasts it when small,
+    so the read costs one map-side join over the scan, never a
+    rewrite. DV rows naming files absent from this manifest (a later
+    upsert/retention rewrote or dropped them) simply never match —
+    carrying a DV pointer by reference across file-subset commits is
+    therefore always CORRECT, only ever over-sized."""
+    import re as _re
+
+    abs_root = os.path.abspath(path)
+    rel = F.regexp_replace(
+        _norm_input_path(), "^" + _re.escape(abs_root + os.sep), ""
+    )
+    cols = [F.col(c) for c in base.columns]
+    tagged = base.select(
+        *cols,
+        rel.alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    dv = spark.read.parquet(os.path.join(path, m["dv"]["sidecar"])).select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    return tagged.join(dv, ["__dv_file", "__dv_pos"], "left_anti").drop(
+        "__dv_file", "__dv_pos"
+    )
 
 
 def stats_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,6 +1500,22 @@ def vacuum(path: str, keep_from: int) -> list[str]:
                 if rel not in active:
                     _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
                     removed.append(os.path.join(path, rel))
+    # deletion-vector sidecars: keep those some RETAINED manifest
+    # references (resolved manifests carry the dv key); torn
+    # delete_rows_dv attempts and superseded-then-vacuumed DV
+    # versions orphan theirs
+    dv_root = os.path.join(path, DV_DIR)
+    if os.path.isdir(dv_root):
+        live_dv = set()
+        for v in keep_versions:
+            mm = resolved.get(v) or _manifest(path, v)
+            if mm.get("dv"):
+                live_dv.add(os.path.normpath(mm["dv"]["sidecar"]))
+        for fn in sorted(os.listdir(dv_root)):
+            rel = os.path.normpath(os.path.join(DV_DIR, fn))
+            if rel not in live_dv:
+                _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+                removed.append(os.path.join(path, rel))
     # parquet-checkpoint sidecars: keep exactly those a retained
     # manifest still points at (rebuilds/purge repoints orphan the
     # previous sidecar; removed manifests orphan theirs)
@@ -1345,6 +1566,34 @@ def versioned_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_version(spark, path, updates, ["event_id"])
     return read_version(spark, path, version=1)
+
+
+def deletion_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: commit events as v1, row-level DELETE twice
+    through deletion vectors (every 'error' event, then every
+    value < 10 among survivors — cumulative, position-keyed,
+    metadata-only commits that rewrite NO data file: the manifests'
+    file lists stay identical across v1→v3, pinned in
+    tests/test_versioned.py), and return the current snapshot. The
+    DuckDB oracle is the equivalent anti-filter over the source —
+    proving the scan-side anti-join drops exactly the soft-deleted
+    rows. Time travel to v1 still serves every row (same test)."""
+    import shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("dv", sf_name, "table")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(8))
+    delete_rows_dv(spark, path, F.col("event_type") == "error")
+    delete_rows_dv(spark, path, F.col("value") < 10.0)
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
 
 
 # ---- partition-granular copy-on-write (the 100 TB refinement) ------
@@ -1444,6 +1693,7 @@ def commit_version_partitioned(
     carried: list[str] | None = None,
     meta: dict | None = None,
     expected_current: int | None = None,
+    dv: dict | None = None,
 ) -> int:
     """Commit df day-partitioned, carrying over untouched files from
     an earlier snapshot BY REFERENCE: the manifest lists `carried`
@@ -1473,6 +1723,10 @@ def commit_version_partitioned(
          # lets read_version serve the empty snapshot correctly
          "schema": df.schema.json(),
          "committed_at": time.time(),
+         # deletion-vector pointer a carried-files caller threads
+         # through (upsert_version_cow); rows naming rewritten files
+         # never match (see _anti_join_dv)
+         **({"dv": dv} if dv else {}),
          "meta": meta or {}},
         expected_current,
     )
@@ -1513,6 +1767,9 @@ def append_version_clustered(
          "partition_col": partition_col,
          "schema": df.schema.json(),
          "committed_at": time.time(),
+         # deletion vector carries BY REFERENCE: appended files have
+         # no DV rows, carried files keep theirs (see delete_rows_dv)
+         **({"dv": prior["dv"]} if prior.get("dv") else {}),
          "meta": {**prior.get("meta", {}), **(meta or {})}},
         expected_current,
         prev=prior if prior.get("version") else None,
@@ -1578,6 +1835,12 @@ def compact_files(
         # nothing committed yet (e.g. a drained-empty streaming table)
         return {"version": 0, "files_in": 0, "files_out": 0, "partitions": []}
     m = _manifest(path)
+    if m.get("dv"):
+        raise ValueError(
+            "compact_files on a snapshot with a deletion vector: the "
+            "bin-pack rewrite shifts row ordinals, which would corrupt "
+            "the position-keyed DV; run materialize_deletes first"
+        )
     if "partitions" not in m:
         # UNPARTITIONED table (plain commit_version chain — e.g. the
         # streaming sinks' per-micro-batch commits): the whole table is
@@ -1945,6 +2208,17 @@ def purge_rows(
     for v in range(1, cur + 1):
         if not os.path.isfile(_manifest_path(path, v)):
             continue
+        # a raw peek suffices for the DV guard: delta manifests carry
+        # all non-file keys of their version, so the version's own
+        # JSON names "dv" iff the resolved snapshot has one
+        with open(_manifest_path(path, v)) as fh:
+            if "dv" in json.load(fh):
+                raise ValueError(
+                    f"purge_rows across a history containing deletion "
+                    f"vectors (v{v}): the cross-version rewrite shifts "
+                    "row ordinals under the position-keyed DV; run "
+                    "materialize_deletes (then vacuum) first"
+                )
         for f in _manifest(path, v)["files"]:
             refs.setdefault(f, []).append(v)
     if not refs:
@@ -2094,7 +2368,7 @@ def read_version_pruned(
     ]
     if not files:
         return read_version(spark, path, m["version"]).limit(0)
-    return spark.read.parquet(*files)
+    return _read_files_as_snapshot(spark, m, files, path=path)
 
 
 def upsert_version_cow(
@@ -2126,14 +2400,19 @@ def upsert_version_cow(
     touched_files = [f for f in m["files"] if parts.get(f) in touched]
     carried = [f for f in m["files"] if parts.get(f) not in touched]
     if touched_files:
-        base = spark.read.parquet(*[os.path.join(path, f) for f in touched_files])
+        # DV-filtered read: rewritten partitions materialize their
+        # deletes; carried files keep theirs via the carried pointer
+        base = _read_files_as_snapshot(
+            spark, m, [os.path.join(path, f) for f in touched_files], path=path
+        )
         merged = updates.unionByName(
             base.join(updates.select(keys).distinct(), on=keys, how="left_anti")
         )
     else:
         merged = updates
     return commit_version_partitioned(
-        spark, path, merged, ts_col=ts_col, carried=carried, meta=meta
+        spark, path, merged, ts_col=ts_col, carried=carried, meta=meta,
+        dv=m.get("dv"),
     )
 
 
@@ -2406,6 +2685,9 @@ def drop_partitions_before(
             "schema": m["schema"],
             **({"project_schema": True} if m.get("project_schema") else {}),
             "committed_at": time.time(),
+            # dv rows for dropped partitions' files go stale-but-
+            # harmless (they match nothing); carry by reference
+            **({"dv": m["dv"]} if m.get("dv") else {}),
             "meta": {"retention_dropped_before": cutoff},
         },
         expected_current,

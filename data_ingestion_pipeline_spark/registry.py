@@ -1049,6 +1049,19 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "deletion_vector_roundtrip": QuerySpec(
+        # row-level DELETE via deletion vectors (Delta DV / Iceberg
+        # positional-delete analog): two cumulative position-keyed
+        # delete commits that rewrite NO data file; the read path
+        # anti-joins the (file, row ordinal) sidecar during the scan.
+        # Zero-rewrite + time-travel-visibility pinned in
+        # tests/test_versioned.py.
+        versioned.deletion_vector_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE NOT (event_type = 'error') AND NOT (value < 10.0)
+        """,
+    ),
     "stats_skipping_roundtrip": QuerySpec(
         # min/max data-skipping (r10): footer-harvested per-file stats
         # (pure metadata, no Spark job) serve a range probe that reads
@@ -2964,6 +2977,15 @@ _REVERIFY: set[str] = {
     # r12: semantic_dedup pairing nprobe 3→5 (recall 0.75→0.956 at
     # sf0.1) — candidate set changes, fresh verdict required
     "semantic_dedup",
+    # r12: read_version/_read_files_as_snapshot gained the deletion-
+    # vector anti-join branch (a pure pass-through for DV-free
+    # manifests, but the snapshot read path every versioned entry
+    # serves through changed) — re-verify the three core roundtrips;
+    # the remaining versioned entries are covered by the every-commit
+    # full parity gate (tests/test_oracle_parity.py)
+    "versioned_table_roundtrip",
+    "versioned_cow_roundtrip",
+    "compaction_roundtrip",
 }
 # r11 prune history: all four r11 names (the three versioned-index
 # entries + semantic_dedup) hold clean r11 hash-matched verdicts.

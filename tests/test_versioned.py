@@ -1349,3 +1349,152 @@ def test_harvest_tasks_scales_with_file_count():
     assert versioned._harvest_tasks(500) == 32
     assert versioned._harvest_tasks(10_000) == 40
     assert versioned._harvest_tasks(1_000_000) == 3907
+
+
+def test_deletion_vector_deletes_without_rewrite_and_time_travels(
+    spark, tmp_path
+):
+    """The DV contract: a delete commit rewrites NO data file (file
+    lists identical across versions), the current read drops exactly
+    the matched rows, cumulative deletes compose, re-deleting is a
+    no-op, and time travel still serves the pre-delete snapshot."""
+    path = str(tmp_path / "dv")
+    os.makedirs(path)
+    ev = _events(spark)
+    total = ev.count()
+    versioned.commit_version(spark, path, ev.repartition(6))
+    f1 = versioned._manifest(path)["files"]
+
+    v2 = versioned.delete_rows_dv(spark, path, F.col("event_id") % 7 == 0)
+    assert v2 == 2
+    m2 = versioned._manifest(path)
+    assert m2["files"] == f1, "a DV delete rewrote data files"
+    n_del = ev.filter(F.col("event_id") % 7 == 0).count()
+    assert m2["dv"]["rows"] == n_del
+    assert versioned.read_version(spark, path).count() == total - n_del
+
+    # cumulative second delete; overlap with the first is a no-op
+    versioned.delete_rows_dv(spark, path, F.col("event_id") % 2 == 0)
+    m3 = versioned._manifest(path)
+    assert m3["files"] == f1
+    want = ev.filter(
+        ~((F.col("event_id") % 7 == 0) | (F.col("event_id") % 2 == 0))
+    )
+    got = versioned.read_version(spark, path)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # re-delete already-deleted rows: sidecar row count unchanged
+    n3 = m3["dv"]["rows"]
+    versioned.delete_rows_dv(spark, path, F.col("event_id") % 14 == 0)
+    assert versioned._manifest(path)["dv"]["rows"] == n3
+
+    # snapshot isolation: v1 sees everything, v2 only the first delete
+    assert versioned.read_version(spark, path, 1).count() == total
+    assert versioned.read_version(spark, path, 2).count() == total - n_del
+
+
+def test_deletion_vector_survives_evolve_append_and_cow_upsert(
+    spark, tmp_path
+):
+    """Carried-by-reference DVs: schema evolution, clustered appends
+    and partition-granular COW upserts must none of them resurrect
+    soft-deleted rows — and the COW rewrite materializes deletes for
+    the partitions it touches."""
+    path = str(tmp_path / "dvc")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(spark, path, ev)
+    versioned.delete_rows_dv(spark, path, F.col("event_id") % 5 == 0)
+    alive = versioned.read_version(spark, path).count()
+
+    versioned.evolve_schema(spark, path, [("note", "string")])
+    got = versioned.read_version(spark, path)
+    assert got.count() == alive and "note" in got.columns
+
+    # COW upsert touching one day: carried partitions keep their DV
+    upd = ev.filter(
+        (F.col("event_id") % 5 != 0) & (F.col("event_id") % 3 == 0)
+    ).withColumn("value", F.col("value") + 1000.0).withColumn(
+        "note", F.lit("u")
+    )
+    one_day = upd.filter(F.to_date("ts") == F.lit("2024-01-10"))
+    versioned.upsert_version_cow(spark, path, one_day, ["event_id"])
+    cur = versioned.read_version(spark, path)
+    assert cur.filter(F.col("event_id") % 5 == 0).count() == 0, "resurrected"
+    assert cur.count() == alive
+
+
+def test_deletion_vector_blocks_rewrites_until_materialized(spark, tmp_path):
+    """compact_files and purge_rows shift row ordinals — both must
+    refuse a DV-bearing history; materialize_deletes folds the DV into
+    a fresh snapshot after which compaction succeeds and vacuum
+    reclaims the orphaned DV sidecars."""
+    import pytest
+
+    path = str(tmp_path / "dvm")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(8))
+    versioned.delete_rows_dv(spark, path, F.col("event_id") < 100)
+    alive = versioned.read_version(spark, path).count()
+
+    with pytest.raises(ValueError, match="deletion vector"):
+        versioned.compact_files(spark, path)
+    with pytest.raises(ValueError, match="deletion vector"):
+        versioned.purge_rows(spark, path, "event_id", [5])
+
+    v = versioned.materialize_deletes(spark, path)
+    m = versioned._manifest(path)
+    assert "dv" not in m and versioned.read_version(spark, path).count() == alive
+    stats = versioned.compact_files(spark, path)
+    assert stats["version"] == v + 1
+    assert versioned.read_version(spark, path).count() == alive
+
+    # vacuum past the DV versions reclaims their sidecars
+    removed = versioned.vacuum(path, keep_from=stats["version"])
+    dv_root = os.path.join(path, versioned.DV_DIR)
+    assert not os.path.isdir(dv_root) or os.listdir(dv_root) == []
+    assert any(versioned.DV_DIR + os.sep in r for r in removed)
+    assert versioned.read_version(spark, path).count() == alive
+
+
+def test_deletion_vector_respected_by_stats_lookup_and_cdf(spark, tmp_path):
+    """Index-served reads flow through the same DV filter (a pruned
+    candidate read must not resurrect rows), and table_changes reports
+    DV-deleted rows as removed."""
+    path = str(tmp_path / "dvs")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(
+        spark, path, ev.repartitionByRange(6, "event_id"),
+        stats_cols=["event_id"],
+    )
+    versioned.delete_rows_dv(spark, path, F.col("event_id").between(100, 199))
+    got = versioned.stats_lookup(spark, path, "event_id", 50, 250)
+    want = ev.filter(
+        F.col("event_id").between(50, 250)
+        & ~F.col("event_id").between(100, 199)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    ch = versioned.table_changes(spark, path, 1, 2, ["event_id"])
+    rows = ch.collect()
+    kinds = {r._change_type for r in rows}
+    assert kinds == {"delete"}
+    assert len(rows) == ev.filter(F.col("event_id").between(100, 199)).count()
+
+
+def test_write_time_bloom_maintenance(spark, tmp_path):
+    """commit_version(bloom_cols=[...]) keeps the point-lookup index
+    current as part of the commit — the stats_cols twin: a metadata
+    probe right after the commit serves without the stale-rebuild
+    path."""
+    path = str(tmp_path / "wb")
+    os.makedirs(path)
+    versioned.commit_version(
+        spark, path, _events(spark).repartition(4), bloom_cols=["event_id"]
+    )
+    cand = versioned.bloom_candidate_files(spark, path, "event_id", [7])
+    assert cand  # fresh index served, no StaleBloomIndexError
+    got = versioned.bloom_lookup(spark, path, "event_id", [7])
+    assert got.count() == 1
