@@ -918,6 +918,91 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen vocabulary for BPE_MERGES_V1 (the GPT-2 id scheme): base
+# alphabet first (corpus tokens are [a-z0-9] — TESTDATA.md), then one
+# id per merged symbol in merge order. Ids are a pure function of the
+# artifact, so trainer and encoder never need a handshake beyond it.
+BPE_BASE_ALPHABET = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """symbol → token id: base alphabet 0..35, merged symbols appended
+    in merge order (duplicates impossible: a merge's concatenation is
+    new by construction within one training run)."""
+    vocab = {c: i for i, c in enumerate(BPE_BASE_ALPHABET)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the full tokenizer APPLY — documents become
+    token-ID sequences under the frozen artifact (BPE_MERGES_V1 +
+    bpe_vocab). Same all-JVM replace-chain encode as
+    bpe_encode_corpus, then a literal map lookup per token (60-entry
+    create_map — broadcast-free, folded into codegen). Emits per-doc
+    id-sequence accounting: token count, exact id sum (a cheap
+    order-insensitive checksum), and an md5 fingerprint of the
+    space-joined id sequence (order-sensitive). The DuckDB oracle
+    replays chain + map bit-for-bit. OOV is impossible on this corpus
+    (base alphabet covers it); an OOV symbol would surface as a NULL
+    id and flip the fingerprint — loudly, not silently."""
+    vocab = bpe_vocab(BPE_MERGES_V1)
+    pairs: list = []
+    for k, v in vocab.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    vmap = F.create_map(*pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(_tokens(), lambda t: t != "")
+    ids = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.transform(
+                F.split(_bpe_encode_col(w, BPE_MERGES_V1), BPE_SEP),
+                lambda t: vmap[t],
+            ),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ids).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            ids, F.lit(0).cast("bigint"), lambda acc, i: acc + i
+        ).alias("id_sum"),
+        F.md5(F.concat_ws(" ", F.transform(ids, lambda i: i.cast("string")))).alias(
+            "ids_fp"
+        ),
+    )
+
+
+def bpe_encode_ids_oracle_sql() -> str:
+    """DuckDB twin of bpe_encode_ids_corpus: identical replace chain,
+    then a MAP literal lookup per token."""
+    chain = "array_to_string(string_split(w, ''), chr(31))"
+    for a, b in BPE_MERGES_V1:
+        chain = f"replace({chain}, '{a}' || chr(31) || '{b}', '{a}{b}')"
+    vocab = bpe_vocab(BPE_MERGES_V1)
+    map_lit = "MAP {" + ", ".join(f"'{k}': {v}" for k, v in vocab.items()) + "}"
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ws
+            FROM documents
+        ), ids AS (
+            SELECT doc_id,
+                   flatten(list_transform(ws, w ->
+                       list_transform(string_split({chain}, chr(31)),
+                                      t -> ({map_lit})[t][1]))) AS seq
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(len(seq) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(list_sum(seq), 0) AS BIGINT) AS id_sum,
+               md5(array_to_string(seq, ' ')) AS ids_fp
+        FROM ids
+        """
+
+
 def bpe_encode_oracle_sql() -> str:
     """DuckDB twin of bpe_encode_corpus: the identical ordered replace
     chain over chr(31)-joined characters — literal replace is

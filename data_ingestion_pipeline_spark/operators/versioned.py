@@ -1740,6 +1740,8 @@ def append_version_clustered(
     partition_col: str,
     meta: dict | None = None,
     expected_current: int | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """APPEND-only clustered commit: the new rows land as fresh files
     in data/v{N+1} (partitioned by partition_col), and EVERY file of
@@ -1749,7 +1751,15 @@ def append_version_clustered(
     are normal; readers union them and pruned reads match on the
     per-file partition tag. Prior manifest meta carries forward under
     the new commit's keys (so a model artifact riding in meta — the
-    IVF-PQ index's centroids/codebooks — survives appends)."""
+    IVF-PQ index's centroids/codebooks — survives appends).
+
+    `stats_cols` / `bloom_cols` request write-time index maintenance —
+    THE path where the incremental build earns its keep: the refresh
+    harvests only this append's files (O(appended), see
+    build_column_stats) instead of the stale-rebuild full-table pass a
+    later lookup would otherwise pay. Same post-publish failure
+    contract as commit_version (IndexMaintenanceError, commit already
+    durable)."""
 
     _occ_check(path, expected_current)
     prior = _manifest(path) if current_version(path) > 0 else {"files": [], "partitions": {}}
@@ -1774,6 +1784,16 @@ def append_version_clustered(
         expected_current,
         prev=prior if prior.get("version") else None,
     )
+    for col in stats_cols or ():
+        try:
+            build_column_stats(spark, path, col)
+        except Exception as e:  # noqa: BLE001 — commit already durable
+            raise IndexMaintenanceError(v, e) from e
+    for col in bloom_cols or ():
+        try:
+            build_bloom_index(spark, path, col)
+        except Exception as e:  # noqa: BLE001 — commit already durable
+            raise IndexMaintenanceError(v, e) from e
     return v
 
 

@@ -2220,6 +2220,16 @@ REGISTRY: dict[str, QuerySpec] = {
         text.bpe_encode_corpus,
         text.bpe_encode_oracle_sql(),
     ),
+    "bpe_encode_ids_corpus": QuerySpec(
+        # tokenizer apply END-TO-END: documents -> BPE token-ID
+        # sequences under the frozen artifact (merges + GPT-2-style
+        # vocab ids, both pure functions of BPE_MERGES_V1). Replace-
+        # chain encode + literal-map id lookup, all JVM; per-doc count,
+        # id sum, and order-sensitive id-sequence fingerprint, DuckDB-
+        # replayed bit-for-bit.
+        text.bpe_encode_ids_corpus,
+        text.bpe_encode_ids_oracle_sql(),
+    ),
     "vocab_top_tokens": QuerySpec(
         text.vocab_top_tokens,
         """

@@ -521,3 +521,47 @@ def test_bpe_encode_roundtrip_against_pure_python(spark):
             if len(toks) < len(w):
                 compressed_somewhere = True
     assert compressed_somewhere  # the merges actually fired
+
+
+def test_bpe_vocab_ids_match_pure_python(spark):
+    """Token-ID encode: Spark's map-lookup ids must equal a pure-Python
+    encode+lookup over the same frozen artifact, and the vocab id
+    scheme is deterministic (base alphabet then merge order)."""
+    from data_ingestion_pipeline_spark.operators.text import (
+        BPE_BASE_ALPHABET,
+        BPE_MERGES_V1,
+        bpe_encode_ids_corpus,
+        bpe_vocab,
+        load_table,
+    )
+    from tests.conftest import SF_TEST
+
+    vocab = bpe_vocab(BPE_MERGES_V1)
+    assert [vocab[c] for c in BPE_BASE_ALPHABET] == list(range(36))
+    assert vocab[BPE_MERGES_V1[0][0] + BPE_MERGES_V1[0][1]] == 36
+
+    def encode_word(w):
+        syms = list(w)
+        for a, b in BPE_MERGES_V1:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r.doc_id: r for r in bpe_encode_ids_corpus(spark, SF_TEST).collect()}
+    rows = load_table(spark, SF_TEST, "documents").select("doc_id", "text").collect()
+    for r in rows:
+        ids = [
+            vocab[t]
+            for w in r.text.split(" ")
+            if w
+            for t in encode_word(w)
+        ]
+        assert got[r.doc_id].n_tokens == len(ids)
+        assert got[r.doc_id].id_sum == sum(ids)

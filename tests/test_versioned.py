@@ -1498,3 +1498,35 @@ def test_write_time_bloom_maintenance(spark, tmp_path):
     assert cand  # fresh index served, no StaleBloomIndexError
     got = versioned.bloom_lookup(spark, path, "event_id", [7])
     assert got.count() == 1
+
+
+def test_append_write_time_maintenance_is_incremental(spark, tmp_path):
+    """append_version_clustered(stats_cols=..., bloom_cols=...): the
+    commit-time refresh harvests only the appended files — the
+    incremental path, proven by the pointer telemetry — and probes
+    serve immediately without the stale-rebuild pass."""
+    path = str(tmp_path / "awm")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_clustered(
+        spark, path, ev.filter(F.col("event_id") < 800).repartition(4),
+        "event_type",
+    )
+    versioned.build_column_stats(spark, path, "event_id")
+    versioned.build_bloom_index(spark, path, "event_id")
+    n1 = len(versioned._manifest(path)["files"])
+
+    versioned.append_version_clustered(
+        spark, path, ev.filter(F.col("event_id") >= 800).repartition(2),
+        "event_type", stats_cols=["event_id"], bloom_cols=["event_id"],
+    )
+    n_added = len(versioned._manifest(path)["files"]) - n1
+    import json as _json
+
+    with open(os.path.join(path, "_STATS_event_id.json")) as fh:
+        assert _json.load(fh)["harvested_files"] == n_added
+    with open(os.path.join(path, "_BLOOM_event_id.json")) as fh:
+        assert _json.load(fh)["harvested_files"] == n_added
+    # both probes serve fresh, and results are exact
+    assert versioned.stats_lookup(spark, path, "event_id", 790, 810).count() == 21
+    assert versioned.bloom_lookup(spark, path, "event_id", [799, 800]).count() == 2
