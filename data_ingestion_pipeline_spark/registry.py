@@ -983,6 +983,18 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "stream_versioned_append_ingest": QuerySpec(
+        # O(micro-batch) exactly-once ingest: bloom-pruned first-wins
+        # key dedup + append-shaped commits (all prior files carried
+        # by reference) + incremental per-batch index maintenance —
+        # the long-lived-stream shape where the upsert twin's
+        # whole-snapshot rewrite dies. Duplicates are verbatim copies,
+        # so the drained table equals the source (identity oracle).
+        streaming.stream_versioned_append_ingest,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+    ),
     "stream_versioned_ingest_compacted": QuerySpec(
         # maintenance composition (r10): exactly-once drain, then
         # OPTIMIZE bin-packs the micro-batch debris — snapshot must

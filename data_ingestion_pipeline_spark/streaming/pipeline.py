@@ -1427,6 +1427,98 @@ def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.read_version(spark, table).select(*FEED_COLS)
 
 
+def stream_versioned_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest with O(micro-batch) COMMITS — the
+    100 TB shape of the versioned sink. stream_versioned_ingest's
+    upsert path re-reads and rewrites the WHOLE snapshot every
+    micro-batch (fine at test scale, fatal on a long-lived stream);
+    this entry keeps table state identical while every batch costs
+    only its own size:
+
+    1. FIRST-WINS DEDUP, bloom-pruned: the batch's distinct keys
+       (micro-batch-bounded, the one driver-side list) probe the
+       table's bloom index — a METADATA-ONLY candidate-file selection
+       — and only those files are read (key column pruned) for the
+       left-anti join. No candidate files → no table I/O at all.
+       Bloom's no-false-negative guarantee makes the dedup exact.
+    2. APPEND-SHAPED COMMIT: surviving rows land day-partitioned via
+       commit_version_partitioned with EVERY prior file carried by
+       reference — manifest delta bytes + new-rows write, never a
+       table rewrite. The batch_id meta gives replay skips
+       (exactly-once) exactly as the upsert twin.
+    3. INCREMENTAL INDEX MAINTENANCE: build_bloom_index after the
+       commit harvests ONLY the batch's new files (prior sidecar rows
+       carry — operators/versioned.py), so step 1 stays fresh at
+       O(batch) forever.
+
+    Drained result must equal the batch first-wins dedup of the
+    duplicated feed (duplicates are verbatim copies, so first-wins ==
+    value identity with the source — same oracle as
+    stream_versioned_ingest). O(batch) commit shape (carried file
+    reuse, per-batch harvest telemetry) pinned in
+    tests/test_streaming.py."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_dedup", sf_name, "feed")  # shared dup fixture
+    table = scratch_path("stream_vappend", sf_name, "table")
+    ckpt = scratch_path("stream_vappend", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    build_feed(spark, sf_dir, feed, with_dups=True)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id <= V.manifest_meta(table).get("batch_id", -1):
+            return  # replayed batch: already committed, exactly-once skip
+        batch = bdf.dropDuplicates(["event_id"])
+        carried: list[str] = []
+        if V.current_version(table) > 0:
+            m = V._manifest(table)
+            carried = list(m["files"])
+            keys = [
+                r.event_id for r in batch.select("event_id").distinct().collect()
+            ]
+            if keys and carried:
+                try:
+                    cand = V.bloom_candidate_files(
+                        spark, table, "event_id", keys, manifest=m
+                    )
+                except (V.StaleBloomIndexError, FileNotFoundError):
+                    V.build_bloom_index(spark, table, "event_id")
+                    cand = V.bloom_candidate_files(
+                        spark, table, "event_id", keys, manifest=m
+                    )
+                if cand:
+                    existing = V._read_files_as_snapshot(
+                        spark,
+                        m,
+                        [os.path.join(table, c) for c in cand],
+                        path=table,
+                    ).select("event_id")
+                    batch = batch.join(existing, "event_id", "left_anti")
+        V.commit_version_partitioned(
+            spark, table, batch, ts_col="ts", carried=carried,
+            meta={"batch_id": batch_id},
+        )
+        # incremental: harvests only this batch's files
+        V.build_bloom_index(spark, table, "event_id")
+
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(feed)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return V.read_version(spark, table).select(*FEED_COLS)
+
+
 def stream_versioned_ingest_compacted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

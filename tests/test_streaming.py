@@ -237,3 +237,51 @@ def test_versioned_ingest_compaction_composes(spark):
     comp = m["meta"]["compaction"]
     assert comp["files_out"] < comp["files_in"]
     assert isinstance(m["meta"]["batch_id"], int)  # replay guard survives
+
+
+def test_stream_append_ingest_commits_are_batch_sized(spark):
+    """The O(micro-batch) sink contract: every post-batch-1 manifest
+    carries ALL earlier files by reference (no rewrite — v1's physical
+    files appear verbatim in the final manifest), the per-batch bloom
+    refresh harvests only that batch's new files, and the drained
+    table still equals the first-wins dedup of the duplicated feed."""
+    import json
+    import os
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+    from data_ingestion_pipeline_spark.streaming.pipeline import (
+        stream_versioned_append_ingest,
+    )
+    from tests.conftest import SF_TEST
+
+    got = stream_versioned_append_ingest(spark, SF_TEST)
+    ev = load_table(spark, SF_TEST, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ev.collect()))
+
+    sf_name = os.path.basename(SF_TEST.rstrip("/"))
+    table = scratch_path("stream_vappend", sf_name, "table")
+    cur = V.current_version(table)
+    assert cur >= 2, "expected multiple micro-batch commits"
+    m_final = V._manifest(table)
+    m1 = V._manifest(table, 1)
+    assert m1["files"], "first batch committed no files"
+    assert set(m1["files"]) <= set(m_final["files"]), (
+        "an append-shaped commit rewrote earlier batches' files"
+    )
+    # each version adds files, never drops (append-only chain)
+    prev = set()
+    for v in range(1, cur + 1):
+        files = set(V._manifest(table, v)["files"])
+        assert prev <= files
+        prev = files
+    # last bloom refresh harvested only the final batch's delta
+    with open(os.path.join(table, "_BLOOM_event_id.json")) as fh:
+        idx = json.load(fh)
+    last_delta = len(m_final["files"]) - len(V._manifest(table, cur - 1)["files"])
+    assert idx["version"] == cur
+    assert idx["harvested_files"] == last_delta
+    assert idx["carried_files"] == len(m_final["files"]) - last_delta
