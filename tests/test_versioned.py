@@ -1530,3 +1530,32 @@ def test_append_write_time_maintenance_is_incremental(spark, tmp_path):
     # both probes serve fresh, and results are exact
     assert versioned.stats_lookup(spark, path, "event_id", 790, 810).count() == 21
     assert versioned.bloom_lookup(spark, path, "event_id", [799, 800]).count() == 2
+
+
+def test_vacuum_keeps_dv_sidecars_of_retained_versions(spark, tmp_path):
+    """Reference-counting must extend to DV sidecars: vacuuming PAST a
+    DV version reclaims its sidecar, but a retained DV version keeps
+    its sidecar readable (time travel into it still filters)."""
+    path = str(tmp_path / "dvv")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(4))     # v1
+    versioned.delete_rows_dv(spark, path, F.col("event_id") < 50)  # v2 (dv A)
+    versioned.delete_rows_dv(spark, path, F.col("event_id") < 100)  # v3 (dv B)
+
+    # retain v2+: dv A (v2's sidecar) must survive, and v2 still reads
+    versioned.vacuum(path, keep_from=2)
+    assert versioned.read_version(spark, path, 2).count() == 1000 - 50
+    assert versioned.read_version(spark, path, 3).count() == 1000 - 100
+    dv_root = os.path.join(path, versioned.DV_DIR)
+    assert len(os.listdir(dv_root)) == 2  # both referenced sidecars kept
+
+    # drop v2 from the horizon: dv A is orphaned and reclaimed
+    versioned.vacuum(path, keep_from=3)
+    assert len(os.listdir(dv_root)) == 1
+    assert versioned.read_version(spark, path, 3).count() == 1000 - 100
+
+    # read_as_of resolves through the DV-bearing snapshot too
+    import time as _time
+
+    assert versioned.read_as_of(spark, path, _time.time()).count() == 1000 - 100
