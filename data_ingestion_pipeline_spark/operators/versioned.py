@@ -558,6 +558,27 @@ def delete_rows_dv(
         "overwrite"
     ).parquet(sidecar_dir)
     n_dv = spark.read.parquet(sidecar_dir).count()  # footer-count job
+    if n_dv == 0:
+        # nothing was ever deleted: commit WITHOUT a dv key so readers
+        # never pay the anti-join for an empty sidecar (the orphan dir
+        # is vacuum-reclaimable); still a real commit — the caller
+        # observed "delete ran, matched nothing" at a new version
+        manifest = {
+            "version": v,
+            "files": m["files"],
+            **({"partitions": m["partitions"]} if "partitions" in m else {}),
+            **(
+                {"partition_col": m["partition_col"]}
+                if "partition_col" in m
+                else {}
+            ),
+            "schema": m["schema"],
+            **({"project_schema": True} if m.get("project_schema") else {}),
+            "committed_at": time.time(),
+            "meta": {**(meta or {}), "dv_rows": 0},
+        }
+        _publish_manifest(path, v, manifest, expected_current, prev=m)
+        return v
     manifest = {
         "version": v,
         "files": m["files"],

@@ -1559,3 +1559,17 @@ def test_vacuum_keeps_dv_sidecars_of_retained_versions(spark, tmp_path):
     import time as _time
 
     assert versioned.read_as_of(spark, path, _time.time()).count() == 1000 - 100
+
+
+def test_delete_matching_nothing_leaves_no_dv(spark, tmp_path):
+    """A delete that matches zero rows (and no prior DV) commits a new
+    version WITHOUT a dv key — readers never pay an anti-join for an
+    empty sidecar."""
+    path = str(tmp_path / "dv0")
+    os.makedirs(path)
+    versioned.commit_version(spark, path, _events(spark).limit(200))
+    v = versioned.delete_rows_dv(spark, path, F.col("event_id") < 0)
+    assert v == 2
+    m = versioned._manifest(path)
+    assert "dv" not in m and m["meta"]["dv_rows"] == 0
+    assert versioned.read_version(spark, path).count() == 200
