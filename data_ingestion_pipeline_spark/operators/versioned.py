@@ -1617,6 +1617,37 @@ def deletion_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deletion_vector_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry: the DV MAINTENANCE lifecycle a production table
+    cycles through — soft-delete via deletion vector (metadata-only),
+    materialize_deletes (fold the DV into a DV-free snapshot: Delta's
+    REORG APPLY PURGE), then compact_files (which REFUSES DV-bearing
+    snapshots and is unblocked exactly by the materialize). The final
+    snapshot must still equal the anti-filtered source after all three
+    maintenance commits — same oracle as the pure-DV entry's first
+    delete. Guard behavior and vacuum reclamation pinned in
+    tests/test_versioned.py."""
+    import shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("dvmaint", sf_name, "table")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(8))
+    delete_rows_dv(spark, path, F.col("event_type") == "error")
+    materialize_deletes(spark, path)
+    compact_files(spark, path, target_bytes=1 << 30)
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
 # ---- partition-granular copy-on-write (the 100 TB refinement) ------
 
 PART_COL = "p_date"

@@ -1074,6 +1074,17 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE NOT (event_type = 'error') AND NOT (value < 10.0)
         """,
     ),
+    "deletion_vector_maintenance_roundtrip": QuerySpec(
+        # the DV maintenance lifecycle: soft-delete -> materialize
+        # (REORG APPLY PURGE analog) -> compact (unblocked exactly by
+        # the materialize). Snapshot must still equal the anti-filter
+        # after three maintenance commits.
+        versioned.deletion_vector_maintenance_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE NOT (event_type = 'error')
+        """,
+    ),
     "stats_skipping_roundtrip": QuerySpec(
         # min/max data-skipping (r10): footer-harvested per-file stats
         # (pure metadata, no Spark job) serve a range probe that reads
