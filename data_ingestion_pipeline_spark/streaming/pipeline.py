@@ -1435,12 +1435,15 @@ def stream_versioned_append_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     this entry keeps table state identical while every batch costs
     only its own size:
 
-    1. FIRST-WINS DEDUP, bloom-pruned: the batch's distinct keys
-       (micro-batch-bounded, the one driver-side list) probe the
-       table's bloom index — a METADATA-ONLY candidate-file selection
-       — and only those files are read (key column pruned) for the
+    1. FIRST-WINS DEDUP, bloom-pruned with NO driver-side key list:
+       the batch's keys stay executor-side — their distinct bloom
+       BIT-TUPLES (bounded ~1 MB metadata, never O(batch); see
+       bloom_candidate_files_df) probe the table's bloom index, and
+       only candidate files are read (key column pruned) for the
        left-anti join. No candidate files → no table I/O at all.
-       Bloom's no-false-negative guarantee makes the dedup exact.
+       Bloom's no-false-negative guarantee makes the dedup exact; a
+       saturating probe set (None) falls back to the full carried
+       list, which is what the probe would have returned anyway.
     2. APPEND-SHAPED COMMIT: surviving rows land day-partitioned via
        commit_version_partitioned with EVERY prior file carried by
        reference — manifest delta bytes + new-rows write, never a
@@ -1477,19 +1480,19 @@ def stream_versioned_append_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         if V.current_version(table) > 0:
             m = V._manifest(table)
             carried = list(m["files"])
-            keys = [
-                r.event_id for r in batch.select("event_id").distinct().collect()
-            ]
-            if keys and carried:
+            if carried:
+                keys_df = batch.select("event_id")
                 try:
-                    cand = V.bloom_candidate_files(
-                        spark, table, "event_id", keys, manifest=m
+                    cand = V.bloom_candidate_files_df(
+                        spark, table, "event_id", keys_df, manifest=m
                     )
                 except (V.StaleBloomIndexError, FileNotFoundError):
                     V.build_bloom_index(spark, table, "event_id")
-                    cand = V.bloom_candidate_files(
-                        spark, table, "event_id", keys, manifest=m
+                    cand = V.bloom_candidate_files_df(
+                        spark, table, "event_id", keys_df, manifest=m
                     )
+                if cand is None:
+                    cand = carried  # probe saturated: scan everything
                 if cand:
                     existing = V._read_files_as_snapshot(
                         spark,
