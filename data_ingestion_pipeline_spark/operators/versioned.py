@@ -3037,3 +3037,181 @@ def retention_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, path).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+# ---- Z-order clustering maintenance (multi-column data skipping) ----
+# Delta's OPTIMIZE ... ZORDER BY / Iceberg's sort-order rewrite: lay
+# the table out along a space-filling curve over SEVERAL columns so
+# per-file [min, max] footer stats stay narrow on EVERY clustered
+# column at once — a single-column range-cluster
+# (repartitionByRange) gives perfect skipping on one column and none
+# on the others; bit-interleaved ordering gives ~n^(1/k) skipping on
+# each of k columns. Construction (the standard one): per column,
+# rank values into 2^bits quantile buckets (approxQuantile — one
+# pass, driver gets 2^bits floats per column, never data), interleave
+# the bucket bits into a single z-value, then range-partition + sort
+# by it and commit. Everything JVM-side; the only driver payload is
+# the boundary list.
+
+ZORDER_BITS = 8  # per-column bucket resolution (256 range buckets)
+
+
+def _zorder_bucket(col: F.Column, boundaries: list[float]) -> F.Column:
+    """Quantile-bucket index of col: how many boundaries lie at or
+    below it (a 2^bits-element JVM filter per row — constant work,
+    no shuffle, no Python). NULL compares to nothing and lands in
+    bucket 0: nulls cluster low, which stats skipping is indifferent
+    to (footer min/max ignore nulls; range probes never match null)."""
+    arr = F.array([F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b <= col.cast("double")))
+
+
+def _zorder_value(bucket_cols: list[F.Column], bits: int) -> F.Column:
+    """Bit-interleave k bucket indices into one long: output bit
+    (bit*k + i) is input i's bit `bit` — the Morton/Z curve. A pure
+    shift/or expression tree of k*bits terms (k=2-4, bits=8 → ≤32
+    nodes: nowhere near expression-depth limits, cf. the BPE chain
+    guard)."""
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucket_cols):
+            pos = bit * len(bucket_cols) + i
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    pos,
+                )
+            )
+    return z
+
+
+def zorder_cluster(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int = 16,
+    bits: int = ZORDER_BITS,
+    meta: dict | None = None,
+) -> int:
+    """Rewrite the current snapshot Z-ORDERED by `cols` and commit it
+    as the next version, refreshing the stats index of every
+    clustered column (write-time maintenance — the probes are the
+    whole point of the layout). One full-table rewrite, like any
+    OPTIMIZE: cost O(table) once, amortized over every multi-column
+    range probe after it. Quantile boundaries come from ONE
+    approxQuantile pass (all columns together); the z-value is a
+    JVM shift/or tree; the layout lands via repartitionByRange +
+    sortWithinPartitions on z, so file boundaries follow the curve.
+    DV-bearing snapshots are folded first (the rewrite materializes
+    deletes — positions change, so carrying the DV would corrupt
+    it). Refuses non-numeric cluster columns (quantile bucketing is
+    numeric; string clustering needs a collation-aware curve this
+    engine does not claim)."""
+    m = _manifest(path)
+    if m["version"] == 0:
+        raise ValueError("cannot z-order an empty table")
+    df = read_version(spark, path)  # DV-filtered: deletes materialize
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt not in ("int", "bigint", "smallint", "tinyint", "float",
+                      "double", "decimal", "date", "timestamp") and not (
+            dt.startswith("decimal")
+        ):
+            raise ValueError(f"zorder_cluster: non-numeric column {c!r} ({dt})")
+        if dt in ("date", "timestamp"):
+            df = df.withColumn(f"__zc_{c}", F.col(c).cast("double"))
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    num_cols = [
+        f"__zc_{c}" if f"__zc_{c}" in df.columns else c for c in cols
+    ]
+    bounds = df.stat.approxQuantile(num_cols, probs, 0.001)
+    buckets = [
+        _zorder_bucket(F.col(nc), bs) for nc, bs in zip(num_cols, bounds)
+    ]
+    z = _zorder_value(buckets, bits)
+    ordered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[c for c in df.columns if c.startswith("__zc_")])
+    )
+    return commit_version(
+        spark,
+        path,
+        ordered,
+        meta={**(meta or {}), "zorder_by": cols, "zorder_bits": bits},
+        stats_cols=cols,
+    )
+
+
+def stats_lookup_multi(
+    spark: SparkSession,
+    path: str,
+    preds: list[tuple],
+    max_rebuilds: int = 3,
+) -> DataFrame:
+    """Multi-column range query through the stats indexes: `preds` is
+    [(col, lo, hi), ...]; the candidate set is the INTERSECTION of
+    each column's interval-overlap probe (a file pruned by ANY
+    clustered dimension provably contains no match), then ONE read of
+    the surviving files with every exact predicate applied. On a
+    z-ordered table each dimension prunes ~independently — the
+    multi-column skipping a single-column layout cannot give. Same
+    snapshot-consistent validate/read and bounded rebuild loop as
+    stats_lookup."""
+    last: Exception | None = None
+    for _ in range(max_rebuilds + 1):
+        m = _manifest(path)
+        cand: set[str] | None = None
+        try:
+            for col, lo, hi in preds:
+                c = set(
+                    stats_candidate_files(spark, path, col, lo, hi, manifest=m)
+                )
+                cand = c if cand is None else (cand & c)
+                if not cand:
+                    break
+        except (StaleStatsIndexError, FileNotFoundError) as e:
+            last = e
+            for col, _lo, _hi in preds:
+                build_column_stats(spark, path, col)
+            continue
+        if not cand:
+            return _empty_snapshot(spark, m)
+        df = _read_files_as_snapshot(
+            spark, m, [os.path.join(path, rel) for rel in sorted(cand)],
+            path=path,
+        )
+        for col, lo, hi in preds:
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+    raise last
+
+
+def zorder_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: commit events, Z-ORDER by (event_id, value),
+    then serve a 2-D range probe through the per-column stats indexes
+    (candidate intersection → one pruned read → exact filters). The
+    result must equal the plain doubly-filtered scan (DuckDB oracle);
+    the pruning evidence — each dimension's probe admits a strict
+    subset of files, something a 1-D layout gives only for its own
+    sort column — is pinned in tests/test_versioned.py."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("zorder", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(8))
+    zorder_cluster(spark, path, ["event_id", "value"], target_files=16)
+    return stats_lookup_multi(
+        spark,
+        path,
+        [("event_id", 2000, 3999), ("value", 20.0, 60.0)],
+    ).select("event_id", "ts", "user_id", "event_type", "value")

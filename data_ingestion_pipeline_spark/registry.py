@@ -1098,6 +1098,24 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         ground_truth="tests/test_versioned.py::test_stats_index_prunes_files_and_serves_ranges",
     ),
+    "zorder_skipping_roundtrip": QuerySpec(
+        # Z-order clustering maintenance (r13): OPTIMIZE ... ZORDER BY
+        # (event_id, value) — quantile-bucket each column, interleave
+        # the bucket bits into a Morton z-value (pure JVM shift/or
+        # tree), range-partition + sort by it, commit + refresh both
+        # stats indexes. A 2-D range probe then intersects the
+        # per-column interval candidates and reads only surviving
+        # files — multi-column skipping a single-column range layout
+        # cannot give (each dimension's strict pruning pinned in
+        # tests/test_versioned.py)
+        versioned.zorder_skipping_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE event_id BETWEEN 2000 AND 3999
+          AND value BETWEEN 20.0 AND 60.0
+        """,
+        ground_truth="tests/test_versioned.py::test_zorder_prunes_both_dimensions",
+    ),
     "compaction_roundtrip": QuerySpec(
         # OPTIMIZE / small-file compaction (r10): 6-file-per-day debris
         # bin-packed to one file per partition, committed as v2 with a
@@ -3004,37 +3022,38 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY: set[str] = {
-    # r12: stats/bloom index builds went incremental (carry prior
-    # sidecar rows, harvest only added files) and harvest parallelism
-    # derives from file count — the two index-probe entries exercise
-    # that code and re-verify
-    "stats_skipping_roundtrip",
-    "bloom_index_lookup",
-    # r12: semantic_dedup pairing nprobe 3→5 (recall 0.75→0.956 at
-    # sf0.1) — candidate set changes, fresh verdict required
-    "semantic_dedup",
-    # r12: read_version/_read_files_as_snapshot gained the deletion-
-    # vector anti-join branch (a pure pass-through for DV-free
-    # manifests, but the snapshot read path every versioned entry
-    # serves through changed) — re-verify the three core roundtrips;
-    # the remaining versioned entries are covered by the every-commit
-    # full parity gate (tests/test_oracle_parity.py)
+    # r13: BPE encode rewritten end to end — the boundary-bug fix +
+    # rank-kernel Arrow stage replaced the replace-chain plan, and the
+    # DuckDB oracles moved to the sentinel-anchored chain (ADVICE r12
+    # high / VERDICT r12 task 1) — fresh hash verdicts required
+    "bpe_encode_corpus",
+    "bpe_encode_ids_corpus",
+    # r13: every versioned read now passes an explicit manifest schema
+    # (no parquet inference job) and delete_rows_dv counts via footers
+    # + records dead files — re-verify the core roundtrips and both DV
+    # lifecycles; the remaining versioned entries are covered by the
+    # every-commit full parity gate (tests/test_oracle_parity.py)
     "versioned_table_roundtrip",
     "versioned_cow_roundtrip",
-    "compaction_roundtrip",
+    "deletion_vector_roundtrip",
+    "deletion_vector_maintenance_roundtrip",
+    # r13: the streaming append sink's dedup probe moved to the
+    # DataFrame-native bloom probe (no driver-side key list), and the
+    # index-probe entries now run the dead-candidate filter + explicit
+    # sidecar schemas
+    "stream_versioned_append_ingest",
+    "stats_skipping_roundtrip",
+    "bloom_index_lookup",
 }
-# r11 prune history: all four r11 names (the three versioned-index
-# entries + semantic_dedup) hold clean r11 hash-matched verdicts.
-# ADVICE r11 asked why the OTHER versioned-format writers (upsert /
-# CDF / time-travel / exactly-once streaming sinks) were not listed
-# when the delta-log manifest encoding changed under them: their r11
-# driver verdicts (upsert_table_roundtrip, stream_dedup_upsert,
-# stream_corpus_ingest, versioned_table_changes, … — CORRECTNESS_r11)
-# were produced WITH the delta-log format live, so the concern is
-# now settled by direct evidence, not only by the encode/resolve
-# property test. Earlier prunes: 8 r10 names after CORRECTNESS_r10,
+# r12 prune history: all six r12 names (the index-probe pair,
+# semantic_dedup, the three versioned roundtrips) hold clean r12
+# hash-matched verdicts (CORRECTNESS_r12). Earlier prunes: four r11
+# names after CORRECTNESS_r11, 8 r10 names after CORRECTNESS_r10,
 # 22 r9 names after CORRECTNESS_r09, r7 rewrites after
-# CORRECTNESS_r07.
+# CORRECTNESS_r07. ADVICE r11 asked why the OTHER versioned-format
+# writers were not listed when the delta-log encoding changed under
+# them: their r11 driver verdicts were produced WITH the delta-log
+# format live — settled by direct evidence.
 
 
 def _verification_order(names: list[str]) -> list[str]:

@@ -143,5 +143,96 @@ def ensure() -> str:
     return str(OUT)
 
 
+# ---- sf10-equivalent (500k docs) — the jaccard_prefix_join decade ----
+# VERDICT r12 task 4: alpha 1.42 on the 5k→50k segment is the repo's
+# steepest curve; one more decade tells whether prefix selectivity
+# holds. Vocabulary is the load-bearing modeling decision here: the
+# smaller fixtures reuse the testdata's FIXED 31-word vocabulary, whose
+# ~31³ trigram-shingle space SATURATES — at 500k docs every shingle's
+# document frequency grows ~linearly with n, prefix buckets grow with
+# it, and ANY exact AllPairs-family join degenerates quadratically (the
+# true candidate set itself does; no join strategy can beat
+# enumerating it). Natural corpora don't behave that way: vocabulary
+# grows with corpus size (Heaps' law, V ∝ n^β, β≈0.4-0.6), so shingle
+# document frequencies stay roughly FLAT as the corpus grows. The XL
+# fixture models that: its vocabulary scales by β=0.5 (31 → 98 words
+# for 50k → 500k docs), holding per-shingle df comparable across the
+# decade — so the measured exponent isolates the JOIN STRATEGY, which
+# is the claim under test, not the synthetic vocabulary's saturation.
+# The saturation bound itself is documented on jaccard_prefix_join.
+OUT_XL = ROOT / ".growth_fixture" / "sf10"
+N_DOCS_XL = 500_000
+HEAPS_BETA = 0.5
+
+
+def _vocab_for(n_docs: int) -> np.ndarray:
+    """Heaps-law vocabulary for a corpus of n_docs: the base 31 words
+    extended with deterministic synthetic words to V = 31·(n/50k)^β."""
+    v = max(len(VOCAB), int(round(len(VOCAB) * (n_docs / N_DOCS) ** HEAPS_BETA)))
+    extra = [f"w{i:03d}" for i in range(v - len(VOCAB))]
+    return np.concatenate([VOCAB, np.array(extra)]) if extra else VOCAB
+
+
+def _documents_sized(
+    rng: np.random.RandomState, n_docs: int, vocab: np.ndarray
+):
+    """_documents generalized to (n_docs, vocab) — same dup structure:
+    ~4% near-dups of an earlier original, family size ≤ 3."""
+    import pandas as pd
+
+    texts: list[str] = []
+    toks_of: list[np.ndarray] = []
+    originals: list[int] = []
+    copies = np.zeros(n_docs, dtype=np.int32)
+    for i in range(n_docs):
+        j = originals[rng.randint(0, len(originals))] if originals else -1
+        if i > 100 and rng.rand() < 0.04 and j >= 0 and copies[j] < 2:
+            copies[j] += 1
+            toks = toks_of[j].copy()
+            n_mut = max(1, int(0.03 * len(toks)))
+            pos = rng.choice(len(toks), size=n_mut, replace=False)
+            toks[pos] = vocab[rng.randint(0, len(vocab), size=n_mut)]
+        else:
+            n = rng.randint(45, 101)
+            toks = vocab[rng.randint(0, len(vocab), size=n)]
+            originals.append(i)
+        toks_of.append(toks)
+        texts.append(" ".join(toks))
+    lang = LANGS[rng.randint(0, len(LANGS), size=n_docs)]
+    source = np.array([f"src{j}" for j in rng.randint(0, 20, size=n_docs)])
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": lang,
+            "source": source,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
+def ensure_xl() -> str:
+    """Generate the 500k-doc fixture if absent; return its path.
+    Documents only — the XL decade exists for the text-join family."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done = OUT_XL / "_GENERATED"
+    if done.is_file():
+        return str(OUT_XL)
+    os.makedirs(OUT_XL, exist_ok=True)
+    rng = np.random.RandomState(SEED + 1)
+    docs = _documents_sized(rng, N_DOCS_XL, _vocab_for(N_DOCS_XL))
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        OUT_XL / "documents.parquet",
+    )
+    done.write_text(
+        f"seed={SEED + 1} docs={N_DOCS_XL} "
+        f"vocab={len(_vocab_for(N_DOCS_XL))} beta={HEAPS_BETA}\n"
+    )
+    return str(OUT_XL)
+
+
 if __name__ == "__main__":
     print(ensure())

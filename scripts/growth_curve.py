@@ -48,12 +48,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from gen_growth_fixture import ensure as ensure_fixture  # noqa: E402
+from gen_growth_fixture import ensure_xl as ensure_fixture_xl  # noqa: E402
 
 from data_ingestion_pipeline_spark.operators import dedup, similarity  # noqa: E402
 from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
 from data_ingestion_pipeline_spark.sources.tables import load_table  # noqa: E402
 
 ALPHA_GATE = 1.5
+SEGMENTS = ["sf0.01->sf0.1", "sf0.1->sf1eq(generated)"]
 
 # production candidate-generation paths (the bench_fn side — grading
 # joins would re-introduce the quadratic oracle these exist to avoid)
@@ -66,6 +68,10 @@ OPS = {
     "semantic_dedup": similarity.semantic_dedup,
 }
 EMB_OPS = {"embedding_near_dup_lsh", "semantic_dedup"}
+# ops measured one decade further (500k docs, Heaps-law vocabulary —
+# see gen_growth_fixture.ensure_xl): the steepest curves, where the
+# standard two decades are the thinnest extrapolation base
+XL_OPS = {"jaccard_prefix_join"}
 
 
 def main() -> None:
@@ -76,9 +82,11 @@ def main() -> None:
         "/root/testdata/sf0.1",
         ensure_fixture(),  # sf1-equivalent, generated + gitignored
     ]
+    xl_dir = ensure_fixture_xl()  # sf10-equivalent, documents only
 
     # rows per sf: documents for the text family, embeddings for LSH
     doc_rows = {d: load_table(spark, d, "documents").count() for d in sf_dirs}
+    doc_rows[xl_dir] = load_table(spark, xl_dir, "documents").count()
     emb_rows = {d: load_table(spark, d, "embeddings").count() for d in sf_dirs}
     rows_for = lambda name: emb_rows if name in EMB_OPS else doc_rows  # noqa: E731
 
@@ -90,15 +98,16 @@ def main() -> None:
         # per-operator warmup at the small SF: codegen/compile cost
         # otherwise inflates the small point and with it the exponent
         fn(spark, sf_dirs[0]).count()
+        dirs = sf_dirs + ([xl_dir] if name in XL_OPS else [])
         times, counts = [], []
-        for d in sf_dirs:
+        for d in dirs:
             t0 = time.perf_counter()
             n_out = fn(spark, d).count()
             times.append(round(time.perf_counter() - t0, 2))
             counts.append(n_out)
-        n = [rows_for(name)[d] for d in sf_dirs]
+        n = [rows_for(name)[d] for d in dirs]
         alphas, alphas_out = [], []
-        for i in range(1, len(sf_dirs)):
+        for i in range(1, len(dirs)):
             alphas.append(
                 round(
                     math.log(times[i] / times[i - 1])
@@ -122,6 +131,11 @@ def main() -> None:
             "alpha_out": alphas_out,
             "gate": ALPHA_GATE,
             "ok": ok,
+            **(
+                {"segments": SEGMENTS + ["sf1eq->sf10eq(generated)"]}
+                if name in XL_OPS
+                else {}
+            ),
         }
         print(
             f"{name}: n={n} sec={times} out={counts} "
@@ -139,7 +153,7 @@ def main() -> None:
     prev = json.loads(gc_path.read_text()) if gc_path.is_file() else {}
     doc = {
         "gate": ALPHA_GATE,
-        "segments": ["sf0.01->sf0.1", "sf0.1->sf1eq(generated)"],
+        "segments": SEGMENTS,
         "ops": out,
     }
     if "metadata_path" in prev:

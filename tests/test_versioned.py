@@ -1746,3 +1746,76 @@ def test_vacuum_sidecar_grace_spares_inflight_dv(spark, tmp_path):
 
     versioned.vacuum(path, keep_from=1)
     assert not os.path.isdir(sidecar_dir), "grace 0 reclaims orphans"
+
+
+def test_zorder_interleave_matches_pure_python(spark):
+    """The Morton z-value expression must equal a from-scratch bit
+    interleave for every (bucket, bucket) pair at full resolution."""
+    rows = [(a, b) for a in (0, 1, 5, 127, 200, 255) for b in (0, 3, 64, 255)]
+    df = spark.createDataFrame(rows, "ba int, bb int")
+    got = {
+        (r.ba, r.bb): r.z
+        for r in df.select(
+            "ba",
+            "bb",
+            versioned._zorder_value([F.col("ba"), F.col("bb")], 8).alias("z"),
+        ).collect()
+    }
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for bit in range(8):
+            z |= ((a >> bit) & 1) << (bit * 2)
+            z |= ((b >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    for a, b in rows:
+        assert got[(a, b)] == morton(a, b), (a, b)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The layout claim: after ZORDER BY (event_id, value), the stats
+    probe on EACH column admits a strict subset of files — a 1-D
+    range layout prunes only its own sort column — and the 2-D
+    candidate intersection is no larger than either. Results stay
+    exact (equality with the plain doubly-filtered scan)."""
+    path = str(tmp_path / "zord")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(8))
+    versioned.zorder_cluster(spark, path, ["event_id", "value"], target_files=16)
+    m = versioned._manifest(path)
+    n_files = len(m["files"])
+    assert n_files >= 8
+
+    ids = [r.event_id for r in ev.select("event_id").collect()]
+    lo_id, hi_id = sorted(ids)[len(ids) // 4], sorted(ids)[len(ids) // 2]
+    cand_id = versioned.stats_candidate_files(
+        spark, path, "event_id", lo_id, hi_id, manifest=m
+    )
+    cand_val = versioned.stats_candidate_files(
+        spark, path, "value", 20.0, 60.0, manifest=m
+    )
+    assert 0 < len(cand_id) < n_files, (len(cand_id), n_files)
+    assert 0 < len(cand_val) < n_files, (len(cand_val), n_files)
+    both = set(cand_id) & set(cand_val)
+    assert len(both) <= min(len(cand_id), len(cand_val))
+
+    got = sorted(
+        (r.event_id, r.value)
+        for r in versioned.stats_lookup_multi(
+            spark,
+            path,
+            [("event_id", lo_id, hi_id), ("value", 20.0, 60.0)],
+        ).collect()
+    )
+    want = sorted(
+        (r.event_id, r.value)
+        for r in ev.filter(
+            (F.col("event_id") >= lo_id)
+            & (F.col("event_id") <= hi_id)
+            & (F.col("value") >= 20.0)
+            & (F.col("value") <= 60.0)
+        ).collect()
+    )
+    assert got == want and got
