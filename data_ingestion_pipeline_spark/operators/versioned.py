@@ -1973,6 +1973,13 @@ def commit_version_clustered(
     return v
 
 
+# "dv not passed" sentinel: None must stay expressible as an EXPLICIT
+# "this snapshot has no DV" (upsert_version_cow resolved the manifest
+# already and threads m.get("dv") verbatim — re-resolving would cost a
+# chain walk per commit for nothing)
+_DV_UNSET = object()
+
+
 def commit_version_partitioned(
     spark: SparkSession,
     path: str,
@@ -1981,7 +1988,7 @@ def commit_version_partitioned(
     carried: list[str] | None = None,
     meta: dict | None = None,
     expected_current: int | None = None,
-    dv: dict | None = None,
+    dv=_DV_UNSET,
 ) -> int:
     """Commit df day-partitioned, carrying over untouched files from
     an earlier snapshot BY REFERENCE: the manifest lists `carried`
@@ -1997,16 +2004,22 @@ def commit_version_partitioned(
     INHERITED — carried files keep whatever soft-deletes they had.
     Dropping it silently would resurrect deleted rows in every
     carried file (ADVICE r12: stream_versioned_append_ingest carried
-    files without threading dv). A caller that really wants the DV
-    gone materializes first (materialize_deletes) or commits without
-    carried files; DV rows naming rewritten files never match (see
-    _anti_join_dv), so inheriting is always sound."""
+    files without threading dv). A caller that already resolved the
+    prior manifest threads dv=m.get("dv") explicitly (possibly None —
+    that is an answer, not an omission, hence the sentinel default);
+    a caller that really wants the DV gone materializes first
+    (materialize_deletes) or commits without carried files. DV rows
+    naming rewritten files never match (see _anti_join_dv), so
+    inheriting is always sound."""
     from data_ingestion_pipeline_spark.operators.upsert import with_partition_col
 
     _occ_check(path, expected_current)
-    if carried and dv is None:
-        prev_m = _manifest(path) if current_version(path) > 0 else {}
-        dv = prev_m.get("dv")
+    if dv is _DV_UNSET:
+        dv = (
+            _manifest(path).get("dv")
+            if carried and current_version(path) > 0
+            else None
+        )
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
     with_partition_col(df, ts_col).write.partitionBy(PART_COL).mode(

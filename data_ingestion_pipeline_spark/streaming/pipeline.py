@@ -1477,9 +1477,11 @@ def stream_versioned_append_ingest(spark: SparkSession, sf_dir: str) -> DataFram
             return  # replayed batch: already committed, exactly-once skip
         batch = bdf.dropDuplicates(["event_id"])
         carried: list[str] = []
+        prior_dv = None
         if V.current_version(table) > 0:
             m = V._manifest(table)
             carried = list(m["files"])
+            prior_dv = m.get("dv")
             if carried:
                 keys_df = batch.select("event_id")
                 try:
@@ -1501,9 +1503,12 @@ def stream_versioned_append_ingest(spark: SparkSession, sf_dir: str) -> DataFram
                         path=table,
                     ).select("event_id")
                     batch = batch.join(existing, "event_id", "left_anti")
+        # dv threaded from the already-resolved manifest (None when
+        # the table has none) — the sentinel default would otherwise
+        # re-resolve the chain per batch just to find the same answer
         V.commit_version_partitioned(
             spark, table, batch, ts_col="ts", carried=carried,
-            meta={"batch_id": batch_id},
+            meta={"batch_id": batch_id}, dv=prior_dv,
         )
         # incremental: harvests only this batch's files
         V.build_bloom_index(spark, table, "event_id")

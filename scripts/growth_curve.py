@@ -90,11 +90,19 @@ def main() -> None:
     emb_rows = {d: load_table(spark, d, "embeddings").count() for d in sf_dirs}
     rows_for = lambda name: emb_rows if name in EMB_OPS else doc_rows  # noqa: E731
 
-    # untimed warmup (JVM/codegen boot otherwise lands on the first op)
-    load_table(spark, sf_dirs[0], "documents").count()
-
     out, failed = {}, []
     for name, fn in OPS.items():
+        # FRESH SESSION PER OPERATOR: the candidate-generation ops
+        # localCheckpoint large intermediates, and those blocks live in
+        # the block manager for the session's lifetime — by the time
+        # the 500k-doc decade ran, earlier ops' lingering blocks plus
+        # its own shuffle spill exceeded local disk (SPILL_OUT_OF_
+        # MEMORY, observed r13). A session restart is the deterministic
+        # reclaim; the per-op small-SF warmup below re-absorbs the JVM/
+        # codegen boot it resets, so timed points stay engine
+        # measurements.
+        spark.stop()
+        spark = get_spark(f"growth-{name}", cpus=cpus)
         # per-operator warmup at the small SF: codegen/compile cost
         # otherwise inflates the small point and with it the exponent
         fn(spark, sf_dirs[0]).count()
