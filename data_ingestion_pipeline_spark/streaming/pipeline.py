@@ -1483,7 +1483,11 @@ def stream_versioned_append_ingest(spark: SparkSession, sf_dir: str) -> DataFram
             carried = list(m["files"])
             prior_dv = m.get("dv")
             if carried:
-                keys_df = batch.select("event_id")
+                # probe from the RAW batch: the probe's distinct
+                # bit-pair aggregation dedupes anyway, so routing it
+                # around dropDuplicates saves that exchange in the
+                # per-batch probe plan (pure fixed overhead at toy SF)
+                keys_df = bdf.select("event_id")
                 try:
                     cand = V.bloom_candidate_files_df(
                         spark, table, "event_id", keys_df, manifest=m
