@@ -86,6 +86,12 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- Z-order clustering: the data-skipping layout pass -------------
+# Directory-level rewrite (plain parquet in/out, min-max-scaled
+# Morton key). The VERSIONED-TABLE sibling is
+# operators/versioned.py::zorder_cluster — quantile-bucketed,
+# committed through the atomic publish protocol, with write-time
+# stats maintenance and a multi-column intersection probe
+# (stats_lookup_multi) on top.
 
 ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
 

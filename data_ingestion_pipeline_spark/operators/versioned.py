@@ -3053,10 +3053,18 @@ def retention_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- Z-order clustering maintenance (multi-column data skipping) ----
-# Delta's OPTIMIZE ... ZORDER BY / Iceberg's sort-order rewrite: lay
-# the table out along a space-filling curve over SEVERAL columns so
-# per-file [min, max] footer stats stay narrow on EVERY clustered
-# column at once — a single-column range-cluster
+# Delta's OPTIMIZE ... ZORDER BY / Iceberg's sort-order rewrite for
+# the VERSIONED TABLE FORMAT — the committed, index-maintained sibling
+# of operators/maintenance.py::zorder_cluster_table (which rewrites a
+# plain parquet directory with a min-max-scaled Morton key and no
+# index integration). This one buckets by QUANTILES (skew-robust where
+# linear min-max scaling collapses under outliers), publishes through
+# the atomic commit protocol, refreshes the stats index of every
+# clustered column at write time, and is served by a multi-column
+# candidate-intersection probe (stats_lookup_multi). Lay the table out
+# along a space-filling curve over SEVERAL columns so per-file
+# [min, max] footer stats stay narrow on EVERY clustered column at
+# once — a single-column range-cluster
 # (repartitionByRange) gives perfect skipping on one column and none
 # on the others; bit-interleaved ordering gives ~n^(1/k) skipping on
 # each of k columns. Construction (the standard one): per column,
