@@ -701,6 +701,190 @@ def materialize_deletes(
     )
 
 
+def update_rows_mor(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    expected_current: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Row-level UPDATE as a MERGE-ON-READ commit — the Delta
+    deletion-vector UPDATE / Iceberg MOR construction: ONE atomic
+    commit that (a) extends the cumulative DV with the positions of
+    every LIVE row matching `predicate` (their old images go dark)
+    and (b) appends fresh data files holding those rows' UPDATED
+    images (`assignments`: column → Column/SQL-string expression
+    evaluated against the old row). Cost is O(matched rows + DV), and
+    ZERO existing files are rewritten — at 100 TB, updating one key's
+    rows costs those rows, not their files (upsert_version_cow's COW
+    path rewrites touched partitions; plain upsert_version rewrites
+    the table). Readers need no new machinery: appended files carry
+    no DV entries by construction and old images anti-join out
+    through the one shared read path.
+
+    Publish order inside the commit: updated-image files land first,
+    then the DV sidecar, then the manifest naming both — a crash
+    between any two leaves the prior snapshot intact and only
+    vacuum-reclaimable orphans behind. Schema is invariant
+    (assignments replace values, never add columns — this engine's
+    evolve_schema is the metadata-only DDL for that). Repeated
+    updates are plain UPDATE semantics: a second run re-matches rows
+    whose updated image still satisfies the predicate. Partitioned /
+    clustered snapshots are refused (appended files would lack
+    partition tags and silently vanish from pruned reads —
+    upsert_version_cow is the partitioned-table update path). Same
+    OCC protocol, same maintenance interplay as delete_rows_dv
+    (compact/purge refuse until materialize_deletes folds the DV)."""
+    _occ_check(path, expected_current)
+    m = _manifest(path)
+    if m["version"] == 0:
+        raise ValueError("cannot update an empty table")
+    if "partitions" in m or "partition_col" in m:
+        raise ValueError(
+            "update_rows_mor supports unpartitioned snapshots; use "
+            "upsert_version_cow for partition-granular updates"
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    abs_root = os.path.abspath(path)
+    v = m["version"] + 1
+
+    prior_dead = set(m.get("dv", {}).get("dead_files", []))
+    live_files = [f for f in m["files"] if f not in prior_dead]
+    prior_dv = (
+        spark.read.schema("file string, pos bigint").parquet(
+            os.path.join(path, m["dv"]["sidecar"])
+        )
+        if m.get("dv")
+        else None
+    )
+    tagged = (
+        _tagged_scan(spark, path, {**m, "files": live_files})
+        if live_files
+        else None
+    )
+    if tagged is not None and prior_dv is not None:
+        tagged = tagged.join(
+            prior_dv.select(
+                F.col("file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+    if tagged is None:
+        return m["version"]  # empty table: nothing to update
+    # matched feeds TWO writes (updated images + DV extension); the
+    # barrier stops the predicate scan from running twice and pins
+    # one consistent match set under both
+    matched = tagged.filter(cond).localCheckpoint(eager=True)
+    n_matched = matched.count()  # over checkpointed blocks: metadata-cheap
+    if n_matched == 0:
+        # nothing matched: still a real commit (the caller observed
+        # "update ran, matched nothing" at a new version), carrying
+        # files AND the prior DV pointer untouched — no sidecar, no
+        # data write, no orphans
+        _publish_manifest(
+            path,
+            v,
+            {
+                "version": v,
+                "files": m["files"],
+                "schema": m["schema"],
+                **({"project_schema": True} if m.get("project_schema") else {}),
+                "committed_at": time.time(),
+                "meta": {**(meta or {}), "updated_rows": 0},
+                **({"dv": m["dv"]} if m.get("dv") else {}),
+            },
+            expected_current,
+            prev=m,
+        )
+        return v
+
+    data_cols = [c for c in matched.columns if not c.startswith("__dv_")]
+    for col_name in assignments:
+        if col_name not in data_cols:
+            raise ValueError(f"assignment to unknown column {col_name!r}")
+    updated = matched.select(
+        *[
+            (
+                (
+                    F.expr(assignments[c])
+                    if isinstance(assignments[c], str)
+                    else assignments[c]
+                ).alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in data_cols
+        ]
+    )
+    data_dir = os.path.join(path, "data", f"v{v}")
+    updated.write.mode("overwrite").parquet(data_dir)
+    new_files = sorted(
+        os.path.join("data", f"v{v}", f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+    sidecar_rel = os.path.join(DV_DIR, f"v{v}-{uuid.uuid4().hex[:8]}")
+    sidecar_dir = os.path.join(abs_root, sidecar_rel)
+    masked = matched.select(
+        F.col("__dv_file").alias("file"),
+        F.col("__dv_pos").cast("bigint").alias("pos"),
+    )
+    out = masked if prior_dv is None else prior_dv.unionByName(masked)
+    out.repartition(_index_shards(max(1, len(m["files"])))).write.mode(
+        "overwrite"
+    ).parquet(sidecar_dir)
+    files = sorted(list(m["files"]) + new_files)
+    n_dv, dead_files = _dv_sidecar_stats(
+        spark, path, sidecar_dir, {**m, "files": files}
+    )
+    manifest = {
+        "version": v,
+        "files": files,
+        "schema": m["schema"],
+        **({"project_schema": True} if m.get("project_schema") else {}),
+        "committed_at": time.time(),
+        "meta": {**(meta or {}), "updated_rows": n_matched},
+        "dv": {
+            "sidecar": sidecar_rel,
+            "rows": n_dv,
+            **({"dead_files": dead_files} if dead_files else {}),
+        },
+    }
+    _publish_manifest(path, v, manifest, expected_current, prev=m)
+    return v
+
+
+def update_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: commit events, then merge-on-read UPDATE every
+    'error' event's value (+1000) — one commit, zero rewritten files
+    (file-reuse, time travel and double-update semantics pinned in
+    tests/test_versioned.py). The current snapshot must equal the
+    CASE-expression scan of the source (DuckDB oracle)."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("update_mor", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(8))
+    update_rows_mor(
+        spark,
+        path,
+        F.col("event_type") == "error",
+        {"value": F.col("value") + 1000.0},
+    )
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
 # --- per-file bloom index: point-lookup pruning on a NON-partition,
 # NON-clustered key. Partition pruning needs the partition key and
 # min/max stats need clustering (Z-order); a bloom filter per data

@@ -1098,6 +1098,23 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         ground_truth="tests/test_versioned.py::test_stats_index_prunes_files_and_serves_ranges",
     ),
+    "update_mor_roundtrip": QuerySpec(
+        # merge-on-read UPDATE (r13): one atomic commit extends the
+        # deletion vector with matched LIVE rows' positions and
+        # appends files holding their updated images — O(matched)
+        # cost, zero rewritten files (the Delta DV-update / Iceberg
+        # MOR construction). Old images anti-join out through the one
+        # shared read path; file reuse, time travel and double-update
+        # semantics pinned in tests/test_versioned.py
+        versioned.update_mor_roundtrip,
+        """
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_type = 'error' THEN value + 1000.0
+                    ELSE value END AS value
+        FROM events
+        """,
+        ground_truth="tests/test_versioned.py::test_update_mor_appends_without_rewrite",
+    ),
     "zorder_skipping_roundtrip": QuerySpec(
         # Z-order clustering maintenance (r13): OPTIMIZE ... ZORDER BY
         # (event_id, value) — quantile-bucket each column, interleave

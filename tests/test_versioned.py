@@ -1819,3 +1819,95 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_update_mor_appends_without_rewrite(spark, tmp_path):
+    """Merge-on-read UPDATE: one commit, every pre-existing file
+    carried byte-identical, matched rows' old images DV-masked and
+    their updated images appended as new files. Current snapshot ==
+    CASE-expression scan; time travel to v1 sees original values;
+    a second update compounds (plain UPDATE semantics)."""
+    path = str(tmp_path / "mor")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(6))
+    m1 = versioned._manifest(path)
+
+    v2 = versioned.update_rows_mor(
+        spark, path,
+        F.col("event_type") == "error",
+        {"value": F.col("value") + 1000.0},
+    )
+    m2 = versioned._manifest(path)
+    assert v2 == 2
+    # every v1 file carried by reference; only appended files are new
+    assert set(m1["files"]) <= set(m2["files"])
+    new = set(m2["files"]) - set(m1["files"])
+    assert new and all(f.startswith(os.path.join("data", "v2")) for f in new)
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    assert m2["meta"]["updated_rows"] == n_err
+    assert m2["dv"]["rows"] == n_err
+
+    want = {
+        r.event_id: r.value + (1000.0 if r.event_type == "error" else 0.0)
+        for r in ev.collect()
+    }
+    got = {
+        r.event_id: r.value
+        for r in versioned.read_version(spark, path).collect()
+    }
+    assert got == want
+
+    # time travel: v1 still serves the original values
+    v1_vals = {
+        r.event_id: r.value
+        for r in versioned.read_version(spark, path, 1).collect()
+    }
+    assert v1_vals == {r.event_id: r.value for r in ev.collect()}
+
+    # second update re-matches (updated images still 'error'): +2000
+    versioned.update_rows_mor(
+        spark, path,
+        F.col("event_type") == "error",
+        {"value": F.col("value") + 1000.0},
+    )
+    got2 = {
+        r.event_id: r.value
+        for r in versioned.read_version(spark, path).collect()
+    }
+    assert got2 == {
+        # double semantics: (v + 1000) + 1000, NOT v + 2000 — the
+        # engine applies the expressions sequentially like SQL would
+        r.event_id: (
+            (r.value + 1000.0) + 1000.0 if r.event_type == "error" else r.value
+        )
+        for r in ev.collect()
+    }
+
+    # no-match update: new version, content unchanged, no new files
+    before = versioned._manifest(path)
+    v4 = versioned.update_rows_mor(
+        spark, path, F.col("event_id") < 0, {"value": F.lit(0.0)}
+    )
+    after = versioned._manifest(path)
+    assert v4 == before["version"] + 1
+    assert after["files"] == before["files"]
+    assert after["dv"] == before["dv"]
+    assert after["meta"]["updated_rows"] == 0
+
+    # maintenance interplay: compact refuses until materialize
+    import pytest
+
+    with pytest.raises(ValueError):
+        versioned.compact_files(spark, path, target_bytes=1 << 30)
+    versioned.materialize_deletes(spark, path)
+    assert versioned.read_version(spark, path).count() == ev.count()
+
+    # guards: unknown column, partitioned snapshot
+    with pytest.raises(ValueError, match="unknown column"):
+        versioned.update_rows_mor(spark, path, "value > 0", {"nope": F.lit(1)})
+    ppath = str(tmp_path / "morp")
+    os.makedirs(ppath)
+    versioned.commit_version_partitioned(spark, ppath, ev)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        versioned.update_rows_mor(spark, ppath, "value > 0", {"value": F.lit(1.0)})
