@@ -3420,3 +3420,117 @@ def zorder_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         [("event_id", 2000, 3999), ("value", 20.0, 60.0)],
     ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# ---- history + restore: the table-format introspection/rollback API --
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per RETAINED version, newest first —
+    {version, n_files, dv_rows, meta, committed_at}. Pure metadata
+    (manifest resolution only, no data I/O, no Spark); vacuumed
+    versions are absent, torn manifests beyond the pointer are never
+    listed. committed_at is the audit wall clock (read_as_of's
+    caveats apply)."""
+    out: list[dict] = []
+    for v in range(current_version(path), 0, -1):
+        if not os.path.isfile(_manifest_path(path, v)):
+            continue  # vacuumed past the horizon
+        m = _manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "n_files": len(m["files"]),
+                "dv_rows": m.get("dv", {}).get("rows", 0),
+                "meta": m.get("meta", {}),
+                "committed_at": m.get("committed_at"),
+            }
+        )
+    return out
+
+
+def restore_version(
+    spark: SparkSession,
+    path: str,
+    to_version: int,
+    expected_current: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — as a NEW commit whose
+    manifest references the target snapshot's files (and DV pointer)
+    BY REFERENCE: metadata-only, zero data movement, and the
+    intervening history stays time-travelable (Delta's RESTORE
+    semantics — rollback is an append to history, never a pointer
+    rewind, so a bad restore is itself restorable). Requires the
+    target manifest to still be retained (not vacuumed); the restored
+    version's files are protected from future vacuums by the same
+    reference counting every carried-file commit relies on. Same OCC
+    protocol as commit_version."""
+    _occ_check(path, expected_current)
+    cur = current_version(path)
+    if to_version < 1 or to_version > cur:
+        raise ValueError(f"cannot restore to v{to_version} (current v{cur})")
+    if not os.path.isfile(_manifest_path(path, to_version)):
+        raise ValueError(
+            f"v{to_version} was vacuumed past the retention horizon; "
+            "its files may no longer exist"
+        )
+    t = _manifest(path, to_version)
+    prev = _manifest(path, cur)
+    v = cur + 1
+    _publish_manifest(
+        path,
+        v,
+        {
+            "version": v,
+            "files": t["files"],  # by reference — no data write
+            **({"partitions": t["partitions"]} if "partitions" in t else {}),
+            **(
+                {"partition_col": t["partition_col"]}
+                if "partition_col" in t
+                else {}
+            ),
+            "schema": t["schema"],
+            **({"project_schema": True} if t.get("project_schema") else {}),
+            **({"dv": t["dv"]} if t.get("dv") else {}),
+            "committed_at": time.time(),
+            "meta": {**(meta or {}), "restored_from": to_version},
+        },
+        expected_current,
+        prev=prev,
+    )
+    return v
+
+
+def table_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: a four-commit lifecycle — commit events (v1),
+    DV-delete the 'error' rows (v2), MOR-update values < 10 (+5.0, v3),
+    RESTORE to v1 (v4) — then emit, per HISTORY version, the row count
+    and DV size the snapshot serves. History listing is pure metadata;
+    the per-version counts re-read each snapshot, proving time travel
+    across delete/update/restore in one entry. The DuckDB oracle
+    recomputes all four states from the source."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("history", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(4))
+    delete_rows_dv(spark, path, F.col("event_type") == "error")
+    update_rows_mor(
+        spark, path, F.col("value") < 10.0, {"value": F.col("value") + 5.0}
+    )
+    restore_version(spark, path, 1)
+    hist = table_history(path)
+    rows = [
+        (h["version"], int(read_version(spark, path, h["version"]).count()),
+         int(h["dv_rows"]))
+        for h in hist
+    ]
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, dv_rows bigint"
+    )

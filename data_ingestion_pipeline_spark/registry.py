@@ -1098,6 +1098,34 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         ground_truth="tests/test_versioned.py::test_stats_index_prunes_files_and_serves_ranges",
     ),
+    "table_history_roundtrip": QuerySpec(
+        # DESCRIBE HISTORY + RESTORE (r13): a four-commit lifecycle
+        # (commit -> DV delete -> MOR update -> metadata-only RESTORE
+        # to v1) emitting per-version row and DV counts — history
+        # listing is pure manifest metadata, the counts re-read every
+        # snapshot, so the one entry proves time travel across
+        # delete/update/rollback. Restore commits FORWARD (the bad
+        # state stays time-travelable); vacuum reference-counting of
+        # restored manifests pinned in tests/test_versioned.py
+        versioned.table_history_roundtrip,
+        """
+        WITH s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                      AS BIGINT) AS errs,
+                 CAST(COUNT(*) FILTER (WHERE event_type <> 'error'
+                                         AND value < 10.0)
+                      AS BIGINT) AS low
+          FROM events
+        )
+        SELECT 4 AS version, total AS n_rows,
+               CAST(0 AS BIGINT) AS dv_rows FROM s
+        UNION ALL SELECT 3, total - errs, errs + low FROM s
+        UNION ALL SELECT 2, total - errs, errs FROM s
+        UNION ALL SELECT 1, total, CAST(0 AS BIGINT) FROM s
+        """,
+        ground_truth="tests/test_versioned.py::test_restore_is_forward_and_reference_counted",
+    ),
     "update_mor_roundtrip": QuerySpec(
         # merge-on-read UPDATE (r13): one atomic commit extends the
         # deletion vector with matched LIVE rows' positions and

@@ -1911,3 +1911,50 @@ def test_update_mor_appends_without_rewrite(spark, tmp_path):
     versioned.commit_version_partitioned(spark, ppath, ev)
     with pytest.raises(ValueError, match="unpartitioned"):
         versioned.update_rows_mor(spark, ppath, "value > 0", {"value": F.lit(1.0)})
+
+
+def test_restore_is_forward_and_reference_counted(spark, tmp_path):
+    """RESTORE semantics: rollback is a NEW metadata-only commit (the
+    bad state stays time-travelable), restored file references are
+    byte-identical (no data movement), vacuum keeps files the restored
+    manifest references, and restoring a vacuumed version refuses."""
+    import pytest
+
+    path = str(tmp_path / "rst")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(4))
+    m1 = versioned._manifest(path)
+    versioned.delete_rows_dv(spark, path, F.col("event_type") == "error")
+
+    v3 = versioned.restore_version(spark, path, 1)
+    m3 = versioned._manifest(path)
+    assert v3 == 3
+    assert m3["files"] == m1["files"]  # by reference, no data write
+    assert "dv" not in m3 and m3["meta"]["restored_from"] == 1
+    assert versioned.read_version(spark, path).count() == ev.count()
+    # the bad state is still there: v2 time-travels
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    assert versioned.read_version(spark, path, 2).count() == ev.count() - n_err
+
+    # history, newest first, metadata only
+    hist = versioned.table_history(path)
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[0]["dv_rows"] == 0 and hist[1]["dv_rows"] == n_err
+
+    # vacuum past v1/v2: restored manifest still references v1 files,
+    # so reference counting must keep them readable
+    versioned.vacuum(path, keep_from=3)
+    assert versioned.read_version(spark, path).count() == ev.count()
+    assert [h["version"] for h in versioned.table_history(path)] == [3]
+
+    # restoring a vacuumed version refuses loudly
+    with pytest.raises(ValueError, match="vacuumed"):
+        versioned.restore_version(spark, path, 2)
+    # a DV-bearing restore target carries its DV pointer
+    versioned.delete_rows_dv(spark, path, F.col("value") < 5.0)  # v4
+    n4 = versioned.read_version(spark, path).count()
+    versioned.commit_version(spark, path, ev.limit(10))  # v5
+    versioned.restore_version(spark, path, 4)  # v6
+    m6 = versioned._manifest(path)
+    assert m6.get("dv") and versioned.read_version(spark, path).count() == n4
