@@ -3308,10 +3308,11 @@ def zorder_cluster(
     JVM shift/or tree; the layout lands via repartitionByRange +
     sortWithinPartitions on z, so file boundaries follow the curve.
     DV-bearing snapshots are folded first (the rewrite materializes
-    deletes — positions change, so carrying the DV would corrupt
-    it). Refuses non-numeric cluster columns (quantile bucketing is
-    numeric; string clustering needs a collation-aware curve this
-    engine does not claim)."""
+    deletes — positions change, so carrying the DV would corrupt it;
+    the committed manifest is DV-free, pinned in
+    tests/test_versioned.py). Refuses non-numeric cluster columns
+    (quantile bucketing is numeric; string clustering needs a
+    collation-aware curve this engine does not claim)."""
     m = _manifest(path)
     if m["version"] == 0:
         raise ValueError("cannot z-order an empty table")

@@ -1958,3 +1958,20 @@ def test_restore_is_forward_and_reference_counted(spark, tmp_path):
     versioned.restore_version(spark, path, 4)  # v6
     m6 = versioned._manifest(path)
     assert m6.get("dv") and versioned.read_version(spark, path).count() == n4
+
+
+def test_zorder_on_dv_snapshot_materializes_deletes(spark, tmp_path):
+    """OPTIMIZE over a DV-bearing snapshot: the rewrite reads through
+    the anti-join, so soft-deleted rows fold away and the committed
+    manifest is DV-FREE — a clustered layout never carries position-
+    keyed deletes across its own rewrite."""
+    path = str(tmp_path / "zdv")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(4))
+    versioned.delete_rows_dv(spark, path, F.col("event_type") == "error")
+    survivors = versioned.read_version(spark, path).count()
+    versioned.zorder_cluster(spark, path, ["event_id", "value"], target_files=8)
+    m = versioned._manifest(path)
+    assert "dv" not in m
+    assert versioned.read_version(spark, path).count() == survivors
