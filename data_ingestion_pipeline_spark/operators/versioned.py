@@ -885,6 +885,378 @@ def update_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class MergeCardinalityError(RuntimeError):
+    """Multiple source rows matched (and tried to modify) the same
+    target row — the merge is non-deterministic, refuse (the same
+    contract Delta's MERGE enforces)."""
+
+
+def merge_into_mor(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: list[tuple] = (),
+    insert_not_matched: bool | dict = False,
+    expected_current: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Three-clause MERGE INTO as ONE merge-on-read commit — the full
+    Delta `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c]
+    THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT` statement over
+    this table format (reference analog: the consumer's per-key
+    upsert, services/consumer/main.py:225-249, generalized to
+    conditional update/delete/insert in one atomic commit).
+
+    `when_matched` is an ORDERED list of clauses, each
+    ``("update", {col: sql_expr}, cond_sql_or_None)`` or
+    ``("delete", None, cond_sql_or_None)``; per matched row the FIRST
+    clause whose condition holds applies (Delta clause-order
+    semantics), and a matched row satisfying no clause is untouched.
+    Expressions and conditions are SQL strings referencing the target
+    as ``t.<col>`` and the source as ``s.<col>``.
+    `insert_not_matched`: True inserts source columns by target
+    column name; a dict gives per-target-column ``s.``-expressions.
+
+    Physical shape (the 100 TB story): ONE join of the live snapshot
+    against the source — equi-keyed, so Catalyst/AQE picks broadcast
+    for a small source (the CDC-batch case) or a shuffle hash join
+    otherwise — feeding (a) a DV extension with every updated or
+    deleted row's position, and (b) appended files holding updated
+    images + inserts. Zero existing files are rewritten: cost is
+    O(live-scan + matched + inserts), exactly update_rows_mor /
+    delete_rows_dv composed, and a merge that matches one key costs
+    that key's rows, not their files. Source cardinality is enforced:
+    two source rows modifying the same target row raise
+    MergeCardinalityError (checked over the pinned match set before
+    any write). Publish order: image files → DV sidecar → manifest,
+    so a crash leaves the prior snapshot intact and only
+    vacuum-reclaimable orphans. Unpartitioned snapshots only, same
+    rule and reason as update_rows_mor."""
+    _occ_check(path, expected_current)
+    m = _manifest(path)
+    if m["version"] == 0:
+        raise ValueError("cannot merge into an empty table")
+    if "partitions" in m or "partition_col" in m:
+        raise ValueError(
+            "merge_into_mor supports unpartitioned snapshots; use "
+            "upsert_version_cow for partition-granular upserts"
+        )
+    for op, assigns, _cond in when_matched:
+        if op not in ("update", "delete"):
+            raise ValueError(f"unknown matched clause {op!r}")
+        if op == "delete" and assigns:
+            raise ValueError("delete clause takes no assignments")
+    target_schema = _manifest_read_schema(m)
+    data_cols = [f.name for f in target_schema.fields]
+    col_type = {f.name: f.dataType for f in target_schema.fields}
+    for op, assigns, _cond in when_matched:
+        for c in assigns or {}:
+            if c not in col_type:
+                raise ValueError(f"assignment to unknown column {c!r}")
+    if isinstance(insert_not_matched, dict):
+        missing = set(data_cols) - set(insert_not_matched)
+        if missing:
+            raise ValueError(f"insert clause missing columns {sorted(missing)}")
+    abs_root = os.path.abspath(path)
+    v = m["version"] + 1
+
+    prior_dead = set(m.get("dv", {}).get("dead_files", []))
+    live_files = [f for f in m["files"] if f not in prior_dead]
+    prior_dv = (
+        spark.read.schema("file string, pos bigint").parquet(
+            os.path.join(path, m["dv"]["sidecar"])
+        )
+        if m.get("dv")
+        else None
+    )
+    tagged = (
+        _tagged_scan(spark, path, {**m, "files": live_files})
+        if live_files
+        else None
+    )
+    if tagged is not None and prior_dv is not None:
+        tagged = tagged.join(
+            prior_dv.select(
+                F.col("file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+
+    def _ins_expr(c: str) -> F.Column:
+        e = (
+            F.expr(insert_not_matched[c])
+            if isinstance(insert_not_matched, dict)
+            else F.col(f"s.{c}")
+        )
+        return e.cast(col_type[c]).alias(f"__i_{c}")
+
+    if tagged is None:
+        # every prior file is DV-dead: no row can match — the merge
+        # degenerates to the insert clause over the whole source
+        if not insert_not_matched:
+            _publish_manifest(
+                path,
+                v,
+                {
+                    "version": v,
+                    "files": m["files"],
+                    "schema": m["schema"],
+                    **({"project_schema": True} if m.get("project_schema") else {}),
+                    "committed_at": time.time(),
+                    "meta": {**(meta or {}), "merge": {"updated": 0, "deleted": 0, "inserted": 0}},
+                    **({"dv": m["dv"]} if m.get("dv") else {}),
+                },
+                expected_current,
+                prev=m,
+            )
+            return v
+        images = (
+            source.alias("s")
+            .select(*[_ins_expr(c) for c in data_cols])
+            .select(*[F.col(f"__i_{c}").alias(c) for c in data_cols])
+            .localCheckpoint(eager=True)
+        )
+        flat = None
+        counts: dict = {}
+        n_ins = images.count()  # over checkpointed blocks: metadata-cheap
+    else:
+        t = tagged.alias("t")
+        s = source.alias("s")
+        cond = None
+        for k in keys:
+            eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = eq if cond is None else (cond & eq)
+        jt = "right_outer" if insert_not_matched else "inner"
+        joined = t.join(s, cond, jt)
+
+        matched_flag = F.col("t.__dv_pos").isNotNull()
+        action = F.lit(None).cast("int")
+        chain = None
+        for i, (_op, _assigns, ccond) in enumerate(when_matched):
+            c = F.expr(ccond) if ccond else F.lit(True)
+            chain = F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
+        if chain is not None:
+            action = F.when(matched_flag, chain)
+
+        proj = [F.col(f"t.{c}").alias(c) for c in data_cols]
+        proj += [
+            F.col("t.__dv_file").alias("__dv_file"),
+            F.col("t.__dv_pos").alias("__dv_pos"),
+            matched_flag.alias("__matched"),
+            action.alias("__action"),
+        ]
+        for i, (op, assigns, _c) in enumerate(when_matched):
+            if op == "update":
+                for c, e in assigns.items():
+                    proj.append(F.expr(e).cast(col_type[c]).alias(f"__u{i}_{c}"))
+        if insert_not_matched:
+            proj += [_ins_expr(c) for c in data_cols]
+        # one target scan + one source pass pinned under EVERY
+        # downstream write (images, DV, counts) — same barrier
+        # rationale as update_rows_mor
+        flat = joined.select(*proj).localCheckpoint(eager=True)
+
+        counts = {
+            (r["__matched"], r["__action"]): r["n"]
+            for r in flat.groupBy("__matched", "__action")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_modified = sum(
+            n for (mt, a), n in counts.items() if mt and a is not None
+        )
+        if n_modified:
+            dup = (
+                flat.filter(F.col("__matched") & F.col("__action").isNotNull())
+                .groupBy("__dv_file", "__dv_pos")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise MergeCardinalityError(
+                    "multiple source rows matched and attempted to modify "
+                    "the same target row; deduplicate the source on the "
+                    "merge keys first"
+                )
+        image_parts = []
+        for i, (op, assigns, _c) in enumerate(when_matched):
+            if op != "update" or not counts.get((True, i)):
+                continue
+            image_parts.append(
+                flat.filter(F.col("__action") == i).select(
+                    *[
+                        (
+                            F.col(f"__u{i}_{c}")
+                            if c in assigns
+                            else F.col(c)
+                        ).alias(c)
+                        for c in data_cols
+                    ]
+                )
+            )
+        n_ins = 0
+        if insert_not_matched:
+            n_ins = sum(n for (mt, _a), n in counts.items() if not mt)
+            if n_ins:
+                image_parts.append(
+                    flat.filter(~F.col("__matched")).select(
+                        *[F.col(f"__i_{c}").alias(c) for c in data_cols]
+                    )
+                )
+        images = image_parts[0] if image_parts else None
+        for p in image_parts[1:]:
+            images = images.unionByName(p)
+
+    new_files: list[str] = []
+    if images is not None:
+        data_dir = os.path.join(path, "data", f"v{v}")
+        images.write.mode("overwrite").parquet(data_dir)
+        new_files = sorted(
+            os.path.join("data", f"v{v}", f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+
+    delete_idx = [
+        i for i, (op, _a, _c) in enumerate(when_matched) if op == "delete"
+    ]
+    update_idx = [
+        i for i, (op, _a, _c) in enumerate(when_matched) if op == "update"
+    ]
+    n_upd = sum(counts.get((True, i), 0) for i in update_idx)
+    n_del = sum(counts.get((True, i), 0) for i in delete_idx)
+    files = sorted(list(m["files"]) + new_files)
+
+    dv_pointer = m.get("dv")
+    if flat is not None and (n_upd or n_del):
+        sidecar_rel = os.path.join(DV_DIR, f"v{v}-{uuid.uuid4().hex[:8]}")
+        sidecar_dir = os.path.join(abs_root, sidecar_rel)
+        masked = flat.filter(
+            F.col("__matched") & F.col("__action").isNotNull()
+        ).select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").cast("bigint").alias("pos"),
+        )
+        out = masked if prior_dv is None else prior_dv.unionByName(masked)
+        out.repartition(_index_shards(max(1, len(m["files"])))).write.mode(
+            "overwrite"
+        ).parquet(sidecar_dir)
+        n_dv, dead_files = _dv_sidecar_stats(
+            spark, path, sidecar_dir, {**m, "files": files}
+        )
+        dv_pointer = {
+            "sidecar": sidecar_rel,
+            "rows": n_dv,
+            **({"dead_files": dead_files} if dead_files else {}),
+        }
+
+    manifest = {
+        "version": v,
+        "files": files,
+        "schema": m["schema"],
+        **({"project_schema": True} if m.get("project_schema") else {}),
+        "committed_at": time.time(),
+        "meta": {
+            **(meta or {}),
+            "merge": {"updated": n_upd, "deleted": n_del, "inserted": n_ins},
+        },
+        **({"dv": dv_pointer} if dv_pointer else {}),
+    }
+    _publish_manifest(path, v, manifest, expected_current, prev=m)
+    return v
+
+
+def merge_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: commit events, then ONE three-clause MERGE —
+    source rows derived from the table itself: event_id % 10 == 0 →
+    conditional UPDATE (value doubled, event_type 'merged'),
+    % 10 == 1 → conditional DELETE, % 10 == 2 shifted by +10⁷ →
+    NOT-MATCHED INSERT. The final snapshot must equal the oracle's
+    LEFT-JOIN/CASE reconstruction; clause ordering, cardinality
+    enforcement, file reuse and time travel are pinned in
+    tests/test_versioned.py."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("merge_mor", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(8))
+    bucket = F.col("event_id") % 10
+    source = (
+        ev.filter(bucket == 0)
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            (F.col("value") * 2).alias("value"),
+            F.lit("update").alias("op"),
+        )
+        .unionByName(
+            ev.filter(bucket == 1).select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            ev.filter(bucket == 2).select(
+                (F.col("event_id") + 10000000).alias("event_id"),
+                "ts", "user_id",
+                F.lit("inserted").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    merge_into_mor(
+        spark,
+        path,
+        source,
+        ["event_id"],
+        when_matched=[
+            ("update", {"value": "s.value", "event_type": "'merged'"}, "s.op = 'update'"),
+            ("delete", None, "s.op = 'delete'"),
+        ],
+        insert_not_matched=True,
+    )
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def merge_mor_oracle_sql() -> str:
+    return """
+        WITH src AS (
+            SELECT event_id, ts, user_id, event_type,
+                   value * 2 AS value, 'update' AS op
+            FROM events WHERE event_id % 10 = 0
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value, 'delete'
+            FROM events WHERE event_id % 10 = 1
+            UNION ALL
+            SELECT event_id + 10000000, ts, user_id, 'inserted',
+                   CAST(-1.0 AS DOUBLE), 'insert'
+            FROM events WHERE event_id % 10 = 2
+        )
+        SELECT t.event_id, t.ts, t.user_id,
+               CASE WHEN s.op = 'update' THEN 'merged'
+                    ELSE t.event_type END AS event_type,
+               CASE WHEN s.op = 'update' THEN s.value
+                    ELSE t.value END AS value
+        FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+        WHERE s.op IS NULL OR s.op = 'update'
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value
+        FROM src WHERE op = 'insert'
+    """
+
+
 # --- per-file bloom index: point-lookup pruning on a NON-partition,
 # NON-clustered key. Partition pruning needs the partition key and
 # min/max stats need clustering (Z-order); a bloom filter per data
@@ -3043,6 +3415,132 @@ def versioned_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_version(spark, path, updates, ["event_id"])
     return table_changes(spark, path, 1, 2, ["event_id"])
+
+
+# ---- incremental CDF consumption: durable-cursor change reader -----
+
+
+def init_changes_cursor(cursor_path: str, version: int) -> None:
+    """Create/overwrite a change cursor acknowledging everything up to
+    `version` — the Delta streaming-source `startingVersion` analog
+    (init at current_version(path) = "new changes only")."""
+    _atomic_json(cursor_path, {"acked": int(version)})
+
+
+def _read_cursor(cursor_path: str) -> int:
+    with open(cursor_path) as fh:
+        return int(json.load(fh)["acked"])
+
+
+def ack_changes(cursor_path: str, version: int) -> None:
+    """Advance the cursor AFTER the consumer has durably processed the
+    batch consume_changes handed out — the at-least-once commit point
+    (crash between consume and ack → the next consume re-emits the
+    same batch). Regressions refuse: acking backwards would silently
+    re-deliver everything since."""
+    acked = _read_cursor(cursor_path)
+    if version < acked:
+        raise ValueError(
+            f"cursor already at {acked}; refusing to regress to {version}"
+        )
+    _atomic_json(cursor_path, {"acked": int(version)})
+
+
+def consume_changes(
+    spark: SparkSession,
+    path: str,
+    cursor_path: str,
+    keys: list[str],
+) -> tuple[DataFrame | None, int]:
+    """One incremental read of the change feed: everything that
+    changed between the cursor's acked version and the table's
+    current version, as a CDF DataFrame (insert / delete /
+    update_pre+postimage rows — table_changes), plus the version the
+    caller must ack after processing. Returns (None, acked) when
+    nothing new committed. This is the Delta streaming-source /
+    Iceberg incremental-read consumption loop on this format: a
+    downstream replica applies each batch then acks, and a crash
+    anywhere replays the un-acked batch (at-least-once; the batch is
+    deterministic for fixed versions, so an idempotent applier gets
+    exactly-once). The diff is the NET change between the two
+    snapshots — intermediate versions a slow consumer skipped are
+    collapsed (a row updated 5 times emits one pre/post pair), which
+    is exactly what a replica needs and strictly cheaper than
+    replaying every commit. Cost: one keyed full-outer join of the
+    two snapshot reads — at 100 TB both sides prune to the manifests'
+    file lists and a COW-partitioned diff could prune further to
+    partitions whose file sets differ (pure metadata)."""
+    acked = _read_cursor(cursor_path)
+    cur = current_version(path)
+    if cur <= acked:
+        return None, acked
+    return table_changes(spark, path, acked, cur, keys), cur
+
+
+def cdf_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: a two-batch consumer lifecycle — commit events
+    (v1, cursor init), UPSERT every 10th value +1000 (v2), consume →
+    batch 1 (update pairs), ack; DV-DELETE the clicks (v3), consume →
+    batch 2 (deletes, carrying v2 images), ack; a third consume must
+    return nothing (pinned in tests). Returns both batches tagged
+    `_batch`; the oracle re-derives them from the source table."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = scratch_path("cdf_consume", sf_name, "run")
+    _shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "table")
+    os.makedirs(path, exist_ok=True)
+    cursor = os.path.join(root, "cursor.json")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev)
+    init_changes_cursor(cursor, current_version(path))
+
+    upsert_version(
+        spark,
+        path,
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 1000.0
+        ),
+        ["event_id"],
+    )
+    b1, v1 = consume_changes(spark, path, cursor, ["event_id"])
+    # pin the batch BEFORE acking: the cursor advance is the consumer's
+    # durability point, and the returned plan must not re-resolve the
+    # table at a later version
+    b1 = b1.localCheckpoint(eager=True)
+    ack_changes(cursor, v1)
+
+    delete_rows_dv(spark, path, F.col("event_type") == "click")
+    b2, v2 = consume_changes(spark, path, cursor, ["event_id"])
+    b2 = b2.localCheckpoint(eager=True)
+    ack_changes(cursor, v2)
+
+    return b1.withColumn("_batch", F.lit(1)).unionByName(
+        b2.withColumn("_batch", F.lit(2))
+    )
+
+
+def cdf_incremental_consume_oracle_sql() -> str:
+    return """
+        SELECT event_id, ts, user_id, event_type, value,
+               'update_preimage' AS _change_type, 1 AS _batch
+        FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value + 1000.0,
+               'update_postimage', 1
+        FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+                    ELSE value END,
+               'delete', 2
+        FROM events WHERE event_type = 'click'
+    """
 
 
 # ---- snapshot tags: named dataset releases -------------------------

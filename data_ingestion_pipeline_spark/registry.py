@@ -1033,6 +1033,18 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "cdf_incremental_consume": QuerySpec(
+        # durable-cursor CDF consumer (r13): the Delta streaming-source
+        # consumption loop — consume nets changes between the acked and
+        # current versions, the caller processes then acks
+        # (at-least-once; idempotent applier → exactly-once). Two-batch
+        # lifecycle: upsert → update pairs, DV delete → delete images
+        # carrying the upserted values; empty re-consume and ack
+        # monotonicity pinned in tests/test_versioned.py
+        versioned.cdf_incremental_consume,
+        versioned.cdf_incremental_consume_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_cdf_consumer_replays_unacked_batch",
+    ),
     "versioned_cow_roundtrip": QuerySpec(
         versioned.versioned_cow_roundtrip,
         # COW upsert of one day's updates over the day-partitioned v1:
@@ -1142,6 +1154,19 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events
         """,
         ground_truth="tests/test_versioned.py::test_update_mor_appends_without_rewrite",
+    ),
+    "merge_mor_roundtrip": QuerySpec(
+        # three-clause MERGE INTO (r13): conditional matched-UPDATE,
+        # matched-DELETE and not-matched-INSERT in ONE merge-on-read
+        # commit — one equi-keyed join of the live snapshot against
+        # the source (AQE broadcasts a small CDC batch) feeding a DV
+        # extension + appended image files; zero rewritten files,
+        # Delta clause-order + source-cardinality semantics (clause
+        # ordering, ambiguity refusal, file reuse and time travel
+        # pinned in tests/test_versioned.py)
+        versioned.merge_mor_roundtrip,
+        versioned.merge_mor_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_merge_mor_three_clauses",
     ),
     "zorder_skipping_roundtrip": QuerySpec(
         # Z-order clustering maintenance (r13): OPTIMIZE ... ZORDER BY

@@ -1975,3 +1975,195 @@ def test_zorder_on_dv_snapshot_materializes_deletes(spark, tmp_path):
     m = versioned._manifest(path)
     assert "dv" not in m
     assert versioned.read_version(spark, path).count() == survivors
+
+
+def test_merge_mor_three_clauses(spark, tmp_path):
+    """MERGE INTO: conditional matched-update, matched-delete and
+    not-matched-insert in one commit — file reuse, clause routing,
+    counts, time travel and read-back all pinned."""
+    path = str(tmp_path / "merge")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version(spark, path, ev.repartition(6))
+    m1 = versioned._manifest(path)
+
+    bucket = F.col("event_id") % 10
+    source = (
+        ev.filter(bucket == 0)
+        .select("event_id", "ts", "user_id", "event_type",
+                (F.col("value") * 2).alias("value"),
+                F.lit("update").alias("op"))
+        .unionByName(ev.filter(bucket == 1).select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.lit("delete").alias("op")))
+        .unionByName(ev.filter(bucket == 2).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "ts", "user_id", F.lit("inserted").alias("event_type"),
+            F.lit(-1.0).alias("value"), F.lit("insert").alias("op")))
+    )
+    v2 = versioned.merge_into_mor(
+        spark, path, source, ["event_id"],
+        when_matched=[
+            ("update", {"value": "s.value", "event_type": "'merged'"},
+             "s.op = 'update'"),
+            ("delete", None, "s.op = 'delete'"),
+        ],
+        insert_not_matched=True,
+    )
+    assert v2 == 2
+    m2 = versioned._manifest(path)
+    # every v1 file carried byte-identical; only image files are new
+    assert set(m1["files"]) <= set(m2["files"])
+    n0 = ev.filter(bucket == 0).count()
+    n1 = ev.filter(bucket == 1).count()
+    n2 = ev.filter(bucket == 2).count()
+    assert m2["meta"]["merge"] == {
+        "updated": n0, "deleted": n1, "inserted": n2,
+    }
+    assert m2["dv"]["rows"] == n0 + n1
+
+    got = {r.event_id: r for r in versioned.read_version(spark, path).collect()}
+    for r in ev.collect():
+        b = r.event_id % 10
+        if b == 0:
+            assert got[r.event_id].value == r.value * 2
+            assert got[r.event_id].event_type == "merged"
+        elif b == 1:
+            assert r.event_id not in got
+        else:
+            assert got[r.event_id].value == r.value
+            assert got[r.event_id].event_type == r.event_type
+        if b == 2:
+            ins = got[r.event_id + 10_000_000]
+            assert ins.value == -1.0 and ins.event_type == "inserted"
+    assert len(got) == ev.count() - n1 + n2
+
+    # time travel: v1 intact
+    assert versioned.read_version(spark, path, 1).count() == ev.count()
+
+
+def test_merge_mor_clause_order_and_cardinality(spark, tmp_path):
+    """First matching clause wins per row (Delta clause-order
+    semantics); a matched row satisfying no clause is untouched; two
+    source rows modifying one target row raise
+    MergeCardinalityError before any write."""
+    import pytest
+
+    path = str(tmp_path / "merge2")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 100)
+    versioned.commit_version(spark, path, ev)
+
+    # both clauses' conditions hold for bucket-0 rows: the FIRST
+    # (update) must win, the delete clause must see nothing
+    src = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", F.lit("both").alias("op"))
+    versioned.merge_into_mor(
+        spark, path, src, ["event_id"],
+        when_matched=[
+            ("update", {"value": "t.value + 1.0"}, "s.op = 'both'"),
+            ("delete", None, "s.op = 'both'"),
+        ],
+    )
+    m = versioned._manifest(path)
+    assert m["meta"]["merge"]["updated"] == src.count()
+    assert m["meta"]["merge"]["deleted"] == 0
+    assert versioned.read_version(spark, path).count() == ev.count()
+
+    # matched row matching NO clause: untouched, not DV-masked
+    src2 = ev.limit(5).select("event_id", F.lit("noop").alias("op"))
+    v = versioned.merge_into_mor(
+        spark, path, src2, ["event_id"],
+        when_matched=[("delete", None, "s.op = 'never'")],
+    )
+    m2 = versioned._manifest(path)
+    assert m2["version"] == v
+    assert m2["meta"]["merge"] == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert versioned.read_version(spark, path).count() == ev.count()
+
+    # ambiguous source: two rows per key, both modifying → refuse
+    dup_src = src.unionByName(src)
+    before = versioned.current_version(path)
+    with pytest.raises(versioned.MergeCardinalityError):
+        versioned.merge_into_mor(
+            spark, path, dup_src, ["event_id"],
+            when_matched=[("delete", None, None)],
+        )
+    assert versioned.current_version(path) == before  # nothing committed
+
+    # guards: partitioned snapshot, bad clause, missing insert column
+    ppath = str(tmp_path / "mergep")
+    os.makedirs(ppath)
+    versioned.commit_version_partitioned(spark, ppath, _events(spark))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        versioned.merge_into_mor(spark, ppath, src, ["event_id"])
+    with pytest.raises(ValueError, match="unknown matched clause"):
+        versioned.merge_into_mor(
+            spark, path, src, ["event_id"],
+            when_matched=[("upsert", None, None)])
+    with pytest.raises(ValueError, match="missing columns"):
+        versioned.merge_into_mor(
+            spark, path, src, ["event_id"],
+            insert_not_matched={"event_id": "s.event_id"})
+
+
+def test_cdf_consumer_replays_unacked_batch(spark, tmp_path):
+    """Durable-cursor CDF consumption: nothing-new returns None, an
+    un-acked batch replays identically (at-least-once), a slow
+    consumer gets the NET diff across skipped versions, and acking
+    backwards refuses."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    cursor = str(tmp_path / "cursor.json")
+    ev = _events(spark).filter(F.col("event_id") < 200)
+    versioned.commit_version(spark, path, ev)
+    versioned.init_changes_cursor(cursor, versioned.current_version(path))
+
+    # nothing new
+    df, v = versioned.consume_changes(spark, path, cursor, ["event_id"])
+    assert df is None and v == 1
+
+    versioned.upsert_version(
+        spark, path,
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 1.0),
+        ["event_id"],
+    )
+    b1, v1 = versioned.consume_changes(spark, path, cursor, ["event_id"])
+    first = sorted(map(tuple, b1.collect()))
+    # crash before ack: the SAME batch replays
+    b1r, v1r = versioned.consume_changes(spark, path, cursor, ["event_id"])
+    assert v1r == v1 and sorted(map(tuple, b1r.collect())) == first
+    versioned.ack_changes(cursor, v1)
+
+    # two commits between consumes → ONE net batch: the second update
+    # supersedes the first, so the pair is v2-image → v4-image
+    versioned.upsert_version(
+        spark, path,
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 2.0),
+        ["event_id"],
+    )
+    versioned.delete_rows_dv(spark, path, F.col("event_id") == 3)
+    b2, v2 = versioned.consume_changes(spark, path, cursor, ["event_id"])
+    assert v2 == 4
+    rows = b2.collect()
+    kinds = {r._change_type for r in rows}
+    assert kinds == {"update_preimage", "update_postimage", "delete"}
+    for r in rows:
+        if r._change_type == "update_postimage":
+            assert r.event_id % 10 == 0
+        if r._change_type == "delete":
+            assert r.event_id == 3
+    # net semantics: exactly one pre/post pair per updated key that
+    # actually changed (id 3 %10 !=0 so disjoint from updates)
+    n_upd = ev.filter((F.col("event_id") % 10 == 0)).count()
+    assert sum(1 for r in rows if r._change_type == "update_postimage") == n_upd
+    versioned.ack_changes(cursor, v2)
+
+    with pytest.raises(ValueError, match="refusing to regress"):
+        versioned.ack_changes(cursor, 1)
+    df3, _ = versioned.consume_changes(spark, path, cursor, ["event_id"])
+    assert df3 is None
