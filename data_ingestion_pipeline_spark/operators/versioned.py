@@ -237,6 +237,109 @@ class IndexMaintenanceError(RuntimeError):
         self.__cause__ = cause
 
 
+# ---- CHECK constraints: write-time row contracts --------------------
+# Delta's `ALTER TABLE ADD CONSTRAINT ... CHECK (expr)` on this
+# format (reference analog: the consumer's range validation,
+# services/consumer/main.py:142-161, moved from app code into the
+# TABLE so every writer is bound by it). Constraints live in one
+# atomically-swapped JSON at the table root — table property, not
+# manifest state, so every commit path sees the same live set without
+# threading it through manifest encoding. Enforcement is INLINE in
+# the write scan via assert_true guards (Delta's invariant-check
+# shape): zero extra passes over the data — a violating row fails the
+# write job before any manifest publishes, and the partially-written
+# data directory is a vacuum-reclaimable orphan. SQL CHECK null
+# semantics: a constraint evaluating to NULL passes (unknown ≠
+# violated). Enforced by every path that ingests NEW rows
+# (commit/append/upsert/COW/MOR-update/MERGE); maintenance rewrites
+# of already-admitted rows (compact, zorder, purge, materialize) are
+# exempt by construction.
+
+CONSTRAINTS_FILE = "_CONSTRAINTS.json"
+_CHECK_MARKER = "CHECK constraint"
+
+
+class ConstraintViolationError(RuntimeError):
+    """A row violated a table CHECK constraint; nothing committed."""
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    """name → SQL expression of every live constraint (empty dict for
+    an unconstrained table — the common case pays one stat call)."""
+    try:
+        with open(os.path.join(path, CONSTRAINTS_FILE)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """Attach a CHECK constraint. Like Delta, the EXISTING snapshot
+    must already satisfy it — validated with one early-exit scan
+    before the constraint file swaps (a constraint the data violates
+    never becomes live)."""
+    cons = table_constraints(path)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    if current_version(path) > 0:
+        ok = F.coalesce(F.expr(expr), F.lit(True))
+        bad = read_version(spark, path).filter(~ok).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"{_CHECK_MARKER} {name} ({expr}) is violated by existing "
+                f"row {bad[0].asDict()}; not added"
+            )
+    cons[name] = expr
+    _atomic_json(os.path.join(path, CONSTRAINTS_FILE), cons)
+
+
+def drop_constraint(path: str, name: str) -> None:
+    cons = table_constraints(path)
+    del cons[name]
+    _atomic_json(os.path.join(path, CONSTRAINTS_FILE), cons)
+
+
+def _guard_constraints(df: DataFrame, path: str) -> DataFrame:
+    """Wrap a to-be-written frame with inline per-row constraint
+    guards: assert_true(ok, msg) raises inside the write scan for the
+    first violating row (msg includes the row as JSON — evaluated
+    only on the failure branch), and passes rows through otherwise.
+    One fused pass; no separate validation job."""
+    cons = table_constraints(path)
+    if not cons:
+        return df
+    pred = None
+    row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    for name in sorted(cons):
+        expr = cons[name]
+        ok = F.coalesce(F.expr(expr), F.lit(True))  # NULL passes (SQL CHECK)
+        msg = F.concat(
+            F.lit(f"{_CHECK_MARKER} {name} ({expr}) violated by row: "),
+            row_json,
+        )
+        chk = F.assert_true(ok, msg).isNull()
+        pred = chk if pred is None else (pred & chk)
+    return df.filter(pred)
+
+
+def _guarded_write(df: DataFrame, path: str, write_fn) -> None:
+    """Run write_fn over the constraint-guarded frame, converting the
+    executor-side assert failure back into ConstraintViolationError
+    (the job error wraps our marker message)."""
+    try:
+        write_fn(_guard_constraints(df, path))
+    except ConstraintViolationError:
+        raise
+    except Exception as e:  # noqa: BLE001 — marker-match, else re-raise
+        s = str(e)
+        if _CHECK_MARKER in s:
+            start = s.find(_CHECK_MARKER)
+            raise ConstraintViolationError(s[start:].split("\n")[0]) from e
+        raise
+
+
 def commit_version(
     spark: SparkSession,
     path: str,
@@ -279,7 +382,9 @@ def commit_version(
     _occ_check(path, expected_current)
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
-    df.write.mode("overwrite").parquet(data_dir)
+    _guarded_write(
+        df, path, lambda g: g.write.mode("overwrite").parquet(data_dir)
+    )
     files = sorted(
         os.path.join("data", f"v{v}", f)
         for f in os.listdir(data_dir)
@@ -820,7 +925,9 @@ def update_rows_mor(
         ]
     )
     data_dir = os.path.join(path, "data", f"v{v}")
-    updated.write.mode("overwrite").parquet(data_dir)
+    _guarded_write(
+        updated, path, lambda g: g.write.mode("overwrite").parquet(data_dir)
+    )
     new_files = sorted(
         os.path.join("data", f"v{v}", f)
         for f in os.listdir(data_dir)
@@ -1115,7 +1222,11 @@ def merge_into_mor(
     new_files: list[str] = []
     if images is not None:
         data_dir = os.path.join(path, "data", f"v{v}")
-        images.write.mode("overwrite").parquet(data_dir)
+        _guarded_write(
+            images,
+            path,
+            lambda g: g.write.mode("overwrite").parquet(data_dir),
+        )
         new_files = sorted(
             os.path.join("data", f"v{v}", f)
             for f in os.listdir(data_dir)
@@ -2513,7 +2624,13 @@ def commit_version_clustered(
     _occ_check(path, expected_current)
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
-    df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+    _guarded_write(
+        df,
+        path,
+        lambda g: g.write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(data_dir),
+    )
     files = _walk_rel_parquet(data_dir, path)
     partitions = {f: _partition_of(f, partition_col) for f in files}
     _publish_manifest(
@@ -2578,9 +2695,13 @@ def commit_version_partitioned(
         )
     v = current_version(path) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
-    with_partition_col(df, ts_col).write.partitionBy(PART_COL).mode(
-        "overwrite"
-    ).parquet(data_dir)
+    _guarded_write(
+        with_partition_col(df, ts_col),
+        path,
+        lambda g: g.write.partitionBy(PART_COL)
+        .mode("overwrite")
+        .parquet(data_dir),
+    )
     new_files = _walk_rel_parquet(data_dir, path)
     files = sorted(list(carried or []) + new_files)
     partitions = {f: _partition_of(f) for f in files}
@@ -2635,7 +2756,13 @@ def append_version_clustered(
     prior = _manifest(path) if current_version(path) > 0 else {"files": [], "partitions": {}}
     v = prior.get("version", 0) + 1
     data_dir = os.path.join(path, "data", f"v{v}")
-    df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+    _guarded_write(
+        df,
+        path,
+        lambda g: g.write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(data_dir),
+    )
     new_files = _walk_rel_parquet(data_dir, path)
     files = sorted(list(prior["files"]) + new_files)
     partitions = dict(prior.get("partitions", {}))
@@ -3415,6 +3542,48 @@ def versioned_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_version(spark, path, updates, ["event_id"])
     return table_changes(spark, path, 1, 2, ["event_id"])
+
+
+def constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: CHECK-constraint lifecycle — declare
+    `value <= 50` and `event_type IS NOT NULL` on an empty table,
+    commit the conforming slice (succeeds), then attempt to commit
+    the violating slice: the write job MUST refuse
+    (ConstraintViolationError) and the table MUST still be at v1 with
+    only conforming rows — which is what the oracle checks. Inline
+    single-pass enforcement, null-passes semantics and add-time
+    validation of existing data are pinned in
+    tests/test_versioned.py."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("constrained", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    add_constraint(spark, path, "value_cap", "value <= 50")
+    add_constraint(spark, path, "typed", "event_type IS NOT NULL")
+    commit_version(spark, path, ev.filter(F.col("value") <= 50))
+    try:
+        commit_version(spark, path, ev.filter(F.col("value") > 50))
+    except ConstraintViolationError:
+        pass
+    else:  # pragma: no cover — the entry must observe the refusal
+        raise RuntimeError("constraint violation was not enforced")
+    if current_version(path) != 1:
+        raise RuntimeError("refused write still advanced the table")
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def constrained_ingest_oracle_sql() -> str:
+    return """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE value <= 50
+    """
 
 
 # ---- incremental CDF consumption: durable-cursor change reader -----

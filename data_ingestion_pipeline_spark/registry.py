@@ -1033,6 +1033,18 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "constrained_ingest": QuerySpec(
+        # write-time CHECK constraints (r13): Delta's ADD CONSTRAINT on
+        # this format — table-level row contracts enforced INLINE in
+        # every ingest write scan (assert_true guards; zero extra
+        # passes), violating commits refuse before any manifest
+        # publishes, add-time validation of existing data; the
+        # reference's consumer range validation moved from app code
+        # into the table (services/consumer/main.py:142-161)
+        versioned.constrained_ingest,
+        versioned.constrained_ingest_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_check_constraints_enforced_on_every_ingest_path",
+    ),
     "cdf_incremental_consume": QuerySpec(
         # durable-cursor CDF consumer (r13): the Delta streaming-source
         # consumption loop — consume nets changes between the acked and

@@ -2167,3 +2167,76 @@ def test_cdf_consumer_replays_unacked_batch(spark, tmp_path):
         versioned.ack_changes(cursor, 1)
     df3, _ = versioned.consume_changes(spark, path, cursor, ["event_id"])
     assert df3 is None
+
+
+def test_check_constraints_enforced_on_every_ingest_path(spark, tmp_path):
+    """CHECK constraints: inline enforcement on commit/upsert/MOR
+    paths, NULL-passes semantics, add-time validation of existing
+    data, and drop restores writability."""
+    import pytest
+
+    path = str(tmp_path / "c")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 300)
+    versioned.add_constraint(spark, path, "cap", "value <= 1000")
+    versioned.commit_version(spark, path, ev)
+
+    # plain commit of violating rows refuses; table unmoved
+    bad = ev.withColumn("value", F.col("value") + 100000.0)
+    with pytest.raises(versioned.ConstraintViolationError, match="cap"):
+        versioned.commit_version(spark, path, bad)
+    assert versioned.current_version(path) == 1
+
+    # upsert funnels through commit_version → refused too
+    with pytest.raises(versioned.ConstraintViolationError):
+        versioned.upsert_version(spark, path, bad.limit(3), ["event_id"])
+    assert versioned.current_version(path) == 1
+
+    # MOR update whose images violate → refused, no DV landed
+    with pytest.raises(versioned.ConstraintViolationError):
+        versioned.update_rows_mor(
+            spark, path, "event_id % 2 = 0", {"value": F.lit(99999.0)}
+        )
+    assert versioned.current_version(path) == 1
+    assert "dv" not in versioned._manifest(path)
+
+    # MERGE images violate → refused
+    src = ev.limit(5).select("event_id")
+    with pytest.raises(versioned.ConstraintViolationError):
+        versioned.merge_into_mor(
+            spark, path, src, ["event_id"],
+            when_matched=[("update", {"value": "99999.0"}, None)],
+        )
+    assert versioned.current_version(path) == 1
+
+    # conforming MOR update passes with constraints live
+    versioned.update_rows_mor(
+        spark, path, "event_id = 0", {"value": F.lit(1.0)}
+    )
+    assert versioned.current_version(path) == 2
+
+    # NULL evaluates as pass (SQL CHECK unknown ≠ violated)
+    nulls = ev.limit(2).withColumn("value", F.lit(None).cast("double"))
+    versioned.upsert_version(spark, path, nulls, ["event_id"])
+
+    # add-time validation: a constraint existing data violates refuses
+    with pytest.raises(versioned.ConstraintViolationError, match="neg"):
+        versioned.add_constraint(spark, path, "neg", "value < 0")
+    assert "neg" not in versioned.table_constraints(path)
+    # duplicate name refuses
+    with pytest.raises(ValueError, match="already exists"):
+        versioned.add_constraint(spark, path, "cap", "value <= 9")
+
+    # drop → previously-refused rows commit fine
+    versioned.drop_constraint(path, "cap")
+    versioned.commit_version(spark, path, bad)
+    assert versioned.current_version(path) == 4
+
+    # partitioned path enforced as well
+    p2 = str(tmp_path / "cp")
+    os.makedirs(p2)
+    versioned.add_constraint(spark, p2, "cap", "value <= 1000")
+    versioned.commit_version_partitioned(spark, p2, ev)
+    with pytest.raises(versioned.ConstraintViolationError):
+        versioned.upsert_version_cow(spark, p2, bad.limit(4), ["event_id"])
+    assert versioned.current_version(p2) == 1
