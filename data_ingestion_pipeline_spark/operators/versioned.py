@@ -1005,6 +1005,7 @@ def merge_into_mor(
     keys: list[str],
     when_matched: list[tuple] = (),
     insert_not_matched: bool | dict = False,
+    insert_not_matched_cond: str | None = None,
     expected_current: int | None = None,
     meta: dict | None = None,
 ) -> int:
@@ -1024,6 +1025,11 @@ def merge_into_mor(
     as ``t.<col>`` and the source as ``s.<col>``.
     `insert_not_matched`: True inserts source columns by target
     column name; a dict gives per-target-column ``s.``-expressions.
+    `insert_not_matched_cond` is the WHEN NOT MATCHED **AND cond**
+    guard (SQL over ``s.``): an unmatched source row failing it is
+    dropped, not inserted — load-bearing for CDC application, where a
+    replayed `delete` change row must not resurrect as an insert
+    (apply_changes_mor).
 
     Physical shape (the 100 TB story): ONE join of the live snapshot
     against the source — equi-keyed, so Catalyst/AQE picks broadcast
@@ -1120,8 +1126,11 @@ def merge_into_mor(
                 prev=m,
             )
             return v
+        ins_src = source.alias("s")
+        if insert_not_matched_cond:
+            ins_src = ins_src.filter(F.expr(insert_not_matched_cond))
         images = (
-            source.alias("s")
+            ins_src
             .select(*[_ins_expr(c) for c in data_cols])
             .select(*[F.col(f"__i_{c}").alias(c) for c in data_cols])
             .localCheckpoint(eager=True)
@@ -1161,17 +1170,31 @@ def merge_into_mor(
                     proj.append(F.expr(e).cast(col_type[c]).alias(f"__u{i}_{c}"))
         if insert_not_matched:
             proj += [_ins_expr(c) for c in data_cols]
+            proj.append(
+                (
+                    F.expr(insert_not_matched_cond)
+                    if insert_not_matched_cond
+                    else F.lit(True)
+                ).alias("__ins_ok")
+            )
+        else:
+            proj.append(F.lit(False).alias("__ins_ok"))
         # one target scan + one source pass pinned under EVERY
         # downstream write (images, DV, counts) — same barrier
         # rationale as update_rows_mor
         flat = joined.select(*proj).localCheckpoint(eager=True)
 
-        counts = {
-            (r["__matched"], r["__action"]): r["n"]
-            for r in flat.groupBy("__matched", "__action")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        raw_counts = flat.groupBy("__matched", "__action", "__ins_ok").agg(
+            F.count("*").alias("n")
+        ).collect()
+        counts = {}
+        n_insertable = 0
+        for r in raw_counts:
+            counts[(r["__matched"], r["__action"])] = (
+                counts.get((r["__matched"], r["__action"]), 0) + r["n"]
+            )
+            if not r["__matched"] and r["__ins_ok"]:
+                n_insertable += r["n"]
         n_modified = sum(
             n for (mt, a), n in counts.items() if mt and a is not None
         )
@@ -1208,10 +1231,12 @@ def merge_into_mor(
             )
         n_ins = 0
         if insert_not_matched:
-            n_ins = sum(n for (mt, _a), n in counts.items() if not mt)
+            n_ins = n_insertable
             if n_ins:
                 image_parts.append(
-                    flat.filter(~F.col("__matched")).select(
+                    flat.filter(
+                        ~F.col("__matched") & F.col("__ins_ok")
+                    ).select(
                         *[F.col(f"__i_{c}").alias(c) for c in data_cols]
                     )
                 )
@@ -3481,8 +3506,32 @@ def table_changes(
     partitions whose file sets differ between the manifests (pure
     metadata) before reading any data.
     """
-    attrs_df = read_version(spark, path, v_from)
-    attrs = [c for c in attrs_df.columns if c not in keys]
+    return snapshot_changes(
+        read_version(spark, path, v_from),
+        read_version(spark, path, v_to),
+        keys,
+    )
+
+
+def table_changes_between_tables(
+    spark: SparkSession, path_a: str, path_b: str, keys: list[str]
+) -> DataFrame:
+    """CDF between the CURRENT snapshots of two DIFFERENT tables —
+    the replica-repair primitive: diff a drifted replica (a) against
+    the source of truth (b) and apply_changes_mor the result to
+    converge them, regardless of how the drift happened."""
+    return snapshot_changes(
+        read_version(spark, path_a), read_version(spark, path_b), keys
+    )
+
+
+def snapshot_changes(
+    a_df: DataFrame, b_df: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Core CDF diff of two snapshots (a = before, b = after): one
+    keyed full-outer join + row-fingerprint change detection; emits
+    Delta CDF `_change_type` rows (see table_changes)."""
+    attrs = [c for c in a_df.columns if c not in keys]
 
     def fp(side: DataFrame):
         # null-sentineled per column: xxhash64 skips null args without
@@ -3492,8 +3541,8 @@ def table_changes(
             *[F.coalesce(side[c].cast("string"), F.lit("\x00NULL")) for c in attrs]
         )
 
-    a = read_version(spark, path, v_from).alias("a")
-    b = read_version(spark, path, v_to).alias("b")
+    a = a_df.alias("a")
+    b = b_df.alias("b")
     cond = [a[k] == b[k] for k in keys]
     j = a.join(b, cond, "full_outer").withColumn(
         "_a_exists", a[keys[0]].isNotNull()
@@ -3709,6 +3758,106 @@ def cdf_incremental_consume_oracle_sql() -> str:
                     ELSE value END,
                'delete', 2
         FROM events WHERE event_type = 'click'
+    """
+
+
+def cdf_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: CDF → MERGE replication loop, closed — the
+    composition a downstream replica actually runs. Source table:
+    commit events (v1), upsert every 10th value +1000 (v2), DV-delete
+    the clicks (v3). Replica: seeded at v1, then ONE
+    consume_changes batch (net diff v1→v3) applied through ONE
+    three-clause merge_into_mor (postimages → matched-update, deletes
+    → matched-delete, inserts → not-matched-insert; preimages
+    dropped). Returns the replica's current snapshot, which must
+    equal the source's — the oracle recomputes that state from the
+    raw events table. Content-idempotence of re-applying the same
+    batch (crash-after-apply-before-ack) is pinned in
+    tests/test_versioned.py."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = scratch_path("cdf_replica", sf_name, "run")
+    _shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    src_path = os.path.join(root, "source")
+    rep_path = os.path.join(root, "replica")
+    os.makedirs(src_path, exist_ok=True)
+    os.makedirs(rep_path, exist_ok=True)
+    cursor = os.path.join(root, "cursor.json")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, src_path, ev)
+    commit_version(spark, rep_path, ev)
+    init_changes_cursor(cursor, current_version(src_path))
+
+    upsert_version(
+        spark,
+        src_path,
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 1000.0
+        ),
+        ["event_id"],
+    )
+    delete_rows_dv(spark, src_path, F.col("event_type") == "click")
+
+    changes, v = consume_changes(spark, src_path, cursor, ["event_id"])
+    apply_changes_mor(spark, rep_path, changes, ["event_id"])
+    ack_changes(cursor, v)
+    return read_version(spark, rep_path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def apply_changes_mor(
+    spark: SparkSession, path: str, changes: DataFrame, keys: list[str]
+) -> int:
+    """Apply one CDF batch (table_changes / consume_changes shape) to
+    a replica table as ONE three-clause MERGE: update_postimage rows
+    update their key's attributes, delete rows delete it, and ONLY
+    `insert` rows insert (the NOT MATCHED **AND** guard — without it
+    a replayed `delete` row, no longer matching anything, would
+    resurrect as an insert). Re-applying the same batch is therefore
+    CONTENT-idempotent: postimages re-assert equal values, deletes
+    re-match nothing and fail the insert guard, and an already-applied
+    insert now MATCHES its key and falls through both matched clauses
+    untouched — so an at-least-once consumer (consume → apply → ack)
+    yields an exactly-once replica. An unmatched postimage (replica
+    missed the insert that preceded the update — a repair scenario)
+    is also inserted."""
+    attrs = [
+        c for c in changes.columns
+        if c not in keys and c != "_change_type"
+    ]
+    src = changes.filter(F.col("_change_type") != "update_preimage")
+    return merge_into_mor(
+        spark,
+        path,
+        src,
+        keys,
+        when_matched=[
+            (
+                "update",
+                {c: f"s.{c}" for c in attrs},
+                "s._change_type = 'update_postimage'",
+            ),
+            ("delete", None, "s._change_type = 'delete'"),
+        ],
+        insert_not_matched={
+            c: f"s.{c}" for c in list(keys) + attrs
+        },
+        insert_not_matched_cond="s._change_type IN ('insert', 'update_postimage')",
+    )
+
+
+def cdf_replica_sync_oracle_sql() -> str:
+    return """
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+                    ELSE value END AS value
+        FROM events WHERE event_type <> 'click'
     """
 
 

@@ -1057,6 +1057,17 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.cdf_incremental_consume_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_cdf_consumer_replays_unacked_batch",
     ),
+    "cdf_replica_sync": QuerySpec(
+        # CDF → MERGE replication, loop-closed (r13): one net change
+        # batch (upsert + DV delete collapsed) applied to a replica
+        # through one three-clause merge_into_mor; the replica's
+        # snapshot must equal the source's. Content-idempotent
+        # re-apply (at-least-once consumer ⇒ exactly-once replica)
+        # pinned in tests/test_versioned.py
+        versioned.cdf_replica_sync,
+        versioned.cdf_replica_sync_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_cdf_replica_reapply_is_content_idempotent",
+    ),
     "versioned_cow_roundtrip": QuerySpec(
         versioned.versioned_cow_roundtrip,
         # COW upsert of one day's updates over the day-partitioned v1:

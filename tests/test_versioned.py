@@ -2240,3 +2240,47 @@ def test_check_constraints_enforced_on_every_ingest_path(spark, tmp_path):
     with pytest.raises(versioned.ConstraintViolationError):
         versioned.upsert_version_cow(spark, p2, bad.limit(4), ["event_id"])
     assert versioned.current_version(p2) == 1
+
+
+def test_cdf_replica_reapply_is_content_idempotent(spark, tmp_path):
+    """Crash between apply and ack re-delivers the batch: re-applying
+    it must leave the replica content-identical (postimages re-assert
+    equal values, deletes match nothing, inserts match and fall
+    through untouched)."""
+    src_path = str(tmp_path / "src")
+    rep_path = str(tmp_path / "rep")
+    os.makedirs(src_path)
+    os.makedirs(rep_path)
+    ev = _events(spark).filter(F.col("event_id") < 200)
+    versioned.commit_version(spark, src_path, ev)
+    # replica starts EMPTY-seeded with a disjoint subset so the batch
+    # exercises inserts too: seed only half the keys
+    versioned.commit_version(
+        spark, rep_path, ev.filter(F.col("event_id") % 2 == 0)
+    )
+
+    versioned.upsert_version(
+        spark, src_path,
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 7.0),
+        ["event_id"],
+    )
+    versioned.delete_rows_dv(spark, src_path, F.col("event_id") % 5 == 1)
+
+    # diff against the REPLICA's seeded state: net changes the replica
+    # needs (v0 of the source chain isn't what the replica holds, so
+    # diff source-current vs replica-current directly)
+    changes = versioned.table_changes_between_tables(
+        spark, rep_path, src_path, ["event_id"]
+    )
+    changes = changes.localCheckpoint(eager=True)
+    versioned.apply_changes_mor(spark, rep_path, changes, ["event_id"])
+
+    want = sorted(map(tuple, versioned.read_version(spark, src_path).collect()))
+    got1 = sorted(map(tuple, versioned.read_version(spark, rep_path).collect()))
+    assert got1 == want
+
+    # re-apply the SAME batch: content unchanged
+    versioned.apply_changes_mor(spark, rep_path, changes, ["event_id"])
+    got2 = sorted(map(tuple, versioned.read_version(spark, rep_path).collect()))
+    assert got2 == want
