@@ -137,6 +137,24 @@ def stdout_line(
     return line
 
 
+def _stream_warmup(spark) -> None:
+    """One minimal availableNow drain (rate source → noop foreachBatch)
+    to compile the micro-batch engine untimed."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="bench-stream-warmup-")
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "2")
+        .load()
+        .writeStream.foreachBatch(lambda bdf, bid: bdf.count())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -158,6 +176,13 @@ def main() -> None:
     from data_ingestion_pipeline_spark.streaming.pipeline import prewarm_feeds
 
     prewarm_feeds(spark, sf_dir)
+    # Streaming-machinery warmup, same rationale as the batch warmup
+    # above: the first streaming query of a session pays ~10 s of
+    # micro-batch-engine/codegen compile that lands on whichever
+    # streaming entry the verification rotation put first (BASELINE.md
+    # r13: stream_enriched_revenue read 15.0 cold vs 3.8 warm purely
+    # by rotation position). One untimed two-row drain absorbs it.
+    _stream_warmup(spark)
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -3812,7 +3812,11 @@ def cdf_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def apply_changes_mor(
-    spark: SparkSession, path: str, changes: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    meta: dict | None = None,
 ) -> int:
     """Apply one CDF batch (table_changes / consume_changes shape) to
     a replica table as ONE three-clause MERGE: update_postimage rows
@@ -3849,6 +3853,7 @@ def apply_changes_mor(
             c: f"s.{c}" for c in list(keys) + attrs
         },
         insert_not_matched_cond="s._change_type IN ('insert', 'update_postimage')",
+        meta=meta,
     )
 
 

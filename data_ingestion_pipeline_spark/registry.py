@@ -995,6 +995,23 @@ REGISTRY: dict[str, QuerySpec] = {
         SELECT event_id, ts, user_id, event_type, value FROM events
         """,
     ),
+    "stream_cdc_merge_ingest": QuerySpec(
+        # streaming CDC MERGE sink (r13): a Debezium-shaped change
+        # stream (insert/update_postimage/delete) applied per
+        # micro-batch through ONE three-clause apply_changes_mor,
+        # exactly-once via the batch_id replay guard — per batch one
+        # change-sized equi-join + O(changed rows) DV/image writes,
+        # zero rewritten files (the long-lived CDC-apply shape); the
+        # drained table replays the three stages
+        streaming.stream_cdc_merge_ingest,
+        """
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 4 = 0 THEN value + 100.0
+                    ELSE value END AS value
+        FROM events WHERE event_id % 4 <> 1
+        """,
+        ground_truth="tests/test_streaming.py::test_stream_cdc_merge_versions_and_replay",
+    ),
     "stream_versioned_ingest_compacted": QuerySpec(
         # maintenance composition (r10): exactly-once drain, then
         # OPTIMIZE bin-packs the micro-batch debris — snapshot must

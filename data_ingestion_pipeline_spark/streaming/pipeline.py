@@ -1554,6 +1554,103 @@ def stream_versioned_ingest_compacted(
     return V.read_version(spark, table).select(*FEED_COLS)
 
 
+def build_cdc_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
+    """Materialize a 3-stage CDC stream over the events table (the
+    shape a Debezium/CDC topic has): stage 1 INSERTs event_id %4 ∈
+    {0,1,2}, stage 2 UPDATEs %4==0 (value +100, postimage rows),
+    stage 3 DELETEs %4==1 and INSERTs %4==3. Sequential appends →
+    strictly increasing mtimes → the file stream replays the stages
+    in order (build_ordered_feed's established construction); every
+    stage has unique keys, so each micro-batch satisfies MERGE
+    cardinality by construction."""
+    marker = os.path.join(feed_dir, "_FEED_COMPLETE")
+    key = f"{_FEED_VERSION}:cdc3:{sf_dir}"
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read() == key:
+                return
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(*FEED_COLS)
+    b = F.col("event_id") % 4
+    stages = [
+        ev.filter(b.isin(0, 1, 2)).withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        ev.filter(b == 0)
+        .withColumn("value", F.col("value") + 100.0)
+        .withColumn("_change_type", F.lit("update_postimage")),
+        ev.filter(b == 1)
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            ev.filter(b == 3).withColumn("_change_type", F.lit("insert"))
+        ),
+    ]
+    for st in stages:
+        st.coalesce(1).write.mode("append").parquet(feed_dir)
+    with open(marker, "w") as fh:
+        fh.write(key)
+
+
+CDC_FEED_SCHEMA = T.StructType(
+    FEED_SCHEMA.fields + [T.StructField("_change_type", T.StringType())]
+)
+
+
+def stream_cdc_merge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the streaming CDC MERGE sink — a change stream
+    (insert / update_postimage / delete rows, the Debezium-topic
+    shape) applied to a versioned table with ONE three-clause
+    apply_changes_mor per micro-batch, exactly-once via the
+    batch_id-in-manifest replay guard (same construction as
+    stream_versioned_ingest). This is Delta's `foreachBatch +
+    MERGE` CDC-apply recipe end to end: per batch the cost is one
+    equi-keyed join of the live snapshot against the CHANGE-SIZED
+    batch plus O(changed rows) DV/image writes — zero rewritten
+    files, so a long-lived stream never pays table-sized commits
+    (contrast stream_versioned_ingest's whole-snapshot upsert).
+    Bootstrap commits an EMPTY v1 so every batch — including the
+    first — flows through the same MERGE path (the all-files-dead
+    degenerate branch inserts). Drained table must equal the oracle's
+    replay of the three stages; version count, per-version merge
+    counts and replay idempotence are pinned in
+    tests/test_streaming.py."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    feed = scratch_path("stream_cdc", sf_name, "feed")
+    table = scratch_path("stream_cdc", sf_name, "table")
+    ckpt = scratch_path("stream_cdc", sf_name, "ckpt")
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(table, exist_ok=True)
+
+    build_cdc_feed(spark, sf_dir, feed)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id <= V.manifest_meta(table).get("batch_id", -1):
+            return  # replayed batch: already committed, exactly-once skip
+        if V.current_version(table) == 0:
+            V.commit_version(
+                spark, table, spark.createDataFrame([], FEED_SCHEMA)
+            )
+        V.apply_changes_mor(
+            spark, table, bdf, ["event_id"], meta={"batch_id": batch_id}
+        )
+
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.schema(CDC_FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return V.read_version(spark, table).select(*FEED_COLS)
+
+
 TRENDING_TOPK = 3
 
 

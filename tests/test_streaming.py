@@ -285,3 +285,67 @@ def test_stream_append_ingest_commits_are_batch_sized(spark):
     assert idx["version"] == cur
     assert idx["harvested_files"] == last_delta
     assert idx["carried_files"] == len(m_final["files"]) - last_delta
+
+
+def test_stream_cdc_merge_versions_and_replay(spark):
+    """CDC MERGE sink: the drained table equals the staged replay,
+    each micro-batch is ONE merge commit with the right per-clause
+    counts recorded, the delete stage leaves a DV (zero rewrites),
+    and a replayed batch id skips without a new version."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.streaming.pipeline import (
+        stream_cdc_merge_ingest,
+    )
+
+    got = stream_cdc_merge_ingest(spark, SF_TEST)
+    ev = load_table(spark, SF_TEST, "events").select(*FEED_COLS)
+    want = {
+        r.event_id: (r.value + 100.0 if r.event_id % 4 == 0 else r.value)
+        for r in ev.collect()
+        if r.event_id % 4 != 1
+    }
+    assert {r.event_id: r.value for r in got.collect()} == want
+
+    sf_name = SF_TEST.rstrip("/").rsplit("/", 1)[-1]
+    table = scratch_path("stream_cdc", sf_name, "table")
+    # v1 bootstrap (empty) + one merge commit per stage file
+    assert V.current_version(table) == 4
+    n = {k: 0 for k in ("updated", "deleted", "inserted")}
+    for v in (2, 3, 4):
+        merge = V.manifest_meta(table, v)["merge"]
+        for k in n:
+            n[k] += merge[k]
+    n_b = {b: sum(1 for r in ev.collect() if r.event_id % 4 == b) for b in range(4)}
+    assert n == {
+        "inserted": n_b[0] + n_b[1] + n_b[2] + n_b[3],
+        "updated": n_b[0],
+        "deleted": n_b[1],
+    }
+    # delete stage rode a DV — no data files were rewritten
+    assert V._manifest(table)["dv"]["rows"] >= n_b[1]
+
+    # the replay guard's precondition: the LAST batch id is in the
+    # current manifest meta, so any redelivered id (≤ it) skips — the
+    # guard branch itself is pinned by the identical construction's
+    # test (test_stream_versioned_sink_replay_is_exactly_once)
+    assert V.manifest_meta(table)["batch_id"] == 2
+
+    # re-applying the final stage batch out-of-band is content-
+    # idempotent even WITHOUT the guard (apply_changes_mor contract):
+    # a crash between apply and checkpoint-commit cannot corrupt state
+    stage3 = (
+        ev.filter(F.col("event_id") % 4 == 1)
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            ev.filter(F.col("event_id") % 4 == 3).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    )
+    V.apply_changes_mor(spark, table, stage3, ["event_id"])
+    assert {
+        r.event_id: r.value
+        for r in V.read_version(spark, table)
+        .select(*FEED_COLS)
+        .collect()
+    } == want
