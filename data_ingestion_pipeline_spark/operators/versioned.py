@@ -545,9 +545,19 @@ def evolve_schema(
     m = _manifest(path, cur)
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     existing = {f.name for f in schema.fields}
+    retired = set(_retired_cols(path))
     for name, dtype in added_cols:
         if name in existing:
             raise ValueError(f"column {name} already exists")
+        if name in retired:
+            # name-based column mapping: pre-drop files still hold the
+            # old physical column under this name, and re-adding it
+            # would resurrect those values into the "new" column
+            raise ValueError(
+                f"column name {name!r} was dropped and is retired "
+                "(name-mapped format; reusing it would resurrect "
+                "pre-drop values) — pick a fresh name"
+            )
         schema = schema.add(name, dtype, nullable=True)
     v = cur + 1
     _publish_manifest(
@@ -571,6 +581,105 @@ def evolve_schema(
         expected_current,
         prev=m,
     )
+    return v
+
+
+RETIRED_COLS_FILE = "_RETIRED_COLS.json"
+
+
+def _retired_cols(path: str) -> list[str]:
+    try:
+        with open(os.path.join(path, RETIRED_COLS_FILE)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return []
+
+
+def drop_column(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    expected_current: int | None = None,
+) -> int:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the new
+    manifest references every data file unchanged and records a
+    NARROWER schema — readers project through it, so the parquet
+    reader never even decodes the dropped column's pages (columnar
+    pruning makes the logical drop also an I/O drop). Time travel to
+    pre-drop versions still serves the column; physical bytes remain
+    in the immutable files (like Delta, DROP is logical — a
+    compaction/purge-style rewrite is the physical-erasure path).
+
+    The name-mapping hazard, handled: this format maps logical to
+    physical columns BY NAME (Delta needs column-mapping IDs to allow
+    DROP; we are name-mapped), so re-adding a dropped name would
+    silently RESURRECT the old physical values from pre-drop files.
+    Dropped names are therefore retired in `_RETIRED_COLS.json`
+    (atomically-swapped table property, same pattern as CHECK
+    constraints) and evolve_schema refuses them forever. Also
+    refused: partition/cluster columns (their values live in the
+    directory layout), columns referenced by a live CHECK constraint,
+    and dropping the last column. Index pointers on the column are
+    removed (they self-invalidate on version bump anyway)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    _occ_check(path, expected_current)
+    cur = current_version(path)
+    if cur == 0:
+        raise ValueError("cannot evolve an empty table")
+    m = _manifest(path, cur)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if col not in {f.name for f in schema.fields}:
+        raise ValueError(f"no such column {col!r}")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the last column")
+    pc = m.get("partition_col") or ("partitions" in m and PART_COL)
+    if pc and col == pc:
+        raise ValueError(
+            f"{col!r} is the partition/cluster column; its values live "
+            "in the directory layout — repartition the table instead"
+        )
+    for name, expr in table_constraints(path).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{name!r} ({expr}); drop the constraint first"
+            )
+    new_schema = T.StructType([f for f in schema.fields if f.name != col])
+    v = cur + 1
+    _publish_manifest(
+        path,
+        v,
+        {
+            "version": v,
+            "files": m["files"],  # by reference — no data write
+            **({"partitions": m["partitions"]} if "partitions" in m else {}),
+            **(
+                {"partition_col": m["partition_col"]}
+                if "partition_col" in m
+                else {}
+            ),
+            "schema": new_schema.json(),
+            "project_schema": True,
+            "committed_at": time.time(),
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+            "meta": {"dropped": [col]},
+        },
+        expected_current,
+        prev=m,
+    )
+    retired = _retired_cols(path)
+    if col not in retired:
+        _atomic_json(
+            os.path.join(path, RETIRED_COLS_FILE), retired + [col]
+        )
+    for pointer in (f"_BLOOM_{col}.json", f"_STATS_{col}.json"):
+        try:
+            os.remove(os.path.join(path, pointer))
+        except FileNotFoundError:
+            pass
     return v
 
 
@@ -3591,6 +3700,46 @@ def versioned_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_version(spark, path, updates, ["event_id"])
     return table_changes(spark, path, 1, 2, ["event_id"])
+
+
+def versioned_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: DROP COLUMN lifecycle — commit the 6-column
+    events table (props included), drop `props` (metadata-only: files
+    byte-identical, pinned), then prove the narrowed table is fully
+    writable with a post-drop upsert (+1000 on every 10th event). The
+    snapshot must equal the oracle's 5-column CASE scan. Retirement
+    semantics (re-adding a dropped name refuses), time travel to the
+    6-column version, and the refusal guards are pinned in
+    tests/test_versioned.py."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("drop_col", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev6 = load_table(spark, sf_dir, "events")  # all 6 columns
+    commit_version(spark, path, ev6)
+    drop_column(spark, path, "props")
+    upsert_version(
+        spark,
+        path,
+        read_version(spark, path)
+        .filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") + 1000.0),
+        ["event_id"],
+    )
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def versioned_drop_column_oracle_sql() -> str:
+    return """
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+                    ELSE value END AS value
+        FROM events
+    """
 
 
 def constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1050,6 +1050,18 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM u
         """,
     ),
+    "versioned_drop_column": QuerySpec(
+        # DROP COLUMN (r13): metadata-only narrowing commit — files
+        # byte-identical, readers project through the narrower schema
+        # (parquet never decodes the dropped column's pages), time
+        # travel still serves it, and the dropped NAME is retired
+        # (name-mapped format: re-adding it would resurrect pre-drop
+        # values — refused, pinned). Post-drop writability proven by
+        # an upsert in the entry itself
+        versioned.versioned_drop_column,
+        versioned.versioned_drop_column_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_drop_column_is_metadata_only_and_name_retires",
+    ),
     "constrained_ingest": QuerySpec(
         # write-time CHECK constraints (r13): Delta's ADD CONSTRAINT on
         # this format — table-level row contracts enforced INLINE in

@@ -2284,3 +2284,78 @@ def test_cdf_replica_reapply_is_content_idempotent(spark, tmp_path):
     versioned.apply_changes_mor(spark, rep_path, changes, ["event_id"])
     got2 = sorted(map(tuple, versioned.read_version(spark, rep_path).collect()))
     assert got2 == want
+
+
+def test_drop_column_is_metadata_only_and_name_retires(spark, tmp_path):
+    """DROP COLUMN: zero data writes, time travel intact, dropped
+    name retired forever, guards enforced."""
+    import pytest
+
+    path = str(tmp_path / "d")
+    os.makedirs(path)
+    ev6 = load_table(spark, SF_TEST, "events").filter(F.col("event_id") < 300)
+    versioned.commit_version(spark, path, ev6)
+    m1 = versioned._manifest(path)
+
+    v2 = versioned.drop_column(spark, path, "props")
+    m2 = versioned._manifest(path)
+    assert v2 == 2
+    # metadata-only: identical file list, no new data dirs
+    assert m2["files"] == m1["files"]
+    cur = versioned.read_version(spark, path)
+    assert "props" not in cur.columns
+    assert cur.count() == ev6.count()
+    # time travel: the 6-column version still serves props
+    assert "props" in versioned.read_version(spark, path, 1).columns
+
+    # retired name refuses; a fresh name adds fine and null-fills
+    with pytest.raises(ValueError, match="retired"):
+        versioned.evolve_schema(spark, path, [("props", "string")])
+    versioned.evolve_schema(spark, path, [("quality", "string")])
+    assert versioned.read_version(spark, path).filter(
+        F.col("quality").isNotNull()
+    ).count() == 0
+
+    # post-drop MOR update writes narrow images that read back clean
+    versioned.update_rows_mor(
+        spark, path, "event_id % 2 = 0", {"quality": F.lit("even")}
+    )
+    got = versioned.read_version(spark, path)
+    assert got.filter(F.col("quality") == "even").count() == ev6.filter(
+        F.col("event_id") % 2 == 0
+    ).count()
+
+    # guards: unknown column, constraint-referenced column
+    with pytest.raises(ValueError, match="no such column"):
+        versioned.drop_column(spark, path, "nope")
+    versioned.add_constraint(spark, path, "vcap", "value <= 1e9")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        versioned.drop_column(spark, path, "value")
+    versioned.drop_constraint(path, "vcap")
+
+    # cluster-column guard (the day-partitioned layout's p_date is a
+    # DERIVED directory column, absent from the schema — dropping it
+    # correctly fails "no such column"; the guard protects CLUSTERED
+    # manifests whose cluster column IS a schema column)
+    p2 = str(tmp_path / "dp")
+    os.makedirs(p2)
+    versioned.commit_version_clustered(
+        spark,
+        p2,
+        ev6.select("event_id", "ts", "user_id", "event_type", "value"),
+        partition_col="event_type",
+    )
+    with pytest.raises(ValueError, match="partition/cluster"):
+        versioned.drop_column(spark, p2, "event_type")
+
+    # index pointer on the dropped column is removed with it
+    p3 = str(tmp_path / "di")
+    os.makedirs(p3)
+    versioned.commit_version(
+        spark, p3,
+        ev6.select("event_id", "ts", "user_id", "event_type", "value"),
+        bloom_cols=["user_id"],
+    )
+    assert os.path.isfile(os.path.join(p3, "_BLOOM_user_id.json"))
+    versioned.drop_column(spark, p3, "user_id")
+    assert not os.path.exists(os.path.join(p3, "_BLOOM_user_id.json"))
