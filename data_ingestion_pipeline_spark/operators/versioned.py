@@ -1107,6 +1107,41 @@ class MergeCardinalityError(RuntimeError):
     contract Delta's MERGE enforces)."""
 
 
+def _validate_merge_spec(
+    target_schema, when_matched, insert_not_matched
+) -> tuple[list[str], dict]:
+    """Shared clause validation for the MOR and COW merge paths:
+    clause ops, assignment targets, insert-column completeness.
+    Returns (data_cols, col→type)."""
+    data_cols = [f.name for f in target_schema.fields]
+    col_type = {f.name: f.dataType for f in target_schema.fields}
+    for op, assigns, _cond in when_matched:
+        if op not in ("update", "delete"):
+            raise ValueError(f"unknown matched clause {op!r}")
+        if op == "delete" and assigns:
+            raise ValueError("delete clause takes no assignments")
+        for c in assigns or {}:
+            if c not in col_type:
+                raise ValueError(f"assignment to unknown column {c!r}")
+    if isinstance(insert_not_matched, dict):
+        missing = set(data_cols) - set(insert_not_matched)
+        if missing:
+            raise ValueError(f"insert clause missing columns {sorted(missing)}")
+    return data_cols, col_type
+
+
+def _merge_action_col(when_matched, matched_flag):
+    """The first-matching-clause-wins routing column (NULL = matched
+    row satisfying no clause, or unmatched row)."""
+    chain = None
+    for i, (_op, _assigns, ccond) in enumerate(when_matched):
+        c = F.expr(ccond) if ccond else F.lit(True)
+        chain = F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
+    if chain is None:
+        return F.lit(None).cast("int")
+    return F.when(matched_flag, chain)
+
+
 def merge_into_mor(
     spark: SparkSession,
     path: str,
@@ -1164,22 +1199,10 @@ def merge_into_mor(
             "merge_into_mor supports unpartitioned snapshots; use "
             "upsert_version_cow for partition-granular upserts"
         )
-    for op, assigns, _cond in when_matched:
-        if op not in ("update", "delete"):
-            raise ValueError(f"unknown matched clause {op!r}")
-        if op == "delete" and assigns:
-            raise ValueError("delete clause takes no assignments")
     target_schema = _manifest_read_schema(m)
-    data_cols = [f.name for f in target_schema.fields]
-    col_type = {f.name: f.dataType for f in target_schema.fields}
-    for op, assigns, _cond in when_matched:
-        for c in assigns or {}:
-            if c not in col_type:
-                raise ValueError(f"assignment to unknown column {c!r}")
-    if isinstance(insert_not_matched, dict):
-        missing = set(data_cols) - set(insert_not_matched)
-        if missing:
-            raise ValueError(f"insert clause missing columns {sorted(missing)}")
+    data_cols, col_type = _validate_merge_spec(
+        target_schema, when_matched, insert_not_matched
+    )
     abs_root = os.path.abspath(path)
     v = m["version"] + 1
 
@@ -1258,13 +1281,7 @@ def merge_into_mor(
         joined = t.join(s, cond, jt)
 
         matched_flag = F.col("t.__dv_pos").isNotNull()
-        action = F.lit(None).cast("int")
-        chain = None
-        for i, (_op, _assigns, ccond) in enumerate(when_matched):
-            c = F.expr(ccond) if ccond else F.lit(True)
-            chain = F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
-        if chain is not None:
-            action = F.when(matched_flag, chain)
+        action = _merge_action_col(when_matched, matched_flag)
 
         proj = [F.col(f"t.{c}").alias(c) for c in data_cols]
         proj += [
@@ -3567,6 +3584,254 @@ def upsert_version_cow(
     )
 
 
+def merge_into_cow(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: list[tuple] = (),
+    insert_not_matched: bool | dict = False,
+    insert_not_matched_cond: str | None = None,
+    ts_col: str = "ts",
+    meta: dict | None = None,
+) -> int:
+    """Three-clause MERGE INTO for DAY-PARTITIONED tables, COW
+    granularity: merge_into_mor's exact semantics (ordered
+    conditional matched-update / matched-delete, guarded
+    not-matched-insert, first-clause-wins, source-cardinality
+    enforcement) with the partitioned physical shape — ONLY the
+    partitions the source touches are read, merged and rewritten;
+    every other partition's files carry into the new manifest by
+    reference. Rewrite cost ∝ touched-partition slice, the
+    upsert_version_cow contract generalized to conditional
+    update/delete/insert.
+
+    Same source contract as upsert_version_cow: source rows carry the
+    TARGET row's partition timestamp in `ts_col` (true for CDC feeds,
+    which carry full images), so the touched-day list is one distinct
+    over the source — partition METADATA, no table scan. A source row
+    that matches no clause still counts its day as touched (its
+    partition is rewritten unchanged — bounded waste, never an
+    error). Carried partitions keep their deletion-vector rows via
+    the carried pointer; rewritten partitions materialize theirs
+    (DV-filtered read), identical to upsert_version_cow."""
+    from data_ingestion_pipeline_spark.operators.upsert import with_partition_col
+
+    m = _manifest(path)
+    if m["version"] == 0:
+        raise ValueError("cannot merge into an empty table")
+    if "partitions" not in m:
+        raise ValueError(
+            "merge_into_cow needs a day-partitioned snapshot; "
+            "merge_into_mor is the unpartitioned path"
+        )
+    target_schema = _manifest_read_schema(m)
+    data_cols, col_type = _validate_merge_spec(
+        target_schema, when_matched, insert_not_matched
+    )
+
+    touched = {
+        str(r[0])
+        for r in with_partition_col(source, ts_col)
+        .select(PART_COL)
+        .distinct()
+        .collect()
+    }
+    parts = m.get("partitions", {})
+    touched_files = [f for f in m["files"] if parts.get(f) in touched]
+    carried = [f for f in m["files"] if parts.get(f) not in touched]
+
+    base = (
+        _read_files_as_snapshot(
+            spark, m, [os.path.join(path, f) for f in touched_files], path=path
+        )
+        if touched_files
+        else _empty_snapshot(spark, m)
+    ).withColumn("__rid", F.monotonically_increasing_id())
+
+    t = base.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in keys:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+
+    matched_flag = (
+        F.col("t.__rid").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
+    )
+    action = _merge_action_col(when_matched, matched_flag)
+
+    def _ins_expr(c: str) -> F.Column:
+        e = (
+            F.expr(insert_not_matched[c])
+            if isinstance(insert_not_matched, dict)
+            else F.col(f"s.{c}")
+        )
+        return e.cast(col_type[c]).alias(f"__i_{c}")
+
+    proj = [F.col(f"t.{c}").alias(c) for c in data_cols]
+    proj += [
+        F.col("t.__rid").alias("__rid"),
+        matched_flag.alias("__matched"),
+        F.col(f"s.{keys[0]}").isNotNull().alias("__has_src"),
+        action.alias("__action"),
+    ]
+    for i, (op, assigns, _c) in enumerate(when_matched):
+        if op == "update":
+            for c, e in assigns.items():
+                proj.append(F.expr(e).cast(col_type[c]).alias(f"__u{i}_{c}"))
+    if insert_not_matched:
+        proj += [_ins_expr(c) for c in data_cols]
+        # full-outer join: unmatched TARGET rows also have
+        # __matched == false, so insert eligibility must REQUIRE a
+        # source side (plus the optional NOT MATCHED AND guard)
+        ins_ok = F.col(f"s.{keys[0]}").isNotNull()
+        if insert_not_matched_cond:
+            ins_ok = ins_ok & F.expr(insert_not_matched_cond)
+        proj.append(ins_ok.alias("__ins_ok"))
+    else:
+        proj.append(F.lit(False).alias("__ins_ok"))
+    # one touched-slice scan + one source pass pinned under the counts,
+    # the cardinality check and the rewrite
+    flat = joined.select(*proj).localCheckpoint(eager=True)
+
+    raw_counts = flat.groupBy("__matched", "__action", "__ins_ok").agg(
+        F.count("*").alias("n")
+    ).collect()
+    counts: dict = {}
+    n_ins = 0
+    for r in raw_counts:
+        counts[(r["__matched"], r["__action"])] = (
+            counts.get((r["__matched"], r["__action"]), 0) + r["n"]
+        )
+        if not r["__matched"] and r["__ins_ok"]:
+            n_ins += r["n"]
+    if not insert_not_matched:
+        n_ins = 0
+    n_modified = sum(n for (mt, a), n in counts.items() if mt and a is not None)
+    if n_modified:
+        dup = (
+            flat.filter(F.col("__matched") & F.col("__action").isNotNull())
+            .groupBy("__rid")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise MergeCardinalityError(
+                "multiple source rows matched and attempted to modify "
+                "the same target row; deduplicate the source on the "
+                "merge keys first"
+            )
+
+    update_idx = [
+        i for i, (op, _a, _c) in enumerate(when_matched) if op == "update"
+    ]
+    delete_idx = [
+        i for i, (op, _a, _c) in enumerate(when_matched) if op == "delete"
+    ]
+    n_upd = sum(counts.get((True, i), 0) for i in update_idx)
+    n_del = sum(counts.get((True, i), 0) for i in delete_idx)
+
+    # the touched partitions' NEW content: untouched target rows +
+    # updated images (delete-routed rows drop out) + guarded inserts
+    kept = flat.filter(
+        F.col("__rid").isNotNull() & F.col("__action").isNull()
+    ).select(*[F.col(c) for c in data_cols])
+    parts_out = [kept]
+    for i in update_idx:
+        if counts.get((True, i)):
+            assigns = when_matched[i][1]
+            parts_out.append(
+                flat.filter(F.col("__action") == i).select(
+                    *[
+                        (F.col(f"__u{i}_{c}") if c in assigns else F.col(c)).alias(c)
+                        for c in data_cols
+                    ]
+                )
+            )
+    if insert_not_matched and n_ins:
+        parts_out.append(
+            flat.filter(~F.col("__matched") & F.col("__ins_ok")).select(
+                *[F.col(f"__i_{c}").alias(c) for c in data_cols]
+            )
+        )
+    merged = parts_out[0]
+    for p in parts_out[1:]:
+        merged = merged.unionByName(p)
+
+    return commit_version_partitioned(
+        spark,
+        path,
+        merged,
+        ts_col=ts_col,
+        carried=carried,
+        meta={
+            **(meta or {}),
+            "merge": {"updated": n_upd, "deleted": n_del, "inserted": n_ins},
+        },
+        dv=m.get("dv"),
+    )
+
+
+def merge_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: merge_mor_roundtrip's exact three-clause MERGE
+    run against a DAY-PARTITIONED table through the COW path — same
+    oracle, different physical shape (only source-touched days
+    rewritten; untouched days' files carried byte-identical, pinned
+    in tests/test_versioned.py)."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("merge_cow", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version_partitioned(spark, path, ev)
+    bucket = F.col("event_id") % 10
+    source = (
+        ev.filter(bucket == 0)
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            (F.col("value") * 2).alias("value"),
+            F.lit("update").alias("op"),
+        )
+        .unionByName(
+            ev.filter(bucket == 1).select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            ev.filter(bucket == 2).select(
+                (F.col("event_id") + 10000000).alias("event_id"),
+                "ts", "user_id",
+                F.lit("inserted").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    merge_into_cow(
+        spark,
+        path,
+        source,
+        ["event_id"],
+        when_matched=[
+            ("update", {"value": "s.value", "event_type": "'merged'"}, "s.op = 'update'"),
+            ("delete", None, "s.op = 'delete'"),
+        ],
+        insert_not_matched=True,
+    )
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
 def versioned_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: commit events day-partitioned as v1, COW-upsert
     one day's worth of updates (2024-01-10, value +1000.0), and
@@ -3611,15 +3876,73 @@ def table_changes(
     snapshot reads (each pruned to its manifest's files), with change
     detection via a row fingerprint — the SCD2 construction pointed
     at history instead of updates. At scale the join keys on the
-    table's partition/bucket key, and a COW table diff could prune to
-    partitions whose file sets differ between the manifests (pure
-    metadata) before reading any data.
+    table's partition/bucket key, and on a COW-PARTITIONED table the
+    diff first prunes — in PURE METADATA — to partitions whose file
+    sets differ between the two manifests (`_cdf_changed_files`): a
+    one-day COW upsert on a year-long table diffs one day's files,
+    not the year. The pruning is sound because carried files are
+    byte-identical (a partition with an unchanged file set has
+    unchanged content) and is DISABLED whenever either snapshot
+    carries a deletion vector the other doesn't share (a DV delta can
+    change rows inside untouched files).
     """
+    ma = _manifest(path, v_from)
+    mb = _manifest(path, v_to)
+    pruned = _cdf_changed_files(ma, mb)
+    if pruned is not None:
+        fa, fb = pruned
+        a_df = (
+            _read_files_as_snapshot(
+                spark, ma, [os.path.join(path, f) for f in fa], path=path
+            )
+            if fa
+            else _empty_snapshot(spark, ma)
+        )
+        b_df = (
+            _read_files_as_snapshot(
+                spark, mb, [os.path.join(path, f) for f in fb], path=path
+            )
+            if fb
+            else _empty_snapshot(spark, mb)
+        )
+        return snapshot_changes(a_df, b_df, keys)
     return snapshot_changes(
         read_version(spark, path, v_from),
         read_version(spark, path, v_to),
         keys,
     )
+
+
+def _cdf_changed_files(ma: dict, mb: dict) -> tuple[list, list] | None:
+    """Metadata-only CDF pruning for partitioned manifests: the two
+    file lists restricted to partitions whose file SETS differ
+    (including partitions present on only one side). None → no sound
+    pruning available (unpartitioned manifest, or a deletion-vector
+    delta that can change row content inside an unchanged file set —
+    prune only when both sides reference the IDENTICAL sidecar or
+    neither has one). A partition with an identical file set on both
+    sides has identical content (files are immutable) and contributes
+    no change rows, so dropping it from BOTH scans is exact."""
+    if "partitions" not in ma or "partitions" not in mb:
+        return None
+    if (ma.get("dv") or {}).get("sidecar") != (mb.get("dv") or {}).get(
+        "sidecar"
+    ):
+        return None
+    by_part_a: dict = {}
+    for f, p in ma["partitions"].items():
+        by_part_a.setdefault(p, set()).add(f)
+    by_part_b: dict = {}
+    for f, p in mb["partitions"].items():
+        by_part_b.setdefault(p, set()).add(f)
+    changed = {
+        p
+        for p in set(by_part_a) | set(by_part_b)
+        if by_part_a.get(p) != by_part_b.get(p)
+    }
+    fa = sorted(f for f, p in ma["partitions"].items() if p in changed)
+    fb = sorted(f for f, p in mb["partitions"].items() if p in changed)
+    return fa, fb
 
 
 def table_changes_between_tables(
@@ -3764,14 +4087,16 @@ def constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     add_constraint(spark, path, "value_cap", "value <= 50")
     add_constraint(spark, path, "typed", "event_type IS NOT NULL")
     commit_version(spark, path, ev.filter(F.col("value") <= 50))
-    try:
-        commit_version(spark, path, ev.filter(F.col("value") > 50))
-    except ConstraintViolationError:
-        pass
-    else:  # pragma: no cover — the entry must observe the refusal
-        raise RuntimeError("constraint violation was not enforced")
-    if current_version(path) != 1:
-        raise RuntimeError("refused write still advanced the table")
+    bad = ev.filter(F.col("value") > 50)
+    if bad.limit(1).count():  # empty-input runs have nothing to refuse
+        try:
+            commit_version(spark, path, bad)
+        except ConstraintViolationError:
+            pass
+        else:  # pragma: no cover — the entry must observe the refusal
+            raise RuntimeError("constraint violation was not enforced")
+        if current_version(path) != 1:
+            raise RuntimeError("refused write still advanced the table")
     return read_version(spark, path).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -4287,6 +4612,23 @@ def zorder_cluster(
     if m["version"] == 0:
         raise ValueError("cannot z-order an empty table")
     df = read_version(spark, path)  # DV-filtered: deletes materialize
+    ordered = _zorder_frame(df, cols, bits, target_files)
+    return commit_version(
+        spark,
+        path,
+        ordered,
+        meta={**(meta or {}), "zorder_by": cols, "zorder_bits": bits},
+        stats_cols=cols,
+    )
+
+
+def _zorder_frame(
+    df: DataFrame, cols: list[str], bits: int, target_files: int
+) -> DataFrame:
+    """The z-layout core: quantile-bucket each column (one
+    approxQuantile pass), Morton-interleave the bucket bits (JVM
+    shift/or tree), range-partition + sort by z. Shared by the full
+    and incremental OPTIMIZE paths."""
     for c in cols:
         dt = df.schema[c].dataType.simpleString()
         if dt not in ("int", "bigint", "smallint", "tinyint", "float",
@@ -4305,19 +4647,111 @@ def zorder_cluster(
         _zorder_bucket(F.col(nc), bs) for nc, bs in zip(num_cols, bounds)
     ]
     z = _zorder_value(buckets, bits)
-    ordered = (
+    return (
         df.withColumn("__z", z)
         .repartitionByRange(target_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z", *[c for c in df.columns if c.startswith("__zc_")])
     )
-    return commit_version(
-        spark,
-        path,
-        ordered,
-        meta={**(meta or {}), "zorder_by": cols, "zorder_bits": bits},
-        stats_cols=cols,
+
+
+def zorder_cluster_incremental(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int = 4,
+    bits: int = ZORDER_BITS,
+    expected_current: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Incremental OPTIMIZE ZORDER BY — cluster ONLY the files added
+    since the last z-order over the same columns (Delta's
+    incremental OPTIMIZE / liquid-clustering shape): the full rewrite
+    is O(table) and cannot run per-ingest at 100 TB, while this costs
+    O(new data) and keeps every file's min/max tight, so
+    stats_lookup_multi keeps pruning (per-FILE stats don't care that
+    the layout is layered — each optimize pass adds one internally
+    well-clustered layer; pruning power degrades only with layer
+    COUNT, and a periodic full zorder_cluster resets it).
+
+    Baseline detection walks commit metas backward for the most
+    recent `zorder_by == cols` commit (manifest_meta — scalar inline
+    reads, no chain resolution) and treats its files ∩ current files
+    as clustered; everything else is the unclustered tail. No such
+    commit (or vacuumed history) → falls back to ONE full
+    zorder_cluster. Nothing unclustered → no-op (current version
+    returned, no empty commit). The unclustered subset is read
+    DV-FILTERED, so its deletes materialize into the new layer, while
+    the carried DV pointer stays correct for carried files (DV rows
+    naming the rewritten files reference names absent from the new
+    manifest — inert by the carry-safety contract). Stats refresh is
+    incremental: prior sidecar rows carry, only the new layer's
+    footers are harvested."""
+    _occ_check(path, expected_current)
+    m = _manifest(path)
+    if m["version"] == 0:
+        raise ValueError("cannot z-order an empty table")
+    if "partitions" in m or "partition_col" in m:
+        raise ValueError(
+            "zorder_cluster_incremental supports unpartitioned "
+            "snapshots (directory-partitioned layouts cluster within "
+            "partitions at write time)"
+        )
+    clustered: set[str] = set()
+    for v in range(m["version"], 0, -1):
+        try:
+            if manifest_meta(path, v).get("zorder_by") == cols:
+                clustered = set(_manifest(path, v)["files"]) & set(m["files"])
+                break
+        except FileNotFoundError:
+            break  # vacuumed history: no provable baseline below here
+    else:
+        v = 0
+    if v == 0 or not clustered:
+        return zorder_cluster(
+            spark, path, cols, target_files=target_files, bits=bits, meta=meta
+        )
+    unclustered = [f for f in m["files"] if f not in clustered]
+    if not unclustered:
+        return m["version"]  # fully clustered: nothing to do
+    sub = _read_files_as_snapshot(
+        spark, m, [os.path.join(path, f) for f in unclustered], path=path
     )
+    ordered = _zorder_frame(sub, cols, bits, target_files)
+    nv = m["version"] + 1
+    data_dir = os.path.join(path, "data", f"v{nv}-zinc-{uuid.uuid4().hex[:8]}")
+    ordered.write.mode("overwrite").parquet(data_dir)
+    new_files = _walk_rel_parquet(data_dir, path)
+    files = sorted(list(clustered) + new_files)
+    _publish_manifest(
+        path,
+        nv,
+        {
+            "version": nv,
+            "files": files,
+            "schema": m["schema"],
+            **({"project_schema": True} if m.get("project_schema") else {}),
+            "committed_at": time.time(),
+            "meta": {
+                **(meta or {}),
+                "zorder_by": cols,
+                "zorder_bits": bits,
+                "zorder_incremental": {
+                    "rewrote": len(unclustered),
+                    "carried": len(clustered),
+                },
+            },
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+        },
+        expected_current,
+        prev=m,
+    )
+    for c in cols:
+        try:
+            build_column_stats(spark, path, c)
+        except Exception as e:  # noqa: BLE001 — commit already durable
+            raise IndexMaintenanceError(nv, e) from e
+    return nv
 
 
 def stats_lookup_multi(
@@ -4394,6 +4828,51 @@ def zorder_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- history + restore: the table-format introspection/rollback API --
+
+
+def zorder_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: incremental OPTIMIZE lifecycle — full z-order
+    over (event_id, value), append a +10⁷-shifted copy of events via
+    insert-only MERGE (new unclustered files), then
+    zorder_cluster_incremental rewrites ONLY those files into a
+    second clustered layer (carried files byte-identical, pinned).
+    The 2-D probe lands entirely inside the new layer — every
+    original-layer file must prune on the event_id dimension — and
+    must equal the oracle's shifted-range scan."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("zorder_inc", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartition(8))
+    zorder_cluster(spark, path, ["event_id", "value"], target_files=8)
+    shifted = ev.withColumn("event_id", F.col("event_id") + 10_000_000)
+    merge_into_mor(spark, path, shifted, ["event_id"], insert_not_matched=True)
+    zorder_cluster_incremental(
+        spark, path, ["event_id", "value"], target_files=4
+    )
+    return stats_lookup_multi(
+        spark,
+        path,
+        [
+            ("event_id", 10_002_000, 10_003_999),
+            ("value", 20.0, 60.0),
+        ],
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def zorder_incremental_oracle_sql() -> str:
+    return """
+        SELECT event_id + 10000000 AS event_id, ts, user_id,
+               event_type, value
+        FROM events
+        WHERE event_id BETWEEN 2000 AND 3999
+          AND value BETWEEN 20.0 AND 60.0
+    """
 
 
 def table_history(path: str) -> list[dict]:

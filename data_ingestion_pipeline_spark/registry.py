@@ -1220,6 +1220,16 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.merge_mor_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_merge_mor_three_clauses",
     ),
+    "merge_cow_roundtrip": QuerySpec(
+        # three-clause MERGE, COW granularity (r13): merge_into_mor's
+        # semantics on a day-partitioned table — only source-touched
+        # days read/merged/rewritten, untouched days' files carried by
+        # reference (rewrite ∝ touched slice); same oracle as the MOR
+        # twin, different physical shape
+        versioned.merge_cow_roundtrip,
+        versioned.merge_mor_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_merge_cow_rewrites_only_touched_days",
+    ),
     "zorder_skipping_roundtrip": QuerySpec(
         # Z-order clustering maintenance (r13): OPTIMIZE ... ZORDER BY
         # (event_id, value) — quantile-bucket each column, interleave
@@ -1237,6 +1247,18 @@ REGISTRY: dict[str, QuerySpec] = {
           AND value BETWEEN 20.0 AND 60.0
         """,
         ground_truth="tests/test_versioned.py::test_zorder_prunes_both_dimensions",
+    ),
+    "zorder_incremental_roundtrip": QuerySpec(
+        # incremental OPTIMIZE ZORDER (r13): cluster ONLY the files
+        # added since the last z-order over the same columns — O(new
+        # data), never O(table), the liquid-clustering shape a
+        # per-ingest OPTIMIZE needs at 100 TB; per-file stats keep
+        # every layer pruned independently (carried-file byte
+        # identity, no-op/fallback paths and DV interplay pinned in
+        # tests/test_versioned.py)
+        versioned.zorder_incremental_roundtrip,
+        versioned.zorder_incremental_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_zorder_incremental_rewrites_only_new_files",
     ),
     "compaction_roundtrip": QuerySpec(
         # OPTIMIZE / small-file compaction (r10): 6-file-per-day debris

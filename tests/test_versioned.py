@@ -2359,3 +2359,308 @@ def test_drop_column_is_metadata_only_and_name_retires(spark, tmp_path):
     assert os.path.isfile(os.path.join(p3, "_BLOOM_user_id.json"))
     versioned.drop_column(spark, p3, "user_id")
     assert not os.path.exists(os.path.join(p3, "_BLOOM_user_id.json"))
+
+
+def test_zorder_incremental_rewrites_only_new_files(spark, tmp_path):
+    """Incremental OPTIMIZE: carried clustered files byte-identical,
+    only the unclustered tail rewritten, no-op when fully clustered,
+    full-cluster fallback without a baseline, DV deletes in the tail
+    materialize into the new layer."""
+    path = str(tmp_path / "zi")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 2000)
+    versioned.commit_version(spark, path, ev.repartition(4))
+
+    # no baseline → falls back to ONE full cluster
+    v = versioned.zorder_cluster_incremental(
+        spark, path, ["event_id", "value"], target_files=4)
+    m_full = versioned._manifest(path)
+    assert v == 2 and m_full["meta"]["zorder_by"] == ["event_id", "value"]
+    assert "zorder_incremental" not in m_full["meta"]
+
+    # fully clustered → no-op, no new version
+    assert versioned.zorder_cluster_incremental(
+        spark, path, ["event_id", "value"]) == 2
+    assert versioned.current_version(path) == 2
+
+    # append new keys, soft-delete some of them, then incremental
+    shifted = ev.withColumn("event_id", F.col("event_id") + 100_000)
+    versioned.merge_into_mor(
+        spark, path, shifted, ["event_id"], insert_not_matched=True)
+    versioned.delete_rows_dv(
+        spark, path, F.col("event_id") >= 100_000 + 1000)
+    m_before = versioned._manifest(path)
+    v2 = versioned.zorder_cluster_incremental(
+        spark, path, ["event_id", "value"], target_files=2)
+    m_after = versioned._manifest(path)
+    assert v2 == m_before["version"] + 1
+    # every clustered (v2-layer) file carried byte-identical
+    carried = set(m_full["files"]) & set(m_before["files"])
+    assert carried <= set(m_after["files"])
+    rewritten = set(m_before["files"]) - set(m_after["files"])
+    assert rewritten and carried.isdisjoint(rewritten)
+    assert m_after["meta"]["zorder_incremental"]["carried"] == len(carried)
+
+    # content: originals + the NON-deleted shifted rows (the tail's
+    # deletes materialized into the new layer)
+    got = versioned.read_version(spark, path)
+    assert got.count() == ev.count() + ev.filter(
+        F.col("event_id") + 100_000 < 101_000).count()
+
+    # a 2-D probe inside the new layer prunes every original-layer file
+    cand_ev = versioned.stats_candidate_files(
+        spark, path, "event_id", 100_000, 100_500)
+    assert set(cand_ev).isdisjoint(carried)
+    rows = versioned.stats_lookup_multi(
+        spark, path,
+        [("event_id", 100_000, 100_500), ("value", 0.0, 1e9)],
+    ).collect()
+    want = {
+        r.event_id + 100_000
+        for r in ev.filter(
+            (F.col("event_id") + 100_000).between(100_000, 100_500)
+        ).collect()
+    }
+    assert {r.event_id for r in rows} == want
+
+
+def test_cdf_partition_pruning_is_exact(spark, tmp_path):
+    """COW-partitioned CDF: the diff prunes — in pure metadata — to
+    partitions whose file sets differ, and its output equals the
+    unpruned snapshot diff; a DV delta disables pruning (unsound)
+    but never changes results."""
+    path = str(tmp_path / "cdfp")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(spark, path, ev)
+    one_day = ev.filter(F.dayofmonth("ts") == 2).withColumn(
+        "value", F.col("value") + 9.0
+    )
+    assert one_day.count() > 0
+    versioned.upsert_version_cow(spark, path, one_day, ["event_id"])
+
+    ma = versioned._manifest(path, 1)
+    mb = versioned._manifest(path, 2)
+    pruned = versioned._cdf_changed_files(ma, mb)
+    assert pruned is not None
+    fa, fb = pruned
+    # strictly fewer files than the full manifests on both sides
+    assert 0 < len(fa) < len(ma["files"])
+    assert 0 < len(fb) < len(mb["files"])
+    # pruned partitions agree: only the touched day differs
+    parts = {ma["partitions"][f] for f in fa} | {
+        mb["partitions"][f] for f in fb
+    }
+    assert len(parts) == 1
+
+    got = sorted(
+        map(tuple, versioned.table_changes(spark, path, 1, 2, ["event_id"]).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            versioned.snapshot_changes(
+                versioned.read_version(spark, path, 1),
+                versioned.read_version(spark, path, 2),
+                ["event_id"],
+            ).collect(),
+        )
+    )
+    assert got == full and len(got) == 2 * one_day.count()
+
+    # DV delta: pruning declines, results still exact
+    versioned.delete_rows_dv(spark, path, F.col("event_id") % 100 == 3)
+    m3 = versioned._manifest(path, 3)
+    assert versioned._cdf_changed_files(mb, m3) is None
+    ch = versioned.table_changes(spark, path, 2, 3, ["event_id"])
+    assert {r._change_type for r in ch.collect()} == {"delete"}
+    assert ch.count() == ev.filter(F.col("event_id") % 100 == 3).count()
+
+
+def test_merge_cow_rewrites_only_touched_days(spark, tmp_path):
+    """Partitioned MERGE: untouched days' files carried byte-identical,
+    touched days rewritten with clause semantics, counts recorded,
+    cardinality enforced."""
+    import pytest
+
+    path = str(tmp_path / "mc")
+    os.makedirs(path)
+    ev = _events(spark)
+    versioned.commit_version_partitioned(spark, path, ev)
+    m1 = versioned._manifest(path)
+
+    day2 = F.dayofmonth("ts") == 2
+    src = (
+        ev.filter(day2 & (F.col("event_id") % 2 == 0))
+        .select("event_id", "ts", "user_id", "event_type", "value",
+                F.lit("update").alias("op"))
+        .unionByName(
+            ev.filter(day2 & (F.col("event_id") % 2 == 1)).select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                F.lit("delete").alias("op"))
+        )
+    )
+    n_upd = src.filter(F.col("op") == "update").count()
+    n_del = src.filter(F.col("op") == "delete").count()
+    versioned.merge_into_cow(
+        spark, path, src, ["event_id"],
+        when_matched=[
+            ("update", {"value": "t.value + 5.0"}, "s.op = 'update'"),
+            ("delete", None, "s.op = 'delete'"),
+        ],
+    )
+    m2 = versioned._manifest(path)
+    assert m2["meta"]["merge"] == {
+        "updated": n_upd, "deleted": n_del, "inserted": 0}
+    # every non-day-2 file carried byte-identical
+    day2_parts = {
+        p for f, p in m1["partitions"].items() if p.endswith("-02")
+    }
+    carried_expect = {
+        f for f, p in m1["partitions"].items() if p not in day2_parts
+    }
+    assert carried_expect <= set(m2["files"])
+    assert not day2_parts & {
+        m2["partitions"][f]
+        for f in set(m2["files"]) & set(m1["files"])
+    }
+
+    got = {r.event_id: r.value for r in versioned.read_version(spark, path).collect()}
+    for r in ev.collect():
+        if r.ts.day == 2 and r.event_id % 2 == 1:
+            assert r.event_id not in got
+        elif r.ts.day == 2 and r.event_id % 2 == 0:
+            assert got[r.event_id] == r.value + 5.0
+        else:
+            assert got[r.event_id] == r.value
+
+    # ambiguity refusal
+    with pytest.raises(versioned.MergeCardinalityError):
+        versioned.merge_into_cow(
+            spark, path,
+            src.filter(F.col("op") == "update").unionByName(
+                src.filter(F.col("op") == "update")),
+            ["event_id"],
+            when_matched=[("delete", None, None)],
+        )
+    # unpartitioned snapshot refused
+    p2 = str(tmp_path / "mcu")
+    os.makedirs(p2)
+    versioned.commit_version(spark, p2, ev.limit(10))
+    with pytest.raises(ValueError, match="day-partitioned"):
+        versioned.merge_into_cow(spark, p2, src, ["event_id"])
+
+
+def test_merge_differential_against_python_reference(spark, tmp_path):
+    """Seeded randomized differential test: merge_into_mor (and the
+    COW twin on one case) vs a pure-Python first-clause-wins
+    reference over random targets/sources — clause routing,
+    no-clause fallthrough, guarded inserts and source-null keys all
+    exercised beyond the fixed fixtures."""
+    import datetime
+    import random
+
+    CLAUSES = [
+        ("update", {"value": "s.value"}, "s.op = 'u1'"),
+        ("update", {"value": "t.value + 10.0"}, "s.op = 'u2'"),
+        ("delete", None, "s.op = 'd'"),
+    ]
+    INS_COND = "s.op IN ('u1', 'i')"
+
+    def ref_merge(target, source):
+        # first-clause-wins per matched target row; guarded inserts
+        by_key = {}
+        for srow in source:
+            by_key.setdefault(srow["event_id"], []).append(srow)
+        out = []
+        matched_src = set()
+        for trow in target:
+            srows = by_key.get(trow["event_id"], [])
+            if srows:
+                matched_src.add(trow["event_id"])
+                s0 = srows[0]
+                if s0["op"] == "u1":
+                    out.append({**trow, "value": s0["value"]})
+                elif s0["op"] == "u2":
+                    out.append({**trow, "value": trow["value"] + 10.0})
+                elif s0["op"] == "d":
+                    pass
+                else:  # no clause satisfied: untouched
+                    out.append(trow)
+            else:
+                out.append(trow)
+        for srow in source:
+            if srow["event_id"] is None or srow["event_id"] in {
+                t["event_id"] for t in target
+            }:
+                continue
+            if srow["op"] in ("u1", "i"):
+                out.append(
+                    {k: srow[k] for k in ("event_id", "ts", "user_id",
+                                          "event_type", "value")}
+                )
+        return sorted(
+            (r["event_id"], round(r["value"], 6), r["event_type"])
+            for r in out
+        )
+
+    base_ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    for case, seed in enumerate([7, 23, 101]):
+        rng = random.Random(seed)
+        n_t = rng.randint(50, 120)
+        target = [
+            {
+                "event_id": i,
+                "ts": base_ts + datetime.timedelta(hours=i % 48),
+                "user_id": rng.randint(1, 9),
+                "event_type": rng.choice(["a", "b", "c"]),
+                "value": float(rng.randint(0, 500)),
+            }
+            for i in range(n_t)
+        ]
+        src_keys = rng.sample(range(n_t * 2), k=rng.randint(20, 60))
+        source = [
+            {
+                "event_id": k,
+                "ts": base_ts + datetime.timedelta(hours=k % 48),
+                "user_id": rng.randint(1, 9),
+                "event_type": "src",
+                "value": float(rng.randint(1000, 2000)),
+                "op": rng.choice(["u1", "u2", "d", "i", "x"]),
+            }
+            for k in src_keys
+        ]
+        if case == 2:  # a null source key must never match nor insert
+            source.append({**source[0], "event_id": None})
+
+        path = str(tmp_path / f"diff{case}")
+        os.makedirs(path)
+        tdf = spark.createDataFrame(
+            [tuple(r.values()) for r in target],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        )
+        sdf = spark.createDataFrame(
+            [tuple(r.values()) for r in source],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, op string",
+        )
+        if case == 1:
+            versioned.commit_version_partitioned(spark, path, tdf)
+            versioned.merge_into_cow(
+                spark, path, sdf, ["event_id"],
+                when_matched=CLAUSES, insert_not_matched=True,
+                insert_not_matched_cond=INS_COND,
+            )
+        else:
+            versioned.commit_version(spark, path, tdf)
+            versioned.merge_into_mor(
+                spark, path, sdf, ["event_id"],
+                when_matched=CLAUSES, insert_not_matched=True,
+                insert_not_matched_cond=INS_COND,
+            )
+        got = sorted(
+            (r.event_id, round(r.value, 6), r.event_type)
+            for r in versioned.read_version(spark, path).collect()
+        )
+        assert got == ref_merge(target, source), f"case {case} diverged"
