@@ -4166,7 +4166,21 @@ def consume_changes(
     cur = current_version(path)
     if cur <= acked:
         return None, acked
-    return table_changes(spark, path, acked, cur, keys), cur
+    try:
+        return table_changes(spark, path, acked, cur, keys), cur
+    except FileNotFoundError as e:
+        # the acked snapshot was vacuumed out from under a slow
+        # consumer — the Delta streaming-source "startingVersion no
+        # longer available" condition; the feed cannot reconstruct
+        # the gap, so the consumer must re-seed (full resync via
+        # table_changes_between_tables against its replica)
+        raise ValueError(
+            f"acked version v{acked} of {path} has been vacuumed; "
+            "incremental consumption cannot resume — re-seed the "
+            "consumer (diff your replica against the table with "
+            "table_changes_between_tables, apply, then re-init the "
+            "cursor at the current version)"
+        ) from e
 
 
 def cdf_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4327,6 +4341,49 @@ def apply_changes_mor(
             c: f"s.{c}" for c in list(keys) + attrs
         },
         insert_not_matched_cond="s._change_type IN ('insert', 'update_postimage')",
+        meta=meta,
+    )
+
+
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    meta: dict | None = None,
+    ts_col: str = "ts",
+) -> int:
+    """apply_changes_mor, dispatching on the replica's layout: a
+    day-partitioned replica applies the batch through merge_into_cow
+    (rewrite ∝ touched days — the change rows carry the target row's
+    ts, which is exactly the COW source contract), any other layout
+    through the MOR path. Same CDC-batch semantics and
+    content-idempotence either way."""
+    m = _manifest(path)
+    if "partitions" not in m:
+        return apply_changes_mor(spark, path, changes, keys, meta=meta)
+    attrs = [
+        c for c in changes.columns if c not in keys and c != "_change_type"
+    ]
+    src = changes.filter(F.col("_change_type") != "update_preimage")
+    return merge_into_cow(
+        spark,
+        path,
+        src,
+        keys,
+        when_matched=[
+            (
+                "update",
+                {c: f"s.{c}" for c in attrs},
+                "s._change_type = 'update_postimage'",
+            ),
+            ("delete", None, "s._change_type = 'delete'"),
+        ],
+        insert_not_matched={c: f"s.{c}" for c in list(keys) + attrs},
+        insert_not_matched_cond=(
+            "s._change_type IN ('insert', 'update_postimage')"
+        ),
+        ts_col=ts_col,
         meta=meta,
     )
 

@@ -3188,6 +3188,12 @@ _REVERIFY: set[str] = {
     "stream_versioned_append_ingest",
     "stats_skipping_roundtrip",
     "bloom_index_lookup",
+    # r13 late: table_changes refactored around the snapshot_changes
+    # core + metadata partition pruning; zorder_cluster refactored
+    # around the shared _zorder_frame layout core — both pure moves,
+    # but the historical verdicts predate them
+    "versioned_table_changes",
+    "zorder_skipping_roundtrip",
 }
 # r12 prune history: all six r12 names (the index-probe pair,
 # semantic_dedup, the three versioned roundtrips) hold clean r12

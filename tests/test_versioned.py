@@ -2664,3 +2664,85 @@ def test_merge_differential_against_python_reference(spark, tmp_path):
             for r in versioned.read_version(spark, path).collect()
         )
         assert got == ref_merge(target, source), f"case {case} diverged"
+
+
+def test_apply_changes_dispatches_to_cow_on_partitioned_replica(spark, tmp_path):
+    """A day-partitioned replica applies a CDF batch through the COW
+    path: untouched days carried byte-identical, content converges to
+    the source, re-apply is content-idempotent."""
+    src_path = str(tmp_path / "s")
+    rep_path = str(tmp_path / "r")
+    os.makedirs(src_path)
+    os.makedirs(rep_path)
+    ev = _events(spark)
+    versioned.commit_version(spark, src_path, ev)
+    versioned.commit_version_partitioned(spark, rep_path, ev)
+    m1 = versioned._manifest(rep_path)
+
+    day2 = F.dayofmonth("ts") == 2
+    versioned.upsert_version(
+        spark, src_path,
+        ev.filter(day2).withColumn("value", F.col("value") + 3.0),
+        ["event_id"],
+    )
+    changes = versioned.table_changes(
+        spark, src_path, 1, 2, ["event_id"]
+    ).localCheckpoint(eager=True)
+    versioned.apply_changes(spark, rep_path, changes, ["event_id"])
+    m2 = versioned._manifest(rep_path)
+    # COW shape: day-2 files rewritten, every other day carried
+    untouched = {
+        f for f, p in m1["partitions"].items() if not p.endswith("-02")
+    }
+    assert untouched <= set(m2["files"])
+    assert m2["meta"]["merge"]["updated"] == ev.filter(day2).count()
+
+    want = sorted(map(tuple, versioned.read_version(spark, src_path).collect()))
+    assert sorted(
+        map(tuple, versioned.read_version(spark, rep_path).collect())
+    ) == want
+    # re-apply: content-idempotent through the COW path too
+    versioned.apply_changes(spark, rep_path, changes, ["event_id"])
+    assert sorted(
+        map(tuple, versioned.read_version(spark, rep_path).collect())
+    ) == want
+
+
+def test_consume_changes_vacuumed_cursor_raises_actionably(spark, tmp_path):
+    """A slow consumer whose acked snapshot was vacuumed gets the
+    re-seed error, not a raw FileNotFoundError; the documented
+    recovery (diff replica vs table, apply, re-init cursor)
+    converges."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    rep = str(tmp_path / "r")
+    os.makedirs(path)
+    os.makedirs(rep)
+    cursor = str(tmp_path / "cursor.json")
+    ev = _events(spark).filter(F.col("event_id") < 100)
+    versioned.commit_version(spark, path, ev)
+    versioned.commit_version(spark, rep, ev)
+    versioned.init_changes_cursor(cursor, 1)
+
+    for i in range(3):  # push v1 beyond the retention horizon
+        versioned.upsert_version(
+            spark, path,
+            ev.limit(5).withColumn("value", F.col("value") + float(i)),
+            ["event_id"],
+        )
+    versioned.vacuum(path, keep_from=versioned.current_version(path))
+    with pytest.raises(ValueError, match="re-seed"):
+        versioned.consume_changes(spark, path, cursor, ["event_id"])
+
+    # documented recovery: full diff against the replica, apply, re-init
+    fix = versioned.table_changes_between_tables(
+        spark, rep, path, ["event_id"]
+    )
+    versioned.apply_changes(spark, rep, fix, ["event_id"])
+    versioned.init_changes_cursor(cursor, versioned.current_version(path))
+    assert sorted(
+        map(tuple, versioned.read_version(spark, rep).collect())
+    ) == sorted(map(tuple, versioned.read_version(spark, path).collect()))
+    df, _ = versioned.consume_changes(spark, path, cursor, ["event_id"])
+    assert df is None
