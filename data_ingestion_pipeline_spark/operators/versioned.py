@@ -4397,6 +4397,120 @@ def cdf_replica_sync_oracle_sql() -> str:
     """
 
 
+# ---- table integrity audit: order-insensitive content checksum -----
+
+
+def _row_hash_col(df: DataFrame) -> F.Column:
+    """Portable per-row content hash: md5 over a canonical
+    NULL-sentineled, unit-separated string image of the row (explicit
+    microsecond timestamp format, DECIMAL(18,6)-normalized doubles —
+    the two cross-engine formatting traps), 15 hex chars → BIGINT
+    (< 2⁶⁰: no sign/overflow). DuckDB replays it exactly (see the
+    audit entry's oracle), so checksums are comparable across
+    engines, not just across runs."""
+    parts = []
+    for f in df.schema.fields:
+        dt = f.dataType.simpleString()
+        c = F.col(f.name)
+        if dt == "timestamp":
+            s = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        elif dt in ("double", "float"):
+            s = c.cast("decimal(18,6)").cast("string")
+        else:
+            s = c.cast("string")
+        parts.append(F.coalesce(s, F.lit("\x00NULL")))
+    canon = F.concat_ws("\x1f", *parts)
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+
+
+def table_checksum(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """Order-insensitive content checksum of a snapshot: ONE scan,
+    one 3-field aggregate — {rows, xor, sum} where xor/sum combine
+    the per-row hashes (xor is duplicate-pair-blind, the decimal sum
+    is not; together with the count they pin content for practical
+    audit purposes). This is the replica-verification primitive: two
+    tables with equal checksums need no row-level diff, and the
+    comparison moves 3 numbers, not data — at 100 TB, verify_replica
+    costs two scans and one driver equality."""
+    df = read_version(spark, path, version)
+    r = (
+        df.select(_row_hash_col(df).alias("__h"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.expr("bit_xor(__h)").alias("xor"),
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("sum"),
+        )
+        .collect()[0]
+    )
+    return {
+        "rows": r["rows"],
+        "xor": r["xor"] if r["xor"] is not None else 0,
+        "sum": str(r["sum"]) if r["sum"] is not None else "0",
+    }
+
+
+def verify_replica(
+    spark: SparkSession, source_path: str, replica_path: str
+) -> bool:
+    """True iff the two tables' CURRENT snapshots hold identical
+    content (order-insensitive). The cheap converse of
+    table_changes_between_tables: checksums match → skip the diff;
+    mismatch → run the diff and apply_changes the result."""
+    return table_checksum(spark, source_path) == table_checksum(
+        spark, replica_path
+    )
+
+
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the audit checksum of a committed events
+    snapshot, as a 1-row frame the DuckDB oracle recomputes with its
+    own md5/bit_xor/sum — pinning cross-engine portability of the
+    canonical row image (the property that makes the checksum an
+    audit tool rather than a Spark-internal fingerprint).
+    verify_replica's match/mismatch behavior is pinned in
+    tests/test_versioned.py."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("checksum", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev)
+    c = table_checksum(spark, path)
+    return spark.createDataFrame(
+        [(c["rows"], c["xor"], c["sum"])],
+        "n_rows bigint, xor_checksum bigint, sum_checksum string",
+    )
+
+
+def table_checksum_oracle_sql() -> str:
+    return """
+        WITH canon AS (
+            SELECT concat_ws(chr(31),
+                COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL'),
+                COALESCE(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), chr(0) || 'NULL'),
+                COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'NULL'),
+                COALESCE(event_type, chr(0) || 'NULL'),
+                COALESCE(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR),
+                         chr(0) || 'NULL')
+            ) AS c FROM events
+        ), hashed AS (
+            SELECT CAST(CONCAT('0x', substr(md5(c), 1, 15)) AS BIGINT) AS h
+            FROM canon
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bit_xor(h) AS xor_checksum,
+               CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                    AS VARCHAR) AS sum_checksum
+        FROM hashed
+    """
+
+
 # ---- snapshot tags: named dataset releases -------------------------
 
 
@@ -4907,7 +5021,11 @@ def zorder_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     commit_version(spark, path, ev.repartition(8))
     zorder_cluster(spark, path, ["event_id", "value"], target_files=8)
-    shifted = ev.withColumn("event_id", F.col("event_id") + 10_000_000)
+    # a 20% ingest slice — the realistic OPTIMIZE cadence (cluster a
+    # day's appends, not a second copy of the table)
+    shifted = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
     merge_into_mor(spark, path, shifted, ["event_id"], insert_not_matched=True)
     zorder_cluster_incremental(
         spark, path, ["event_id", "value"], target_files=4
@@ -4928,6 +5046,7 @@ def zorder_incremental_oracle_sql() -> str:
                event_type, value
         FROM events
         WHERE event_id BETWEEN 2000 AND 3999
+          AND event_id % 5 = 0
           AND value BETWEEN 20.0 AND 60.0
     """
 

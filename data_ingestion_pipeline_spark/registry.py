@@ -1086,6 +1086,17 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.cdf_incremental_consume_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_cdf_consumer_replays_unacked_batch",
     ),
+    "table_checksum_audit": QuerySpec(
+        # order-insensitive content checksum (r13): one scan, one
+        # 3-field aggregate (rows / bit_xor / decimal-sum of portable
+        # per-row md5 hashes) — the replica-verification primitive
+        # (equal checksums ⇒ skip the row diff; compare 3 numbers,
+        # never data). The oracle recomputes the hash with DuckDB's
+        # own md5, pinning cross-engine canonical-row portability
+        versioned.table_checksum_audit,
+        versioned.table_checksum_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_verify_replica_and_checksum_sensitivity",
+    ),
     "cdf_replica_sync": QuerySpec(
         # CDF → MERGE replication, loop-closed (r13): one net change
         # batch (upsert + DV delete collapsed) applied to a replica

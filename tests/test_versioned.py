@@ -2746,3 +2746,44 @@ def test_consume_changes_vacuumed_cursor_raises_actionably(spark, tmp_path):
     ) == sorted(map(tuple, versioned.read_version(spark, path).collect()))
     df, _ = versioned.consume_changes(spark, path, cursor, ["event_id"])
     assert df is None
+
+
+def test_verify_replica_and_checksum_sensitivity(spark, tmp_path):
+    """Checksum equality on identical content regardless of layout;
+    sensitivity to a single changed value, a dropped row and a
+    duplicated row; verify_replica match/mismatch."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    os.makedirs(a)
+    os.makedirs(b)
+    ev = _events(spark).filter(F.col("event_id") < 400)
+    versioned.commit_version(spark, a, ev.repartition(7))
+    versioned.commit_version_partitioned(spark, b, ev)  # different layout
+    ca = versioned.table_checksum(spark, a)
+    assert ca == versioned.table_checksum(spark, b)
+    assert versioned.verify_replica(spark, a, b)
+
+    # one changed value flips it
+    versioned.update_rows_mor(
+        spark, a, "event_id = 7", {"value": F.col("value") + 0.000001}
+    )
+    c1 = versioned.table_checksum(spark, a)
+    assert c1 != ca and not versioned.verify_replica(spark, a, b)
+
+    # a deleted row flips it (and rows drops)
+    versioned.delete_rows_dv(spark, a, F.col("event_id") == 7)
+    c2 = versioned.table_checksum(spark, a)
+    assert c2["rows"] == ca["rows"] - 1 and c2 != c1
+
+    # a duplicated row: xor alone is blind to the pair, the decimal
+    # sum is not — the composite catches it
+    dup = ev.filter(F.col("event_id") == 3)
+    versioned.commit_version(
+        spark, b, versioned.read_version(spark, b).unionByName(dup)
+    )
+    cb = versioned.table_checksum(spark, b)
+    assert cb["rows"] == ca["rows"] + 1
+    assert cb["sum"] != ca["sum"]
+
+    # time-travel checksum: v1 of table a still matches the original
+    assert versioned.table_checksum(spark, a, version=1) == ca
