@@ -119,3 +119,67 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, roll).select(
         "hour_bucket", "event_type", "n_events", "sum_value", "avg_value"
     )
+
+
+# The real-time watermark: rollup materialized through this day; raw
+# tail after it. At sf0.01 (30 days) this puts ~1/4 of the history in
+# the tail — both halves of the union carry real weight.
+REALTIME_WATERMARK = "2024-01-22"
+
+
+def realtime_rollup(
+    spark: SparkSession, base_path: str, rollup_path: str, watermark_day: str
+) -> DataFrame:
+    """Real-time continuous aggregate — TimescaleDB's signature
+    behavior (the reference's stack recomputes every time_bucket
+    query from raw rows, services/query/main.py:324,345; Timescale's
+    real-time CAGG is the production answer): buckets at or before
+    the refresh WATERMARK are served from the MATERIALIZED partial
+    aggregates (a partition-pruned rollup read — no raw I/O), buckets
+    after it are aggregated ON THE FLY from only the raw tail's
+    day-partitions (partition-pruned base read). The union is exact
+    because hour buckets never span days and the rollup stores
+    re-mergeable partials (count + exact decimal sum): a query is
+    always current with no refresh on the write path — refresh
+    cadence becomes a cost dial, not a staleness bug. At 100 TB the
+    query cost is O(materialized buckets + tail days), never
+    O(history)."""
+    mat = (
+        spark.read.parquet(rollup_path)
+        .filter(F.col(PARTITION_COL) <= watermark_day)
+        .drop(PARTITION_COL)
+    )
+    tail_raw = (
+        spark.read.parquet(base_path)
+        .filter(F.col(PARTITION_COL) > watermark_day)
+        .drop(PARTITION_COL)
+    )
+    return mat.unionByName(hourly_rollup(tail_raw))
+
+
+def realtime_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: materialize the hourly rollup ONLY through
+    REALTIME_WATERMARK (a lagging refresh, the realistic state), then
+    serve the real-time view — materialized partials ∪ on-the-fly
+    tail — which must equal the from-scratch hourly aggregate of the
+    whole history (oracle). Partition pruning on both sides is pinned
+    in tests/test_rollup.py."""
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    base = scratch_path("rt_rollup", sf_name, "base")
+    roll = scratch_path("rt_rollup", sf_name, "rollup")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(roll, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    write_time_partitioned(ev, base)
+    materialized_slice = with_partition_col(read_table(spark, base)).filter(
+        F.col(PARTITION_COL) <= REALTIME_WATERMARK
+    ).drop(PARTITION_COL)
+    write_time_partitioned(
+        hourly_rollup(materialized_slice), roll, "hour_bucket"
+    )
+    return realtime_rollup(spark, base, roll, REALTIME_WATERMARK).select(
+        "hour_bucket", "event_type", "n_events", "sum_value", "avg_value"
+    )

@@ -2853,6 +2853,25 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM events GROUP BY 1, 2
         """,
     ),
+    "realtime_rollup_view": QuerySpec(
+        # real-time continuous aggregate (r13): buckets ≤ the refresh
+        # watermark served from MATERIALIZED partials (pruned rollup
+        # read, no raw I/O), buckets after it aggregated on the fly
+        # from only the raw tail's day-partitions — always-current
+        # results with refresh cadence as a cost dial, O(materialized
+        # buckets + tail days) per query, never O(history)
+        rollup.realtime_rollup_view,
+        """
+        SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2
+        """,
+        ground_truth="tests/test_rollup.py::test_realtime_rollup_prunes_both_sides",
+    ),
     "dedup_report": QuerySpec(
         dedup.dedup_report,
         f"""
