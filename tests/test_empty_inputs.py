@@ -66,6 +66,14 @@ _SUMMARY_ROWS = {
     "minhash_lsh_candidates": _PAIR_AUDIT_EMPTY,
     "embedding_near_dup_lsh": _PAIR_AUDIT_EMPTY,
     "semantic_dedup": _PAIR_AUDIT_EMPTY,
+    # the audit checksum of an EMPTY snapshot is the defined zero
+    # element (0 rows, xor identity 0, sum '0') in one summary row
+    "table_checksum_audit": lambda rows: (
+        len(rows) == 1
+        and rows[0].n_rows == 0
+        and rows[0].xor_checksum == 0
+        and rows[0].sum_checksum == "0"
+    ),
 }
 
 
