@@ -274,6 +274,81 @@ def decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(stats, schema)
 
 
+# ---- perceptual-hash image near-dup ---------------------------------------
+
+PHASH_ROWS = 8
+PHASH_COLS = 7  # adjacent-pair comparisons per row → 56 bits total
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 14
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual dHash over decoded images — the image analog of
+    SimHash near-dup: decode → 8×8 NN-resize → integer-floor
+    grayscale ((r+g+b)//3) → 8 rows × 7 adjacent brightness
+    comparisons packed row-major into a 56-bit hash → 4 LSH bands of
+    14 bits. Equal-band equi-join buckets are the candidate
+    generator: two images within Hamming distance 3 share a band by
+    pigeonhole (the SimHash banding argument verbatim), so near-dup
+    image search is a bucketed join, never all-pairs — at 100 TB the
+    shuffle key is the band value, exactly the text pipeline's shape.
+    Gradient structure (not absolute brightness) makes dHash robust
+    to global exposure shifts under a real codec; with the stand-in
+    codec the property pinned is determinism + bucketing, and the
+    whole pipeline is SQL-expressible, so the driver hash-checks it
+    end to end (registry oracle)."""
+    import numpy as np
+
+    resized = image_resize(
+        decode_image_fake(df, payload_col), PHASH_ROWS, PHASH_ROWS
+    )
+    schema = "doc_id long, phash long, " + ", ".join(
+        f"band{i} long" for i in range(PHASH_BANDS)
+    )
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes = []
+            for buf in pdf["pixels"]:
+                img = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    PHASH_ROWS, PHASH_ROWS, IMAGE_CHANNELS
+                )
+                gray = img.astype(np.int64).sum(axis=2) // IMAGE_CHANNELS
+                bits = gray[:, : PHASH_COLS] > gray[:, 1:]
+                h = 0
+                for y in range(PHASH_ROWS):
+                    for x in range(PHASH_COLS):
+                        if bits[y, x]:
+                            h |= 1 << (y * PHASH_COLS + x)
+                hashes.append(h)
+            out = {"doc_id": pdf["doc_id"], "phash": hashes}
+            for i in range(PHASH_BANDS):
+                out[f"band{i}"] = [
+                    (h >> (i * PHASH_BAND_BITS)) & ((1 << PHASH_BAND_BITS) - 1)
+                    for h in hashes
+                ]
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(ph, schema)
+
+
+def image_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the per-document perceptual-hash index
+    (56-bit dHash + 4 LSH bands) over synthesized image payloads —
+    the candidate-generation substrate for image near-dup. The DuckDB
+    oracle replays decode, NN-resize, grayscale and bit-packing in
+    pure SQL (the stand-in codec is byte math), hash-checking the
+    whole three-stage Arrow pipeline; bucketing behavior (identical
+    payloads collide, band join finds them without all-pairs) is
+    pinned in tests/test_multimodal.py."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return image_phash(docs)
+
+
 # ---- video-style frame sampling -------------------------------------------
 
 FRAME_BYTES = 32  # bytes per (stand-in) frame block

@@ -9,6 +9,8 @@ import hashlib
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_ingestion_pipeline_spark.operators import multimodal
 from data_ingestion_pipeline_spark.sources.tables import load_table
 from tests.conftest import SF_TEST
@@ -152,3 +154,43 @@ def test_decoded_audio_meta_rate_domain(spark):
     assert {r.sample_rate for r in rows} <= {8000, 16000, 24000}
     for r in rows:
         assert r.n_samples >= 0
+
+
+def test_image_phash_buckets_duplicates(spark):
+    """Identical payloads collide on the full hash; the band-bucket
+    equi-join surfaces the duplicate pair without any all-pairs
+    comparison; distinct payloads (different decoded dims/content)
+    do not collide on all bands."""
+    from data_ingestion_pipeline_spark.operators.multimodal import (
+        PHASH_BANDS,
+        image_phash,
+    )
+
+    rows = [
+        (1, b"the quick brown fox jumps over the lazy dog"),
+        (2, b"the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (3, b"a completely different image payload with other bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    idx = image_phash(df)
+    got = {r.doc_id: r for r in idx.collect()}
+    assert got[1].phash == got[2].phash
+    for i in range(PHASH_BANDS):
+        assert got[1][f"band{i}"] == got[2][f"band{i}"]
+
+    # candidate generation: equal-band self-join, no cross join
+    cands = set()
+    for i in range(PHASH_BANDS):
+        a = idx.alias("a")
+        b = idx.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col(f"a.band{i}") == F.col(f"b.band{i}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+            .collect()
+        )
+        cands |= {(r.x, r.y) for r in pairs}
+    assert (1, 2) in cands
