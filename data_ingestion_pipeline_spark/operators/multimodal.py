@@ -516,6 +516,59 @@ def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 BINARY_FILE_DOCS = 64  # files materialized per sf fixture
 
 
+FRAME_DF_CAP = 16  # drop frames shared by more docs (stop-frames)
+MIN_SHARED_FRAMES = 2
+
+
+def video_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: video near-dup via CONTENT-ADDRESSED FRAME
+    OVERLAP — the first-pass video dedup construction: sampled frames
+    carry SHA-256 content addresses (frame_sample), so two videos
+    sharing footage share hash keys, and near-dup candidates are an
+    equi-join on frame hash → per-pair shared-frame count → pairs
+    with ≥ MIN_SHARED_FRAMES. Document-frequency cap (the dup_clusters
+    discipline): a frame hash seen in > FRAME_DF_CAP docs is a
+    stop-frame (intros, black frames, silence) and is dropped before
+    the join, bounding per-key fan-out to df·(df−1)/2 — sub-quadratic
+    by construction, never all-pairs. Fixture: every 10th document is
+    re-emitted as a shifted doc_id (the duplicated-upload case); the
+    oracle replays slicing, hashing, cap and join in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = with_binary_payload(docs.unionByName(dups)).select(
+        "doc_id", "payload"
+    )
+    frames = (
+        frame_sample(corpus)
+        .select("doc_id", "frame_sha256")
+        .distinct()
+    )
+    rare = (
+        frames.groupBy("frame_sha256")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= FRAME_DF_CAP)
+        .select("frame_sha256")
+    )
+    keyed = frames.join(rare, "frame_sha256")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.frame_sha256") == F.col("b.frame_sha256"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= MIN_SHARED_FRAMES)
+    )
+
+
 def _binary_file_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a deterministic on-disk file tree (one `.bin` per
     doc_id < BINARY_FILE_DOCS, payload = the doc's UTF-8 text) under a

@@ -3072,6 +3072,47 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         ground_truth="tests/test_multimodal.py::test_image_pipeline_matches_python",
     ),
+    "video_frame_overlap": QuerySpec(
+        # video near-dup via content-addressed frame overlap (r13):
+        # sampled frames' sha256 keys equi-join across videos →
+        # per-pair shared-frame counts; document-frequency cap drops
+        # stop-frames and bounds per-key fan-out (sub-quadratic,
+        # never all-pairs). Fixture re-emits every 10th doc as a
+        # shifted id — the duplicated-upload case
+        multimodal.video_frame_overlap,
+        f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 10 = 0
+        ), f AS (
+            SELECT DISTINCT doc_id,
+                   sha256(substring(text,
+                       fi * {multimodal.FRAME_BYTES} + 1,
+                       {multimodal.FRAME_BYTES})) AS h
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0,
+                           CAST(ceil(length(text)
+                               / {float(multimodal.FRAME_BYTES)}) AS INT),
+                           {multimodal.FRAME_SAMPLE_EVERY})) AS fi
+                FROM corpus
+            )
+        ), rare AS (
+            SELECT h FROM f GROUP BY h
+            HAVING COUNT(*) <= {multimodal.FRAME_DF_CAP}
+        ), k AS (
+            SELECT f.doc_id, f.h FROM f JOIN rare USING (h)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_frames
+        FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {multimodal.MIN_SHARED_FRAMES}
+        """,
+        ground_truth="tests/test_multimodal.py::test_video_frame_overlap_finds_injected_pairs",
+    ),
     "image_phash_index": QuerySpec(
         # perceptual dHash index (r13): decode → 8×8 NN-resize →
         # integer-floor grayscale → 8×7 adjacent comparisons packed

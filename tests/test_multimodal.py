@@ -194,3 +194,31 @@ def test_image_phash_buckets_duplicates(spark):
         )
         cands |= {(r.x, r.y) for r in pairs}
     assert (1, 2) in cands
+
+
+def test_video_frame_overlap_finds_injected_pairs(spark):
+    """Every injected duplicate upload (doc_id + 1e6) must pair with
+    its original, sharing every (capped) sampled frame; the pair
+    count is bounded by the df cap, never quadratic."""
+    from data_ingestion_pipeline_spark.operators.multimodal import (
+        MIN_SHARED_FRAMES,
+        video_frame_overlap,
+    )
+
+    pairs = video_frame_overlap(spark, SF_TEST)
+    rows = pairs.collect()
+    got = {(r.doc_a, r.doc_b): r.shared_frames for r in rows}
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "text")
+    injected = [r.doc_id for r in docs.filter("doc_id % 10 = 0").collect()]
+    # docs long enough to clear the shared-frames floor MUST pair with
+    # their duplicate (frames can be capped away only if ≥ cap docs
+    # share them — the duplicate pair itself still shares the rest)
+    n_frames = {
+        r.doc_id: len(range(0, -(-len(r.text.encode()) // 32), 4))
+        for r in docs.collect()
+    }
+    for d in injected:
+        if n_frames.get(d, 0) >= MIN_SHARED_FRAMES:
+            assert (d, d + 1_000_000) in got, d
+    # symmetry/orientation: every pair is emitted once, a < b
+    assert all(a < b for (a, b) in got)
