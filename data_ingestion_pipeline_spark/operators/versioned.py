@@ -1175,12 +1175,18 @@ def merge_into_mor(
     replayed `delete` change row must not resurrect as an insert
     (apply_changes_mor).
 
-    Physical shape (the 100 TB story): ONE join of the live snapshot
-    against the source — equi-keyed, so Catalyst/AQE picks broadcast
-    for a small source (the CDC-batch case) or a shuffle hash join
-    otherwise — feeding (a) a DV extension with every updated or
-    deleted row's position, and (b) appended files holding updated
-    images + inserts. Zero existing files are rewritten: cost is
+    Physical shape (the 100 TB story): ONE INNER equi-join of the
+    live snapshot against the source — broadcast-eligible for a small
+    source on either join side (the CDC-batch case; a right-outer
+    formulation would have pinned the broadcast to the huge target
+    side and forced a full target shuffle) — feeding (a) a DV
+    extension with every updated or deleted row's position, and (b)
+    appended files holding updated images + inserts. The NOT MATCHED
+    set is source − matched-keys via a broadcast anti-join against
+    the checkpointed (source-bounded) matched key set — no second
+    target scan; a null-keyed source row never matches and therefore
+    INSERTS under the clause guard, Delta's null-merge-key
+    semantics. Zero existing files are rewritten: cost is
     O(live-scan + matched + inserts), exactly update_rows_mor /
     delete_rows_dv composed, and a merge that matches one key costs
     that key's rows, not their files. Source cardinality is enforced:
@@ -1277,56 +1283,45 @@ def merge_into_mor(
         for k in keys:
             eq = F.col(f"t.{k}") == F.col(f"s.{k}")
             cond = eq if cond is None else (cond & eq)
-        jt = "right_outer" if insert_not_matched else "inner"
-        joined = t.join(s, cond, jt)
-
-        matched_flag = F.col("t.__dv_pos").isNotNull()
-        action = _merge_action_col(when_matched, matched_flag)
+        # INNER join only — the matched set. An earlier revision used
+        # one right_outer join to also carry unmatched-source rows,
+        # but right-outer can only broadcast its LEFT side, i.e. the
+        # 100 TB target: a small CDC source was forced through a full
+        # target shuffle. Inner keeps the broadcast-the-source plan;
+        # the unmatched-source set is recovered below with a
+        # broadcast anti-join against the (source-bounded) matched
+        # key set — zero extra target scans.
+        joined = t.join(s, cond, "inner")
+        action = _merge_action_col(when_matched, F.lit(True))
 
         proj = [F.col(f"t.{c}").alias(c) for c in data_cols]
         proj += [
             F.col("t.__dv_file").alias("__dv_file"),
             F.col("t.__dv_pos").alias("__dv_pos"),
-            matched_flag.alias("__matched"),
+            F.lit(True).alias("__matched"),
             action.alias("__action"),
         ]
         for i, (op, assigns, _c) in enumerate(when_matched):
             if op == "update":
                 for c, e in assigns.items():
                     proj.append(F.expr(e).cast(col_type[c]).alias(f"__u{i}_{c}"))
-        if insert_not_matched:
-            proj += [_ins_expr(c) for c in data_cols]
-            proj.append(
-                (
-                    F.expr(insert_not_matched_cond)
-                    if insert_not_matched_cond
-                    else F.lit(True)
-                ).alias("__ins_ok")
-            )
-        else:
-            proj.append(F.lit(False).alias("__ins_ok"))
         # one target scan + one source pass pinned under EVERY
         # downstream write (images, DV, counts) — same barrier
         # rationale as update_rows_mor
         flat = joined.select(*proj).localCheckpoint(eager=True)
 
-        raw_counts = flat.groupBy("__matched", "__action", "__ins_ok").agg(
-            F.count("*").alias("n")
-        ).collect()
-        counts = {}
-        n_insertable = 0
-        for r in raw_counts:
-            counts[(r["__matched"], r["__action"])] = (
-                counts.get((r["__matched"], r["__action"]), 0) + r["n"]
-            )
-            if not r["__matched"] and r["__ins_ok"]:
-                n_insertable += r["n"]
+        counts = {
+            (True, r["__action"]): r["n"]
+            for r in flat.groupBy("__action")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         n_modified = sum(
             n for (mt, a), n in counts.items() if mt and a is not None
         )
         if n_modified:
             dup = (
-                flat.filter(F.col("__matched") & F.col("__action").isNotNull())
+                flat.filter(F.col("__action").isNotNull())
                 .groupBy("__dv_file", "__dv_pos")
                 .agg(F.count("*").alias("n"))
                 .filter(F.col("n") > 1)
@@ -1357,15 +1352,27 @@ def merge_into_mor(
             )
         n_ins = 0
         if insert_not_matched:
-            n_ins = n_insertable
+            # NOT MATCHED = source minus the matched KEY set (bounded
+            # by the source, checkpointed → broadcast anti-join; no
+            # second target scan). A null-keyed source row never
+            # equals anything, so it stays unmatched and INSERTS —
+            # Delta's NOT MATCHED semantics for null merge keys.
+            matched_keys = flat.select(
+                *[F.col(k) for k in keys]
+            ).distinct()
+            unmatched = source.join(
+                F.broadcast(matched_keys), on=keys, how="left_anti"
+            ).alias("s")
+            if insert_not_matched_cond:
+                unmatched = unmatched.filter(F.expr(insert_not_matched_cond))
+            ins_df = (
+                unmatched.select(*[_ins_expr(c) for c in data_cols])
+                .select(*[F.col(f"__i_{c}").alias(c) for c in data_cols])
+                .localCheckpoint(eager=True)
+            )
+            n_ins = ins_df.count()
             if n_ins:
-                image_parts.append(
-                    flat.filter(
-                        ~F.col("__matched") & F.col("__ins_ok")
-                    ).select(
-                        *[F.col(f"__i_{c}").alias(c) for c in data_cols]
-                    )
-                )
+                image_parts.append(ins_df)
         images = image_parts[0] if image_parts else None
         for p in image_parts[1:]:
             images = images.unionByName(p)
@@ -3650,16 +3657,20 @@ def merge_into_cow(
     ).withColumn("__rid", F.monotonically_increasing_id())
 
     t = base.alias("t")
-    s = source.alias("s")
+    # explicit source-presence marker: in the full-outer output,
+    # "s.key IS NULL" cannot distinguish an unmatched TARGET row from
+    # a NULL-KEYED source row — the marker can, so null-keyed source
+    # rows correctly take the NOT MATCHED (insert) path, Delta's
+    # null-merge-key semantics
+    s = source.withColumn("__src_present", F.lit(1)).alias("s")
     cond = None
     for k in keys:
         eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else (cond & eq)
     joined = t.join(s, cond, "full_outer")
 
-    matched_flag = (
-        F.col("t.__rid").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
-    )
+    has_src = F.col("s.__src_present").isNotNull()
+    matched_flag = F.col("t.__rid").isNotNull() & has_src
     action = _merge_action_col(when_matched, matched_flag)
 
     def _ins_expr(c: str) -> F.Column:
@@ -3674,7 +3685,7 @@ def merge_into_cow(
     proj += [
         F.col("t.__rid").alias("__rid"),
         matched_flag.alias("__matched"),
-        F.col(f"s.{keys[0]}").isNotNull().alias("__has_src"),
+        has_src.alias("__has_src"),
         action.alias("__action"),
     ]
     for i, (op, assigns, _c) in enumerate(when_matched):
@@ -3685,8 +3696,10 @@ def merge_into_cow(
         proj += [_ins_expr(c) for c in data_cols]
         # full-outer join: unmatched TARGET rows also have
         # __matched == false, so insert eligibility must REQUIRE a
-        # source side (plus the optional NOT MATCHED AND guard)
-        ins_ok = F.col(f"s.{keys[0]}").isNotNull()
+        # source side (the presence marker — a null-keyed source row
+        # is still a source row and inserts) plus the optional
+        # NOT MATCHED AND guard
+        ins_ok = has_src
         if insert_not_matched_cond:
             ins_ok = ins_ok & F.expr(insert_not_matched_cond)
         proj.append(ins_ok.alias("__ins_ok"))

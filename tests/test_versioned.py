@@ -2590,7 +2590,10 @@ def test_merge_differential_against_python_reference(spark, tmp_path):
             else:
                 out.append(trow)
         for srow in source:
-            if srow["event_id"] is None or srow["event_id"] in {
+            # a NULL-keyed source row never matches → NOT MATCHED
+            # fires (Delta's null-merge-key semantics): it inserts
+            # when the clause guard passes
+            if srow["event_id"] is not None and srow["event_id"] in {
                 t["event_id"] for t in target
             }:
                 continue
@@ -2600,7 +2603,11 @@ def test_merge_differential_against_python_reference(spark, tmp_path):
                                           "event_type", "value")}
                 )
         return sorted(
-            (r["event_id"], round(r["value"], 6), r["event_type"])
+            (
+                (r["event_id"] is None, r["event_id"] or 0),
+                round(r["value"], 6),
+                r["event_type"],
+            )
             for r in out
         )
 
@@ -2630,8 +2637,9 @@ def test_merge_differential_against_python_reference(spark, tmp_path):
             }
             for k in src_keys
         ]
-        if case == 2:  # a null source key must never match nor insert
-            source.append({**source[0], "event_id": None})
+        if case == 2:  # a null source key never matches; it INSERTS
+            # (null-keyed row with op 'u1' passes the insert guard)
+            source.append({**source[0], "event_id": None, "op": "u1"})
 
         path = str(tmp_path / f"diff{case}")
         os.makedirs(path)
@@ -2660,7 +2668,11 @@ def test_merge_differential_against_python_reference(spark, tmp_path):
                 insert_not_matched_cond=INS_COND,
             )
         got = sorted(
-            (r.event_id, round(r.value, 6), r.event_type)
+            (
+                (r.event_id is None, r.event_id or 0),
+                round(r.value, 6),
+                r.event_type,
+            )
             for r in versioned.read_version(spark, path).collect()
         )
         assert got == ref_merge(target, source), f"case {case} diverged"
