@@ -273,32 +273,79 @@ def table_constraints(path: str) -> dict[str, str]:
         return {}
 
 
+def _constraints_lock(path: str):
+    """Exclusive advisory lock serializing constraint DDL on one
+    table: the read-modify-write of _CONSTRAINTS.json is otherwise a
+    lost-update hazard between two concurrent ADD/DROPs (ADVICE r13
+    low). flock on a sidecar lockfile — on a real object store this
+    maps to conditional-put on the constraints object, the same
+    substitution the manifest OCC documents."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _held():
+        fh = open(os.path.join(path, CONSTRAINTS_FILE + ".lock"), "a")
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+            fh.close()
+
+    return _held()
+
+
 def add_constraint(
-    spark: SparkSession, path: str, name: str, expr: str
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    expected_current: int | None = None,
 ) -> None:
     """Attach a CHECK constraint. Like Delta, the EXISTING snapshot
     must already satisfy it — validated with one early-exit scan
     before the constraint file swaps (a constraint the data violates
-    never becomes live)."""
-    cons = table_constraints(path)
-    if name in cons:
-        raise ValueError(f"constraint {name!r} already exists")
-    if current_version(path) > 0:
-        ok = F.coalesce(F.expr(expr), F.lit(True))
-        bad = read_version(spark, path).filter(~ok).limit(1).collect()
-        if bad:
-            raise ConstraintViolationError(
-                f"{_CHECK_MARKER} {name} ({expr}) is violated by existing "
-                f"row {bad[0].asDict()}; not added"
+    never becomes live). DDL-vs-DDL races are serialized by
+    _constraints_lock; DDL-vs-data-write races are bounded by an OCC
+    version check on BOTH sides of the validation scan (a commit
+    landing mid-validation aborts the DDL — the scan's verdict no
+    longer describes the current snapshot). Residual: a data write
+    PLANNED before the swap but committing after enforces the old
+    set — the same in-flight window Delta closes only by running
+    both through one log."""
+    with _constraints_lock(path):
+        _occ_check(path, expected_current)
+        v0 = current_version(path)
+        cons = table_constraints(path)
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if v0 > 0:
+            ok = F.coalesce(F.expr(expr), F.lit(True))
+            bad = read_version(spark, path, v0).filter(~ok).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"{_CHECK_MARKER} {name} ({expr}) is violated by "
+                    f"existing row {bad[0].asDict()}; not added"
+                )
+        if current_version(path) != v0:
+            raise ConcurrentCommitError(
+                f"table advanced past v{v0} during constraint "
+                "validation; retry add_constraint against the new "
+                "snapshot"
             )
-    cons[name] = expr
-    _atomic_json(os.path.join(path, CONSTRAINTS_FILE), cons)
+        cons[name] = expr
+        _atomic_json(os.path.join(path, CONSTRAINTS_FILE), cons)
 
 
-def drop_constraint(path: str, name: str) -> None:
-    cons = table_constraints(path)
-    del cons[name]
-    _atomic_json(os.path.join(path, CONSTRAINTS_FILE), cons)
+def drop_constraint(
+    path: str, name: str, expected_current: int | None = None
+) -> None:
+    with _constraints_lock(path):
+        _occ_check(path, expected_current)
+        cons = table_constraints(path)
+        del cons[name]
+        _atomic_json(os.path.join(path, CONSTRAINTS_FILE), cons)
 
 
 def _guard_constraints(df: DataFrame, path: str) -> DataFrame:
@@ -641,6 +688,26 @@ def drop_column(
             f"{col!r} is the partition/cluster column; its values live "
             "in the directory layout — repartition the table instead"
         )
+    if "partitions" in m and not m.get("partition_col"):
+        # day-partitioned tables strip PART_COL before recording the
+        # schema, so the column the layout actually DERIVES from is
+        # the manifest's ts_col (recorded at commit since r14) — and
+        # dropping it would retire the name and permanently brick
+        # every subsequent COW/MERGE write (ADVICE r13 medium).
+        # Legacy manifests without ts_col: conservatively refuse any
+        # timestamp-typed column.
+        derives = m.get("ts_col")
+        field_type = {f.name: f.dataType.typeName() for f in schema.fields}
+        if (derives and col == derives) or (
+            not derives and field_type.get(col) == "timestamp"
+        ):
+            raise ValueError(
+                f"{col!r} derives the table's day-partition layout "
+                "(with_partition_col); dropping it would break every "
+                "subsequent partitioned write and the retired name "
+                "could never be re-added — repartition the table "
+                "instead"
+            )
     for name, expr in table_constraints(path).items():
         if _re.search(rf"\b{_re.escape(col)}\b", expr):
             raise ValueError(
@@ -1248,22 +1315,12 @@ def merge_into_mor(
         # every prior file is DV-dead: no row can match — the merge
         # degenerates to the insert clause over the whole source
         if not insert_not_matched:
-            _publish_manifest(
-                path,
-                v,
-                {
-                    "version": v,
-                    "files": m["files"],
-                    "schema": m["schema"],
-                    **({"project_schema": True} if m.get("project_schema") else {}),
-                    "committed_at": time.time(),
-                    "meta": {**(meta or {}), "merge": {"updated": 0, "deleted": 0, "inserted": 0}},
-                    **({"dv": m["dv"]} if m.get("dv") else {}),
-                },
-                expected_current,
-                prev=m,
-            )
-            return v
+            # nothing to update, delete, or insert: publishing would
+            # be a pure no-op version bump churning history/retention
+            # for zero effect (ADVICE r13 low) — return the current
+            # version unchanged, matching zorder_cluster_incremental's
+            # nothing-to-do behavior
+            return m["version"]
         ins_src = source.alias("s")
         if insert_not_matched_cond:
             ins_src = ins_src.filter(F.expr(insert_not_matched_cond))
@@ -2871,6 +2928,10 @@ def commit_version_partitioned(
          # (the write_time_partitioned issue); the recorded schema
          # lets read_version serve the empty snapshot correctly
          "schema": df.schema.json(),
+         # the column the directory layout DERIVES from (PART_COL is
+         # stripped before the schema is recorded, so this — not
+         # PART_COL — is what DDL must protect from DROP/RENAME)
+         "ts_col": ts_col,
          "committed_at": time.time(),
          # deletion-vector pointer a carried-files caller threads
          # through (upsert_version_cow); rows naming rewritten files
@@ -3194,6 +3255,11 @@ def _publish_manifest(
     parquet sidecar per commit). The JSON write is atomic
     (tmp + rename): a crash mid-publish leaves no torn manifest."""
     _occ_check(path, expected_current)
+    # metadata-only commits (DDL, DV, zorder, compaction) rebuild the
+    # manifest dict from scratch — inherit the partition-deriving
+    # column so drop/rename DDL can keep protecting it downstream
+    if "ts_col" not in manifest and prev is not None and "ts_col" in prev:
+        manifest["ts_col"] = prev["ts_col"]
     enc = _encode_manifest(path, manifest, prev=prev)
     _occ_check(path, expected_current)
     _atomic_json(_manifest_path(path, v), enc)
@@ -3749,10 +3815,25 @@ def merge_into_cow(
     n_del = sum(counts.get((True, i), 0) for i in delete_idx)
 
     # the touched partitions' NEW content: untouched target rows +
-    # updated images (delete-routed rows drop out) + guarded inserts
-    kept = flat.filter(
-        F.col("__rid").isNotNull() & F.col("__action").isNull()
-    ).select(*[F.col(c) for c in data_cols])
+    # updated images (delete-routed rows drop out) + guarded inserts.
+    # A target row matched by SEVERAL source rows appears once per
+    # match in `flat`; the cardinality check above only rejects >=2
+    # MODIFYING matches, so copies whose clause routing is a no-op
+    # (__action null) must collapse back to ONE surviving row — and to
+    # ZERO rows when a sibling copy routed to update/delete (the
+    # updated image is emitted by the clause branch below).  Per-__rid
+    # aggregate: target columns are identical across copies, so
+    # any_value is exact; one shuffle over the touched slice only.
+    kept = (
+        flat.filter(F.col("__rid").isNotNull())
+        .groupBy("__rid")
+        .agg(
+            F.max(F.col("__action").isNotNull().cast("int")).alias("__any_mod"),
+            *[F.any_value(F.col(c)).alias(c) for c in data_cols],
+        )
+        .filter(F.col("__any_mod") == 0)
+        .select(*[F.col(c) for c in data_cols])
+    )
     parts_out = [kept]
     for i in update_idx:
         if counts.get((True, i)):
@@ -4428,7 +4509,22 @@ def _row_hash_col(df: DataFrame) -> F.Column:
         if dt == "timestamp":
             s = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         elif dt in ("double", "float"):
-            s = c.cast("decimal(18,6)").cast("string")
+            # decimal(38,6), not (18,6): |v| >= 1e12 overflows the
+            # narrow type and Spark yields NULL — two DIFFERENT large
+            # values would checksum equal (ADVICE r13 low). 38,6
+            # covers to ~1e32; beyond that an explicit overflow
+            # sentinel carrying the raw double keeps sensitivity and
+            # stays distinct from genuine NULL.
+            # try_cast: ANSI mode would otherwise RAISE on overflow
+            # instead of yielding the NULL the sentinel branch needs
+            dec = c.try_cast("decimal(38,6)").cast("string")
+            s = F.coalesce(
+                dec,
+                F.when(
+                    c.isNotNull(),
+                    F.concat(F.lit("\x00OVF:"), c.cast("string")),
+                ),
+            )
         else:
             s = c.cast("string")
         parts.append(F.coalesce(s, F.lit("\x00NULL")))
@@ -4509,7 +4605,7 @@ def table_checksum_oracle_sql() -> str:
                 COALESCE(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), chr(0) || 'NULL'),
                 COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'NULL'),
                 COALESCE(event_type, chr(0) || 'NULL'),
-                COALESCE(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR),
+                COALESCE(CAST(CAST(value AS DECIMAL(38,6)) AS VARCHAR),
                          chr(0) || 'NULL')
             ) AS c FROM events
         ), hashed AS (

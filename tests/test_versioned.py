@@ -2799,3 +2799,191 @@ def test_verify_replica_and_checksum_sensitivity(spark, tmp_path):
 
     # time-travel checksum: v1 of table a still matches the original
     assert versioned.table_checksum(spark, a, version=1) == ca
+
+
+# ---- r14: ADVICE fixes ----------------------------------------------
+
+
+def test_merge_cow_dup_keyed_source_keeps_target_once(spark, tmp_path):
+    """ADVICE r13 high: a dup-keyed source where copies route to
+    DIFFERENT outcomes must not duplicate the target row. One
+    modifying + one non-modifying match → the updated image ONLY;
+    two non-modifying matches → the original row ONCE."""
+    path = str(tmp_path / "mcd")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 200)
+    versioned.commit_version_partitioned(spark, path, ev)
+    n0 = ev.count()
+
+    # key 10: two copies, only op='hit' routes to the update clause;
+    # key 11: two copies, NEITHER routes to any clause
+    k = ev.filter(F.col("event_id").isin(10, 11)).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    src = (
+        k.withColumn("op", F.when(F.col("event_id") == 10, "hit")
+                           .otherwise("miss"))
+        .unionByName(k.withColumn("op", F.lit("miss")))
+    )
+    versioned.merge_into_cow(
+        spark, path, src, ["event_id"],
+        when_matched=[("update", {"value": "t.value + 100.0"},
+                       "s.op = 'hit'")],
+    )
+    cur = versioned.read_version(spark, path)
+    assert cur.count() == n0  # no duplicates anywhere
+    base = {r.event_id: r.value for r in ev.collect()}
+    got10 = cur.filter(F.col("event_id") == 10).collect()
+    got11 = cur.filter(F.col("event_id") == 11).collect()
+    assert len(got10) == 1 and got10[0].value == base[10] + 100.0
+    assert len(got11) == 1 and got11[0].value == base[11]
+    m = versioned._manifest(path)
+    assert m["meta"]["merge"] == {"updated": 1, "deleted": 0, "inserted": 0}
+
+    # MOR twin agrees on the same construction (parity of semantics)
+    p2 = str(tmp_path / "mmd")
+    os.makedirs(p2)
+    versioned.commit_version(spark, p2, ev)
+    versioned.merge_into_mor(
+        spark, p2, src, ["event_id"],
+        when_matched=[("update", {"value": "t.value + 100.0"},
+                       "s.op = 'hit'")],
+    )
+    mor = versioned.read_version(spark, p2)
+    assert mor.count() == n0
+    assert mor.filter(F.col("event_id") == 10).collect()[0].value == base[10] + 100.0
+    assert mor.filter(F.col("event_id") == 11).collect()[0].value == base[11]
+
+
+def test_drop_column_refuses_partition_deriving_ts(spark, tmp_path):
+    """ADVICE r13 medium: on a day-partitioned table the column the
+    layout DERIVES from (ts_col) must be undroppable — dropping it
+    would retire the name and brick every later partitioned write."""
+    import pytest
+
+    path = str(tmp_path / "ddl")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 100)
+    versioned.commit_version_partitioned(spark, path, ev)
+    assert versioned._manifest(path)["ts_col"] == "ts"
+
+    with pytest.raises(ValueError, match="day-partition layout"):
+        versioned.drop_column(spark, path, "ts")
+
+    # a harmless column still drops, ts_col survives the metadata-only
+    # commit, and the NEXT partitioned write (the path the bug
+    # bricked) succeeds
+    v = versioned.drop_column(spark, path, "user_id")
+    assert versioned._manifest(path)["ts_col"] == "ts"
+    with pytest.raises(ValueError, match="day-partition layout"):
+        versioned.drop_column(spark, path, "ts")
+    more = ev.select("event_id", "ts", "event_type", "value").withColumn(
+        "value", F.col("value") + 1.0)
+    assert versioned.upsert_version_cow(
+        spark, path, more, ["event_id"]) == v + 1
+
+
+def test_table_checksum_large_double_sensitivity(spark, tmp_path):
+    """ADVICE r13 low: |value| >= 1e12 overflowed decimal(18,6) to
+    NULL, so two different huge values checksummed equal. Widened to
+    decimal(38,6) + overflow sentinel: they must differ."""
+    a = str(tmp_path / "big_a")
+    b = str(tmp_path / "big_b")
+    for p, v in ((a, 2.5e13), (b, 3.5e13)):
+        os.makedirs(p)
+        df = spark.createDataFrame([(1, v)], "id bigint, value double")
+        versioned.commit_version(spark, p, df)
+    ca = versioned.table_checksum(spark, a)
+    cb = versioned.table_checksum(spark, b)
+    assert ca != cb
+    # beyond decimal(38,6) too: the sentinel keeps sensitivity
+    c = str(tmp_path / "big_c")
+    d = str(tmp_path / "big_d")
+    for p, v in ((c, 1e33), (d, 2e33)):
+        os.makedirs(p)
+        df = spark.createDataFrame([(1, v)], "id bigint, value double")
+        versioned.commit_version(spark, p, df)
+    assert versioned.table_checksum(spark, c) != versioned.table_checksum(spark, d)
+    # and a genuine NULL stays distinct from overflow
+    e = str(tmp_path / "big_e")
+    os.makedirs(e)
+    versioned.commit_version(
+        spark, e,
+        spark.createDataFrame([(1, None)], "id bigint, value double"))
+    assert versioned.table_checksum(spark, e) != versioned.table_checksum(spark, c)
+
+
+def test_constraint_ddl_occ_and_serialization(spark, tmp_path):
+    """ADVICE r13 low: constraint DDL honors the OCC protocol — a
+    stale expected_current aborts, and a commit landing during the
+    validation scan aborts the ADD (verdict no longer describes the
+    current snapshot)."""
+    import pytest
+
+    path = str(tmp_path / "cocc")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 50)
+    versioned.commit_version(spark, path, ev)
+
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.add_constraint(
+            spark, path, "cap", "value <= 1e9", expected_current=99)
+    assert "cap" not in versioned.table_constraints(path)
+
+    versioned.add_constraint(
+        spark, path, "cap", "value <= 1e9", expected_current=1)
+    assert "cap" in versioned.table_constraints(path)
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.drop_constraint(path, "cap", expected_current=99)
+    versioned.drop_constraint(path, "cap", expected_current=1)
+    assert versioned.table_constraints(path) == {}
+
+    # mid-validation commit detection: simulate the interleaving by
+    # advancing the table from inside the validation read path via a
+    # monkeypatched read_version
+    real_read = versioned.read_version
+
+    def advancing_read(s, p, v=None, **kw):
+        out = real_read(s, p, v, **kw)
+        versioned.commit_version(
+            s, p, real_read(s, p).limit(1).withColumn(
+                "event_id", F.col("event_id") + 1_000_000))
+        return out
+
+    versioned.read_version = advancing_read
+    try:
+        with pytest.raises(versioned.ConcurrentCommitError,
+                           match="during constraint validation"):
+            versioned.add_constraint(spark, path, "c2", "value IS NOT NULL")
+    finally:
+        versioned.read_version = real_read
+    assert "c2" not in versioned.table_constraints(path)
+
+
+def test_merge_mor_degenerate_noop_skips_version_bump(spark, tmp_path):
+    """ADVICE r13 low: all prior files DV-dead + no insert clause =
+    nothing to do — the merge returns the current version WITHOUT
+    publishing a churn-only manifest."""
+    path = str(tmp_path / "noop")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 20)
+    versioned.commit_version(spark, path, ev)
+    # dead-file detection runs only on indexed tables (the tables
+    # where dead-candidate growth hurts) — build one, then kill
+    # every row so the whole file list is DV-dead
+    versioned.build_column_stats(spark, path, "event_id")
+    versioned.delete_rows_dv(spark, path, F.lit(True))
+    assert set(versioned._manifest(path)["dv"]["dead_files"]) == set(
+        versioned._manifest(path)["files"])
+    before = versioned.current_version(path)
+
+    v = versioned.merge_into_mor(
+        spark, path, ev.select("event_id", "value"), ["event_id"],
+        when_matched=[("update", {"value": "s.value"}, None)],
+    )
+    assert v == before
+    assert versioned.current_version(path) == before
+    # with an insert clause it still degenerates to a pure insert
+    v2 = versioned.merge_into_mor(
+        spark, path, ev, ["event_id"], insert_not_matched=True)
+    assert v2 == before + 1
+    assert versioned.read_version(spark, path).count() == ev.count()
