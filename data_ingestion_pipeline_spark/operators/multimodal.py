@@ -627,3 +627,266 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.sha2(F.hex(F.col("content")), 256).alias("content_sha256"),
     )
+
+
+# ---- audio near-dup: energy fingerprint + offset-voting join --------
+# Completes the multimodal dedup triad (image: image_phash_index,
+# video: video_frame_overlap). The construction is Shazam's in
+# miniature: per-window energy features are quantized to a log-scale
+# code, consecutive codes are shingled into fingerprint keys, and
+# near-dup candidates come from an equi-join on key followed by
+# ALIGNMENT-OFFSET VOTING — a pair of clips sharing footage
+# accumulates many key matches at ONE consistent frame offset, while
+# chance collisions scatter across offsets. The candidate generator
+# is a df-capped banded equi-join, never all-pairs (same shuffle
+# discipline as MinHash-LSH / simhash / video frame overlap); at
+# 100 TB the shuffle key is the fingerprint key and per-key fan-out
+# is bounded by AUDIO_FP_DF_CAP.
+#
+# Quantization = top-AUDIO_FP_MANTISSA_BITS bits of the window's
+# exact-integer sum of squares (a log-scale energy code with ~1%
+# resolution): two windows whose energies differ by less than a
+# quantization cell fingerprint identically — amplitude-robust in the
+# way a raw content hash (video_frame_overlap's sha256) is not. All
+# arithmetic is exact integers (Σs² ≤ 8·2³⁰ ≪ 2⁵³), so the DuckDB
+# oracle replays decode → windows → levels → shingles → df-cap →
+# voting join end to end, bit-for-bit.
+
+AUDIO_FP_FRAME = 8  # samples per fingerprint window (docs are short)
+AUDIO_FP_MANTISSA_BITS = 7  # log-scale energy code width → level < 128
+AUDIO_FP_DF_CAP = 16  # fingerprint keys in more docs are stop-shingles
+AUDIO_FP_MIN_VOTES = 4  # shared aligned shingles to call a candidate
+AUDIO_FP_INTRO_BYTES = 32  # injected-dup intro: exactly 2 whole windows
+
+
+def audio_window_energy(
+    df: DataFrame, frame: int = AUDIO_FP_FRAME
+) -> DataFrame:
+    """Exact-integer window energy over decoded PCM: one row per
+    (doc, window) with n samples and ss = Σ sample² held exactly in
+    float64 (int16² · frame ≪ 2⁵³). The feature substrate of the
+    audio fingerprint — same fan-out Arrow shape as
+    audio_rms_windows, but emitting the RAW integer energy so
+    downstream quantization is engine-exact (a sqrt here would
+    reintroduce the float boundary the fingerprint avoids). Zero-
+    sample docs emit no windows (nothing to fingerprint)."""
+    import numpy as np
+
+    schema = "doc_id bigint, frame_idx int, n int, ss double"
+
+    def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, sss = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["samples"]):
+                pcm = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                for k in range(0, len(pcm), frame):
+                    chunk = pcm[k : k + frame]
+                    ids.append(doc_id)
+                    idxs.append(k // frame)
+                    ns.append(len(chunk))
+                    sss.append(float((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n": ns, "ss": sss}
+            )
+
+    return df.select("doc_id", "samples").mapInPandas(win, schema)
+
+
+def audio_fingerprint(payloads: DataFrame) -> DataFrame:
+    """(doc_id, shingle_idx, fp_key) fingerprint table: decode →
+    window energy → log-quantized level (top-7-bit mantissa of the
+    integer energy, via bit-length + variable shift — exact in any
+    engine) → 4-gram shingle of consecutive levels packed base-128
+    into one BIGINT key. Everything after the Arrow energy stage is
+    JVM-side (bin/shiftright/lead inside whole-stage codegen); the
+    per-doc window sort is the only shuffle and its key is doc_id."""
+    from pyspark.sql import Window
+
+    lev = (
+        audio_window_energy(decode_audio_fake(payloads))
+        .withColumn("ss_l", F.col("ss").cast("long"))
+        .withColumn(
+            "level",
+            F.when(F.col("ss_l") <= 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    f"CASE WHEN length(bin(ss_l)) <= {AUDIO_FP_MANTISSA_BITS} "
+                    "THEN ss_l ELSE shiftright(ss_l, length(bin(ss_l)) - "
+                    f"{AUDIO_FP_MANTISSA_BITS}) END"
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    key = (
+        (
+            (F.col("level") * 128 + F.lead("level", 1).over(w)) * 128
+            + F.lead("level", 2).over(w)
+        )
+        * 128
+        + F.lead("level", 3).over(w)
+    )
+    return (
+        lev.select(
+            "doc_id",
+            F.col("frame_idx").alias("shingle_idx"),
+            key.alias("fp_key"),
+        )
+        .filter(F.col("fp_key").isNotNull())
+    )
+
+
+def audio_fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the per-document audio fingerprint index over
+    synthesized audio payloads — the candidate-generation substrate
+    for audio near-dup, hash-checked end to end by the DuckDB oracle
+    (audio_fingerprint_oracle_sql replays decode, windowing, mantissa
+    quantization and shingling in pure SQL)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return audio_fingerprint(docs)
+
+
+def _audio_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus injected near-duplicates: every 10th doc
+    re-emitted under doc_id+1e6 with a 32-byte '#' intro PREPENDED
+    (exactly 2 fingerprint windows — a shifted re-upload) and the
+    tail quarter TRUNCATED (a clipped re-upload). The offset-voting
+    join must find each (orig, dup) pair at frame_offset = +2 — the
+    shift tolerance a raw content-address join does not have."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            f"concat(repeat('#', {AUDIO_FP_INTRO_BYTES}), "
+            "substring(text, 1, CAST((length(text) * 3) DIV 4 AS INT)))"
+        ).alias("text"),
+    )
+    return with_binary_payload(docs.unionByName(dups)).select(
+        "doc_id", "payload"
+    )
+
+
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: audio near-dup candidates via fingerprint-key
+    equi-join + alignment-offset voting. df-cap first (a key in more
+    than AUDIO_FP_DF_CAP docs is a stop-shingle — silence, intros —
+    and is dropped BEFORE the join, bounding per-key fan-out), then
+    votes are counted per (doc pair, shingle-index offset) and pairs
+    below AUDIO_FP_MIN_VOTES aligned matches are rejected. Output is
+    every surviving (pair, offset) with its vote count — sub-
+    quadratic by construction, never all-pairs. Injected-pair recall
+    is pinned in tests/test_multimodal.py."""
+    fp = audio_fingerprint(_audio_dup_corpus(spark, sf_dir))
+    rare = (
+        fp.groupBy("fp_key")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= AUDIO_FP_DF_CAP)
+        .select("fp_key")
+    )
+    keyed = fp.join(rare, "fp_key")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_key") == F.col("b.fp_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("b.shingle_idx") - F.col("a.shingle_idx")).alias(
+                "frame_offset"
+            ),
+        )
+        .agg(F.count("*").alias("votes"))
+        .filter(F.col("votes") >= AUDIO_FP_MIN_VOTES)
+    )
+
+
+# Shared oracle scaffolding: decode → 8-sample window energies →
+# 7-bit-mantissa levels → 4-gram shingles, over a `corpus(doc_id,
+# text)` CTE the two entries prepend. Sample extraction is the
+# audio_window_rms oracle's hex(encode(text)) construction verbatim.
+_AUDIO_FP_CORE_SQL = """
+        raw AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) // 2 AS ns
+            FROM corpus
+        ), samp AS (
+            SELECT doc_id, i // 8 AS frame_idx,
+                   (strpos('0123456789ABCDEF', substr(h, 4*i+1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(h, 4*i+2, 1)) - 1
+                   + ((strpos('0123456789ABCDEF', substr(h, 4*i+3, 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF', substr(h, 4*i+4, 1)) - 1
+                     ) * 256 AS u16
+            FROM (SELECT doc_id, h, unnest(range(0, ns)) AS i FROM raw)
+        ), wins AS (
+            SELECT doc_id, frame_idx,
+                   SUM(CAST(
+                       (CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+                       * (CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+                   AS BIGINT)) AS ss
+            FROM samp GROUP BY 1, 2
+        ), lev AS (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN ss <= 0 THEN 0
+                        WHEN strlen(bin(ss)) <= 7 THEN ss
+                        ELSE ss >> (strlen(bin(ss)) - 7) END AS level
+            FROM wins
+        ), sh AS (
+            SELECT doc_id, frame_idx AS shingle_idx,
+                   ((level * 128 + lead(level, 1) OVER w) * 128
+                    + lead(level, 2) OVER w) * 128
+                   + lead(level, 3) OVER w AS fp_key
+            FROM lev WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        ), fp AS (
+            SELECT doc_id, CAST(shingle_idx AS INTEGER) AS shingle_idx,
+                   CAST(fp_key AS BIGINT) AS fp_key
+            FROM sh WHERE fp_key IS NOT NULL
+        )
+"""
+
+
+def audio_fingerprint_oracle_sql() -> str:
+    return (
+        "WITH corpus AS (SELECT doc_id, text FROM documents),\n"
+        + _AUDIO_FP_CORE_SQL
+        + "\n        SELECT doc_id, shingle_idx, fp_key FROM fp"
+    )
+
+
+def audio_near_dup_oracle_sql() -> str:
+    # ASCII caveat (same as video_frame_overlap): the dup corpus is
+    # built with CHARACTER repeat/substr on both engines — equal
+    # because the stand-in payload is UTF-8 bytes of pure-ASCII text.
+    return (
+        """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   repeat('#', 32)
+                   || substr(text, 1, (strlen(text) * 3) // 4)
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+"""
+        + _AUDIO_FP_CORE_SQL
+        + """,
+        rare AS (
+            SELECT fp_key FROM fp
+            GROUP BY fp_key HAVING COUNT(DISTINCT doc_id) <= 16
+        ), keyed AS (
+            SELECT f.* FROM fp f JOIN rare USING (fp_key)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(b.shingle_idx - a.shingle_idx AS INTEGER)
+                   AS frame_offset,
+               COUNT(*) AS votes
+        FROM keyed a JOIN keyed b
+          ON a.fp_key = b.fp_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= 4
+"""
+    )

@@ -3180,6 +3180,27 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         ground_truth="tests/test_multimodal.py::test_image_phash_buckets_duplicates",
     ),
+    "audio_fingerprint_index": QuerySpec(
+        # audio near-dup substrate (r14): decode → 8-sample window
+        # energies → 7-bit-mantissa log-quantized levels → 4-gram
+        # base-128 shingle keys. Completes the multimodal dedup triad
+        # (image phash r13, video frame overlap r13); all arithmetic
+        # is exact integers, so the oracle replays the whole pipeline
+        # (Arrow energy stage included) bit-for-bit in SQL
+        multimodal.audio_fingerprint_index,
+        multimodal.audio_fingerprint_oracle_sql(),
+    ),
+    "audio_near_dup_pairs": QuerySpec(
+        # Shazam-style candidate join (r14): df-capped fingerprint-key
+        # equi-join + alignment-offset voting — a shared-footage pair
+        # accumulates votes at ONE consistent offset, chance
+        # collisions scatter. Fixture injects shifted (2-window intro)
+        # + truncated re-uploads; recall is pinned in pytest. Never
+        # all-pairs: per-key fan-out bounded by AUDIO_FP_DF_CAP
+        multimodal.audio_near_dup_pairs,
+        multimodal.audio_near_dup_oracle_sql(),
+        ground_truth="tests/test_multimodal.py::test_audio_near_dup_finds_injected_pairs",
+    ),
     "event_type_pivot": QuerySpec(
         analytics.event_type_pivot,
         """
@@ -3304,44 +3325,31 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY: set[str] = {
-    # r13: BPE encode rewritten end to end — the boundary-bug fix +
-    # rank-kernel Arrow stage replaced the replace-chain plan, and the
-    # DuckDB oracles moved to the sentinel-anchored chain (ADVICE r12
-    # high / VERDICT r12 task 1) — fresh hash verdicts required
-    "bpe_encode_corpus",
-    "bpe_encode_ids_corpus",
-    # r13: every versioned read now passes an explicit manifest schema
-    # (no parquet inference job) and delete_rows_dv counts via footers
-    # + records dead files — re-verify the core roundtrips and both DV
-    # lifecycles; the remaining versioned entries are covered by the
-    # every-commit full parity gate (tests/test_oracle_parity.py)
-    "versioned_table_roundtrip",
-    "versioned_cow_roundtrip",
-    "deletion_vector_roundtrip",
-    "deletion_vector_maintenance_roundtrip",
-    # r13: the streaming append sink's dedup probe moved to the
-    # DataFrame-native bloom probe (no driver-side key list), and the
-    # index-probe entries now run the dead-candidate filter + explicit
-    # sidecar schemas
-    "stream_versioned_append_ingest",
-    "stats_skipping_roundtrip",
-    "bloom_index_lookup",
-    # r13 late: table_changes refactored around the snapshot_changes
-    # core + metadata partition pruning; zorder_cluster refactored
-    # around the shared _zorder_frame layout core — both pure moves,
-    # but the historical verdicts predate them
-    "versioned_table_changes",
-    "zorder_skipping_roundtrip",
+    # r14 (ADVICE r13 fixes): merge_into_cow's kept-row path was
+    # rewritten (per-__rid aggregate replacing the filter that
+    # duplicated dup-keyed non-modifying matches) — re-verify both
+    # COW merge lifecycles; table_checksum's double canonicalization
+    # widened to decimal(38,6)+overflow sentinel (same text for
+    # in-range values, but the canonical image is new code);
+    # drop_column gained the ts_col guard and commit_version_
+    # partitioned records ts_col in the manifest — re-verify the
+    # DDL lifecycle entry; add_constraint gained OCC + the lock.
+    "merge_cow_roundtrip",
+    "table_checksum_audit",
+    "versioned_drop_column",
+    "constrained_ingest",
 }
-# r12 prune history: all six r12 names (the index-probe pair,
-# semantic_dedup, the three versioned roundtrips) hold clean r12
-# hash-matched verdicts (CORRECTNESS_r12). Earlier prunes: four r11
-# names after CORRECTNESS_r11, 8 r10 names after CORRECTNESS_r10,
-# 22 r9 names after CORRECTNESS_r09, r7 rewrites after
-# CORRECTNESS_r07. ADVICE r11 asked why the OTHER versioned-format
-# writers were not listed when the delta-log encoding changed under
-# them: their r11 driver verdicts were produced WITH the delta-log
-# format live — settled by direct evidence.
+# r13 prune history: all 11 r13 names (BPE encode pair, versioned
+# roundtrips, DV lifecycles, streaming append sink + index probes,
+# table_changes, zorder) hold clean r13 hash-matched verdicts
+# (CORRECTNESS_r13). Earlier prunes: six r12 names after
+# CORRECTNESS_r12, four r11 names after CORRECTNESS_r11, 8 r10 names
+# after CORRECTNESS_r10, 22 r9 names after CORRECTNESS_r09, r7
+# rewrites after CORRECTNESS_r07. ADVICE r11 asked why the OTHER
+# versioned-format writers were not listed when the delta-log
+# encoding changed under them: their r11 driver verdicts were
+# produced WITH the delta-log format live — settled by direct
+# evidence.
 
 
 def _verification_order(names: list[str]) -> list[str]:

@@ -222,3 +222,106 @@ def test_video_frame_overlap_finds_injected_pairs(spark):
             assert (d, d + 1_000_000) in got, d
     # symmetry/orientation: every pair is emitted once, a < b
     assert all(a < b for (a, b) in got)
+
+
+def test_audio_fingerprint_matches_python(spark):
+    """The fingerprint pipeline (decode → window energy → mantissa
+    level → shingle key) vs a pure-Python replay over raw bytes."""
+    from data_ingestion_pipeline_spark.operators.multimodal import (
+        AUDIO_FP_FRAME,
+        AUDIO_FP_MANTISSA_BITS,
+        audio_fingerprint,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "text")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        (r.doc_id, r.shingle_idx): r.fp_key
+        for r in audio_fingerprint(
+            with_binary_payload(docs).select("doc_id", "payload")
+        ).collect()
+    }
+
+    expect = {}
+    for doc_id, text in texts.items():
+        pcm = np.frombuffer(
+            text.encode()[: (len(text.encode()) // 2) * 2], dtype="<i2"
+        ).astype(np.int64)
+        levels = []
+        for k in range(0, len(pcm), AUDIO_FP_FRAME):
+            ss = int((pcm[k : k + AUDIO_FP_FRAME] ** 2).sum())
+            levels.append(
+                ss
+                if ss.bit_length() <= AUDIO_FP_MANTISSA_BITS
+                else ss >> (ss.bit_length() - AUDIO_FP_MANTISSA_BITS)
+            )
+        for i in range(len(levels) - 3):
+            key = ((levels[i] * 128 + levels[i + 1]) * 128
+                   + levels[i + 2]) * 128 + levels[i + 3]
+            expect[(doc_id, i)] = key
+    assert got == expect
+
+
+def test_audio_near_dup_finds_injected_pairs(spark):
+    """Every injected shifted+truncated re-upload long enough to carry
+    MIN_VOTES aligned shingles must pair with its original at
+    frame_offset = +2 (the prepended 2-window intro); vote counts
+    match the shared-shingle geometry and no pair is emitted twice."""
+    from data_ingestion_pipeline_spark.operators.multimodal import (
+        AUDIO_FP_FRAME,
+        AUDIO_FP_INTRO_BYTES,
+        AUDIO_FP_MIN_VOTES,
+        audio_near_dup_pairs,
+    )
+
+    rows = audio_near_dup_pairs(spark, SF_TEST).collect()
+    got = {(r.doc_a, r.doc_b, r.frame_offset): r.votes for r in rows}
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "text")
+
+    intro_frames = AUDIO_FP_INTRO_BYTES // (2 * AUDIO_FP_FRAME)
+    assert intro_frames == 2
+    for r in docs.filter("doc_id % 10 = 0").collect():
+        n_bytes = len(r.text.encode())
+        # dup keeps 3/4 of the bytes: shared FULL windows in the dup
+        dup_body_samples = ((n_bytes * 3) // 4) // 2
+        shared_windows = dup_body_samples // AUDIO_FP_FRAME
+        # a shared shingle needs 4 consecutive shared windows
+        expected_votes = max(0, shared_windows - 3)
+        if expected_votes >= AUDIO_FP_MIN_VOTES:
+            key = (r.doc_id, r.doc_id + 1_000_000, intro_frames)
+            assert key in got, r.doc_id
+            # votes can only exceed geometry via extra chance
+            # collisions at the same offset; never fall below it
+            # (df-cap can only remove keys shared by >cap docs,
+            # which the doc-specific body shingles are not)
+            assert got[key] >= expected_votes
+    # orientation: a < b, and (pair, offset) rows are unique by
+    # construction (groupBy) — spot the orientation invariant
+    assert all(a < b for (a, b, _o) in got)
+
+
+def test_audio_fingerprint_amplitude_quantization(spark):
+    """The property a content-hash join lacks: two clips whose window
+    energies differ by less than a quantization cell fingerprint
+    IDENTICALLY. Perturb one sample per window by a sub-cell amount
+    and check the fingerprints are unchanged."""
+    from data_ingestion_pipeline_spark.operators.multimodal import (
+        AUDIO_FP_FRAME,
+        audio_fingerprint,
+    )
+
+    base = np.arange(20000, 20000 + 16 * AUDIO_FP_FRAME, dtype="<i2")
+    # ss per window ~ 8·4e8 ≈ 3.2e9 (32 bits): one quantization cell
+    # spans 2^(32-7) = 2^25 ≈ 3.4e7 of ss; nudging one sample by +1
+    # moves ss by ~2·s ≈ 4e4 ≪ cell — far below the mantissa floor
+    pert = base.copy()
+    pert[::AUDIO_FP_FRAME] += 1
+    df = spark.createDataFrame(
+        [(1, bytearray(base.tobytes())), (2, bytearray(pert.tobytes()))],
+        "doc_id long, payload binary",
+    )
+    fp = audio_fingerprint(df).collect()
+    a = sorted((r.shingle_idx, r.fp_key) for r in fp if r.doc_id == 1)
+    b = sorted((r.shingle_idx, r.fp_key) for r in fp if r.doc_id == 2)
+    assert a and a == b
