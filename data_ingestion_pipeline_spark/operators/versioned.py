@@ -750,6 +750,162 @@ def drop_column(
     return v
 
 
+RENAMES_DIR = "_renames"
+
+
+def rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    expected_current: int | None = None,
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit. Delta
+    gates RENAME behind column-mapping IDs; this name-mapped format
+    gets the same effect with a PER-FILE PHYSICAL-NAME MAP: data
+    files are immutable and store the column under the name it had
+    when they were written, so the rename commit records — in one
+    immutable sidecar list (`_renames/`) referenced from the
+    manifest — exactly which files physically carry the old name.
+    Readers (_scan_with_renames) group files by physical-name
+    signature and alias physical→logical at the scan; files written
+    AFTER the rename carry the new name and need no entry, and
+    rewrite maintenance (compaction) normalizes physical names on
+    output (_normalize_renamed), so the map only ever shrinks as the
+    table churns. Manifests carry O(#renames) pointer bytes, never
+    the file list itself — the DDL is O(current file count) once, and
+    every later commit is unaffected (the 100 TB requirement).
+
+    Time travel serves BOTH names correctly: pre-rename manifests
+    record the old schema and no map entry for the new name, so old
+    versions read the old name straight from the files; renames
+    CHAIN (a→b→c) because the new entry list carries the prior
+    entries forward under the new logical name. The old name is
+    retired (`_RETIRED_COLS.json`) — re-adding it via evolve_schema
+    refuses forever, since pre-rename files would resurrect the old
+    physical values into the "new" column (the DROP COLUMN hazard,
+    same mechanism). Refused: partition/cluster columns, the
+    day-partition-deriving ts_col, and columns referenced by a live
+    CHECK constraint (drop the constraint first — rewriting its SQL
+    by regex is not a contract). Index pointers follow the rename
+    (pointer file + recorded col name); their sidecar rows are
+    column-agnostic (file/min/max), so incremental refresh keeps
+    working across the rename. Reference analog: column ownership in
+    migrations/db.sql:5-15 (the reference alters its schema with SQL
+    DDL; this format's DDL story needed the same verb)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    _occ_check(path, expected_current)
+    cur = current_version(path)
+    if cur == 0:
+        raise ValueError("cannot evolve an empty table")
+    m = _manifest(path, cur)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    names = {f.name for f in schema.fields}
+    if old not in names:
+        raise ValueError(f"no such column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if new in _retired_cols(path):
+        raise ValueError(
+            f"column name {new!r} was dropped or renamed away and is "
+            "retired (name-mapped format; reusing it would resurrect "
+            "old physical values) — pick a fresh name"
+        )
+    pc = m.get("partition_col")
+    if pc and old == pc:
+        raise ValueError(
+            f"{old!r} is the partition/cluster column; its values live "
+            "in the directory layout — repartition the table instead"
+        )
+    if "partitions" in m and not m.get("partition_col"):
+        derives = m.get("ts_col")
+        field_type = {f.name: f.dataType.typeName() for f in schema.fields}
+        if (derives and old == derives) or (
+            not derives and field_type.get(old) == "timestamp"
+        ):
+            raise ValueError(
+                f"{old!r} derives the table's day-partition layout and "
+                "writers name it explicitly (ts_col) — renaming it "
+                "would break every subsequent partitioned write"
+            )
+    for cname, expr in table_constraints(path).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}); drop the constraint first"
+            )
+
+    prev_ren = dict(m.get("renames") or {})
+    chain = list(prev_ren.pop(old, []))
+    already: set[str] = set()
+    for e in chain:
+        already |= _load_rename_files(path, e["files_ref"])
+    # every current file not mapped by a PRIOR rename of this column
+    # physically carries `old` (it was written while `old` was the
+    # logical name)
+    carry_old = sorted(f for f in m["files"] if f not in already)
+    v = cur + 1
+    entries = chain
+    if carry_old:
+        os.makedirs(os.path.join(path, RENAMES_DIR), exist_ok=True)
+        ref = os.path.join(RENAMES_DIR, f"v{v}-{old}-to-{new}.json")
+        _atomic_json(os.path.join(path, ref), carry_old)
+        entries = chain + [{"from": old, "files_ref": ref}]
+    new_fields = [
+        T.StructField(
+            new if f.name == old else f.name,
+            f.dataType,
+            f.nullable,
+            f.metadata,
+        )
+        for f in schema.fields
+    ]
+    renames = {**prev_ren, **({new: entries} if entries else {})}
+    _publish_manifest(
+        path,
+        v,
+        {
+            "version": v,
+            "files": m["files"],  # by reference — no data write
+            **({"partitions": m["partitions"]} if "partitions" in m else {}),
+            **(
+                {"partition_col": m["partition_col"]}
+                if "partition_col" in m
+                else {}
+            ),
+            "schema": T.StructType(new_fields).json(),
+            **({"project_schema": True} if m.get("project_schema") else {}),
+            **({"renames": renames} if renames else {}),
+            "committed_at": time.time(),
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+            "meta": {"renamed": {"from": old, "to": new}},
+        },
+        expected_current,
+        prev=m,
+    )
+    retired = _retired_cols(path)
+    if old not in retired:
+        _atomic_json(os.path.join(path, RETIRED_COLS_FILE), retired + [old])
+    for kind in ("_BLOOM_", "_STATS_"):
+        src = os.path.join(path, f"{kind}{old}.json")
+        if os.path.isfile(src):
+            try:
+                with open(src) as fh:
+                    payload = json.load(fh)
+                if payload.get("col") == old:
+                    payload["col"] = new
+                _atomic_json(
+                    os.path.join(path, f"{kind}{new}.json"), payload
+                )
+                os.remove(src)
+            except (OSError, json.JSONDecodeError):
+                pass
+    return v
+
+
 # --- deletion vectors: O(deleted rows) row-level DELETE ------------
 # The Delta Lake deletion-vector / Iceberg positional-delete
 # construction: a DELETE commit writes only a parquet sidecar of
@@ -767,20 +923,14 @@ def _tagged_scan(spark: SparkSession, path: str, m: dict) -> DataFrame:
     """The manifest's files with (__dv_file, __dv_pos) row identity
     attached from the scan's `_metadata` struct — relpath via the same
     anchored strip the bloom index uses, position from
-    `_metadata.row_index` (scan bookkeeping, zero extra I/O)."""
-    import re as _re
-
-    abs_root = os.path.abspath(path)
-    base = _read_files_raw(
-        spark, m, [os.path.join(path, f) for f in m["files"]]
-    )
-    rel = F.regexp_replace(
-        _norm_input_path(), "^" + _re.escape(abs_root + os.sep), ""
-    )
-    return base.select(
-        *[F.col(c) for c in base.columns],
-        rel.alias("__dv_file"),
-        F.col("_metadata.row_index").alias("__dv_pos"),
+    `_metadata.row_index` (scan bookkeeping, zero extra I/O). Tagging
+    happens inside _scan_with_renames, per physical-name group."""
+    return _scan_with_renames(
+        spark,
+        m,
+        [os.path.join(path, f) for f in m["files"]],
+        path=path,
+        tag=True,
     )
 
 
@@ -811,7 +961,7 @@ def delete_rows_dv(
     append_version_clustered and drop_partitions_before carry the DV
     pointer by reference, which is always sound: DV rows naming files
     a later commit rewrote or dropped can never match a scan of that
-    commit's files (see _anti_join_dv).
+    commit's files (see _read_files_as_snapshot).
 
     DV-AWARE INDEX MAINTENANCE (VERDICT r12 task 7): when the table
     has bloom/stats index pointers, the commit also computes
@@ -1796,7 +1946,8 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
         ).alias("file")
         return (
             _read_files_raw(
-                spark, m, [os.path.join(abs_root, r) for r in scan_rel]
+                spark, m, [os.path.join(abs_root, r) for r in scan_rel],
+                path=path,
             )
             .select(rel, F.col(key_col))
             .select("file", key_col, salts)
@@ -2402,14 +2553,133 @@ def _manifest_read_schema(m: dict):
 
 
 def _read_files_raw(
-    spark: SparkSession, m: dict, files: list[str]
+    spark: SparkSession, m: dict, files: list[str], path: str | None = None
 ) -> DataFrame:
     """Schema-contract file read WITHOUT deletion-vector filtering —
     for index builds only: indexing soft-deleted rows makes the index
     a superset (bloom/stats admit extra candidates, the exact
     post-filter runs on DV-filtered reads), never a false negative,
-    and it keeps the build independent of DV churn."""
-    return spark.read.schema(_manifest_read_schema(m)).parquet(*files)
+    and it keeps the build independent of DV churn. `path` is needed
+    only when the manifest carries renamed columns (physical-name
+    resolution)."""
+    return _scan_with_renames(spark, m, files, path=path)
+
+
+# rename sidecar file lists are immutable except under purge_rows'
+# whole-table relink — cache by (abspath, mtime_ns, size)
+_RENAME_SIDECAR_CACHE: dict[tuple, frozenset] = {}
+
+
+def _load_rename_files(path: str, ref: str) -> frozenset:
+    ap = os.path.join(path, ref)
+    st = os.stat(ap)
+    key = (os.path.abspath(ap), st.st_mtime_ns, st.st_size)
+    got = _RENAME_SIDECAR_CACHE.get(key)
+    if got is None:
+        with open(ap) as fh:
+            got = frozenset(json.load(fh))
+        _RENAME_SIDECAR_CACHE[key] = got
+    return got
+
+
+def _rename_groups(
+    path: str, m: dict, rel_files: list[str]
+) -> list[tuple[dict, list[str]]]:
+    """Partition a file subset by PHYSICAL-NAME signature: under
+    RENAME COLUMN, files written before the rename physically carry
+    the old column name (files are immutable; this format maps
+    columns by name). The manifest's `renames` entries point at
+    immutable sidecar lists of those files; a file in no list carries
+    the current logical names. Returns [(mapping {logical→physical},
+    files)] — one leaf read per group, group count bounded by the
+    number of rename DDLs ever run, 1 for never-renamed tables."""
+    ren = m.get("renames") or {}
+    if not ren:
+        return [({}, list(rel_files))]
+    per_file: dict[str, dict] = {}
+    for to, entries in ren.items():
+        for e in entries:
+            for f in _load_rename_files(path, e["files_ref"]):
+                per_file.setdefault(f, {})[to] = e["from"]
+    groups: dict[tuple, list[str]] = {}
+    for f in rel_files:
+        sig = tuple(sorted(per_file.get(f, {}).items()))
+        groups.setdefault(sig, []).append(f)
+    return [(dict(sig), fs) for sig, fs in sorted(groups.items())]
+
+
+def _scan_with_renames(
+    spark: SparkSession,
+    m: dict,
+    files: list[str],
+    path: str | None = None,
+    tag: bool = False,
+) -> DataFrame:
+    """The ONE leaf-file scan builder under the snapshot contract:
+    groups `files` (absolute paths) by physical-name signature
+    (_rename_groups), reads each group under its PHYSICAL schema
+    (same explicit-schema discipline as _manifest_read_schema — no
+    inference), aliases physical→logical, and unions. `tag=True`
+    attaches (__dv_file, __dv_pos) row identity PER GROUP — the
+    `_metadata` struct is a per-scan pseudo-column and cannot be
+    referenced above a union. Never-renamed tables take the exact
+    single-scan path the format always had."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    schema = _manifest_read_schema(m)
+    has_ren = bool(m.get("renames"))
+    if path is None and (tag or has_ren):
+        raise ValueError(
+            "table path is required for tagged or renamed-column scans"
+        )
+
+    def _one(fs: list[str], mapping: dict) -> DataFrame:
+        if mapping:
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+            df = spark.read.schema(phys).parquet(*fs)
+        else:
+            df = spark.read.schema(schema).parquet(*fs)
+        if not tag and not mapping:
+            return df
+        cols = [
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        if tag:
+            abs_root = os.path.abspath(path)
+            rel = F.regexp_replace(
+                _norm_input_path(), "^" + _re.escape(abs_root + os.sep), ""
+            )
+            return df.select(
+                *cols,
+                rel.alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
+        return df.select(*cols)
+
+    if not has_ren:
+        return _one(files, {})
+    abs_root = os.path.abspath(path)
+    rel_to_abs = {
+        os.path.relpath(os.path.abspath(f), abs_root): f for f in files
+    }
+    parts = [
+        _one([rel_to_abs[r] for r in rels], mapping)
+        for mapping, rels in _rename_groups(path, m, list(rel_to_abs))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _read_files_as_snapshot(
@@ -2421,54 +2691,32 @@ def _read_files_as_snapshot(
     metadata-only evolution work: a pre-evolution candidate file
     projects through the widened manifest schema, null-filling the
     added columns, instead of Spark taking the schema from one file's
-    footer and silently dropping them. Takes the CALLER's
-    already-resolved manifest (readers resolve the pointer once — a
-    second read here could apply a concurrent commit's schema to
-    candidate files selected under the previous version). When the
-    manifest carries a DELETION VECTOR (`path` required then), the
-    soft-deleted (file, pos) rows are anti-joined out — every file
-    subset a DV table serves must flow through here or read_version,
-    or deletes would silently resurrect."""
-    base = spark.read.schema(_manifest_read_schema(m)).parquet(*files)
-    if m.get("dv"):
-        if path is None:
-            raise ValueError(
-                "manifest carries a deletion vector; the table path is "
-                "required to resolve its sidecar"
-            )
-        return _anti_join_dv(spark, path, m, base)
-    return base
-
-
-def _anti_join_dv(
-    spark: SparkSession, path: str, m: dict, base: DataFrame
-) -> DataFrame:
-    """Apply a manifest's deletion vector to a scan of its files: tag
-    every row with (manifest relpath, parquet row ordinal) from the
-    scan's `_metadata` struct — zero extra I/O, the position is scan
-    bookkeeping — and LEFT ANTI join the DV sidecar's (file, pos)
-    keys. The DV is O(deleted rows) and AQE broadcasts it when small,
-    so the read costs one map-side join over the scan, never a
-    rewrite. DV rows naming files absent from this manifest (a later
-    upsert/retention rewrote or dropped them) simply never match —
-    carrying a DV pointer by reference across file-subset commits is
-    therefore always CORRECT, only ever over-sized."""
-    import re as _re
-
-    abs_root = os.path.abspath(path)
-    rel = F.regexp_replace(
-        _norm_input_path(), "^" + _re.escape(abs_root + os.sep), ""
-    )
-    cols = [F.col(c) for c in base.columns]
-    tagged = base.select(
-        *cols,
-        rel.alias("__dv_file"),
-        F.col("_metadata.row_index").alias("__dv_pos"),
-    )
-    dv = spark.read.schema("file string, pos bigint").parquet(
-        os.path.join(path, m["dv"]["sidecar"])
-    ).select(
-        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    footer and silently dropping them; renamed columns resolve to
+    their per-file physical names (_scan_with_renames). Takes the
+    CALLER's already-resolved manifest (readers resolve the pointer
+    once — a second read here could apply a concurrent commit's
+    schema to candidate files selected under the previous version).
+    When the manifest carries a DELETION VECTOR (`path` required
+    then), the soft-deleted (file, pos) rows are anti-joined out —
+    every file subset a DV table serves must flow through here or
+    read_version, or deletes would silently resurrect. The DV is
+    O(deleted rows) and AQE broadcasts it when small, so the read
+    costs one map-side join over the scan, never a rewrite; DV rows
+    naming files absent from this manifest simply never match."""
+    if not m.get("dv"):
+        return _scan_with_renames(spark, m, files, path=path)
+    if path is None:
+        raise ValueError(
+            "manifest carries a deletion vector; the table path is "
+            "required to resolve its sidecar"
+        )
+    tagged = _scan_with_renames(spark, m, files, path=path, tag=True)
+    dv = (
+        spark.read.schema("file string, pos bigint")
+        .parquet(os.path.join(path, m["dv"]["sidecar"]))
+        .select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
     )
     return tagged.join(dv, ["__dv_file", "__dv_pos"], "left_anti").drop(
         "__dv_file", "__dv_pos"
@@ -2669,6 +2917,22 @@ def vacuum(
         for fn in sorted(os.listdir(mf_root)):
             rel = os.path.normpath(os.path.join("_manifest_files", fn))
             if rel not in live_refs:
+                os.remove(os.path.join(path, rel))
+                removed.append(os.path.join(path, rel))
+    # rename-map sidecars: keep exactly those some retained
+    # manifest's renames entries still point at (vacuuming past the
+    # last manifest that referenced a rename orphans its sidecar)
+    ren_root = os.path.join(path, RENAMES_DIR)
+    if os.path.isdir(ren_root):
+        live_ren = set()
+        for v in keep_versions:
+            mm = resolved.get(v) or _manifest(path, v)
+            for entries in (mm.get("renames") or {}).values():
+                for e in entries:
+                    live_ren.add(os.path.normpath(e["files_ref"]))
+        for fn in sorted(os.listdir(ren_root)):
+            rel = os.path.normpath(os.path.join(RENAMES_DIR, fn))
+            if rel not in live_ren and not _in_grace(os.path.join(path, rel)):
                 os.remove(os.path.join(path, rel))
                 removed.append(os.path.join(path, rel))
     # a crash between _atomic_json's tmp write and its rename leaves a
@@ -2897,7 +3161,7 @@ def commit_version_partitioned(
     that is an answer, not an omission, hence the sentinel default);
     a caller that really wants the DV gone materializes first
     (materialize_deletes) or commits without carried files. DV rows
-    naming rewritten files never match (see _anti_join_dv), so
+    naming rewritten files never match (see _read_files_as_snapshot), so
     inheriting is always sound."""
     from data_ingestion_pipeline_spark.operators.upsert import with_partition_col
 
@@ -2935,7 +3199,7 @@ def commit_version_partitioned(
          "committed_at": time.time(),
          # deletion-vector pointer a carried-files caller threads
          # through (upsert_version_cow); rows naming rewritten files
-         # never match (see _anti_join_dv)
+         # never match (see _read_files_as_snapshot)
          **({"dv": dv} if dv else {}),
          "meta": meta or {}},
         expected_current,
@@ -3145,7 +3409,9 @@ def compact_files(
                 )
             for pval, n in n_out_of_raw.items():
                 no_pairs.extend([F.lit(pval), F.lit(n)])
-            df = spark.read.parquet(*[abs_of[r] for r in rels])
+            df = _normalize_renamed(
+                spark.read.parquet(*[abs_of[r] for r in rels]), m
+            )
             cols = df.columns
             tagged = df.withColumn(
                 part_col, F.create_map(*pf_pairs)[_norm_input_path()]
@@ -3257,9 +3523,24 @@ def _publish_manifest(
     _occ_check(path, expected_current)
     # metadata-only commits (DDL, DV, zorder, compaction) rebuild the
     # manifest dict from scratch — inherit the partition-deriving
-    # column so drop/rename DDL can keep protecting it downstream
-    if "ts_col" not in manifest and prev is not None and "ts_col" in prev:
-        manifest["ts_col"] = prev["ts_col"]
+    # column so drop/rename DDL can keep protecting it downstream,
+    # and the rename map so pre-rename files keep resolving their
+    # physical column names. Writers that did not resolve prev get it
+    # resolved here once (and passed on to the delta encoder, which
+    # would otherwise resolve it again). Dropping the rename map
+    # would make every pre-rename file read the renamed column as
+    # NULL — silent data loss, hence the unconditional inheritance.
+    needs = ("ts_col" not in manifest) or ("renames" not in manifest)
+    if needs and prev is None and manifest.get("version", 1) > 1:
+        try:
+            prev = _manifest(path, manifest["version"] - 1)
+        except (FileNotFoundError, ValueError, KeyError):
+            prev = None
+    if prev is not None:
+        if "ts_col" not in manifest and "ts_col" in prev:
+            manifest["ts_col"] = prev["ts_col"]
+        if "renames" not in manifest and prev.get("renames"):
+            manifest["renames"] = prev["renames"]
     enc = _encode_manifest(path, manifest, prev=prev)
     _occ_check(path, expected_current)
     _atomic_json(_manifest_path(path, v), enc)
@@ -3268,6 +3549,23 @@ def _publish_manifest(
     with open(tmp, "w") as fh:
         fh.write(str(v))
     os.replace(tmp, os.path.join(path, POINTER))
+
+
+def _normalize_renamed(df: DataFrame, m: dict) -> DataFrame:
+    """Footer-schema rewrites (compaction) read files under their
+    PHYSICAL column names; alias any renamed physical column to its
+    current logical name so rewrite OUTPUTS always carry logical
+    names — rewritten files then need no rename-map entry (they are
+    new relpaths, absent from every immutable sidecar list), keeping
+    the map's invariant: map ∩ manifest.files = files that physically
+    carry an old name."""
+    ren = m.get("renames") or {}
+    out = df
+    for to, entries in ren.items():
+        for e in entries:
+            if e["from"] in out.columns and to not in out.columns:
+                out = out.withColumnRenamed(e["from"], to)
+    return out
 
 
 def _compact_unpartitioned(
@@ -3317,7 +3615,9 @@ def _compact_unpartitioned(
             share = sum(os.path.getsize(abs_of[r]) for r in rels) / max(total, 1)
             g_out = max(1, round(n_out * share))
             (
-                spark.read.parquet(*[abs_of[r] for r in rels])
+                _normalize_renamed(
+                    spark.read.parquet(*[abs_of[r] for r in rels]), m
+                )
                 .repartition(g_out)
                 .write.mode("append")
                 .parquet(data_dir)
@@ -3588,6 +3888,29 @@ def purge_rows(
         if "partitions" in m:
             m["partitions"] = parts_map
         _atomic_json(mp, _checkpoint_form(path, m))
+
+    # rename-map sidecars key files by relpath: follow the purge's
+    # file relinks (a purged pre-rename file still physically carries
+    # its old column name under the NEW relpath — the survivors keep
+    # their original footer schema) and drop vanished files
+    ren_root = os.path.join(path, RENAMES_DIR)
+    if os.path.isdir(ren_root):
+        for fn in sorted(os.listdir(ren_root)):
+            sp = os.path.join(ren_root, fn)
+            try:
+                with open(sp) as fh:
+                    lst = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if not any(f in rewritten for f in lst):
+                continue
+            relinked = []
+            for f in lst:
+                if f not in rewritten:
+                    relinked.append(f)
+                elif rewritten[f] is not None:
+                    relinked.append(rewritten[f])
+            _atomic_json(sp, sorted(relinked))
     return rewritten
 
 
@@ -4155,6 +4478,55 @@ def versioned_drop_column_oracle_sql() -> str:
         SELECT event_id, ts, user_id, event_type,
                CASE WHEN event_id % 10 = 0 THEN value + 1000.0
                     ELSE value END AS value
+        FROM events
+    """
+
+
+def versioned_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: RENAME COLUMN lifecycle — commit events, rename
+    `value`→`reading` (metadata-only: files byte-identical, the
+    physical-name map routes pre-rename files through the old name),
+    upsert post-rename (+1000 on every 10th event, writing files that
+    physically carry the NEW name — the mixed-physical-schema read
+    this format must get right), then rename `reading`→`measurement`
+    (the chain case: the final snapshot reads files carrying THREE
+    physical generations: `value` originals, `reading` upsert files,
+    and nothing yet under `measurement`). The result must equal the
+    oracle's aliased CASE scan. Time travel to every generation,
+    retirement of both old names, DV/merge interplay and the refusal
+    guards are pinned in tests/test_versioned.py."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("rename_col", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev)
+    rename_column(spark, path, "value", "reading")
+    # MOR update, not a rewriting upsert: the pre-rename files stay
+    # referenced (physically `value`) while the update images land in
+    # NEW files physically named `reading` — the mixed-generation read
+    merge_into_mor(
+        spark,
+        path,
+        ev.filter(F.col("event_id") % 10 == 0).select("event_id"),
+        ["event_id"],
+        when_matched=[("update", {"reading": "t.reading + 1000.0"}, None)],
+    )
+    rename_column(spark, path, "reading", "measurement")
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "measurement"
+    )
+
+
+def versioned_rename_column_oracle_sql() -> str:
+    return """
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+                    ELSE value END AS measurement
         FROM events
     """
 

@@ -1062,6 +1062,18 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.versioned_drop_column_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_drop_column_is_metadata_only_and_name_retires",
     ),
+    "versioned_rename_column": QuerySpec(
+        # RENAME COLUMN (r14): metadata-only rename on the name-mapped
+        # format via per-file physical-name map sidecars (Delta needs
+        # column-mapping IDs for this verb). The entry chains two
+        # renames around a MOR update so the final snapshot reads
+        # files of MIXED physical generations (`value` originals +
+        # `reading` update images) through one logical schema; old
+        # names retire, time travel serves every generation (pinned)
+        versioned.versioned_rename_column,
+        versioned.versioned_rename_column_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_rename_column_lifecycle",
+    ),
     "constrained_ingest": QuerySpec(
         # write-time CHECK constraints (r13): Delta's ADD CONSTRAINT on
         # this format — table-level row contracts enforced INLINE in
@@ -3338,6 +3350,14 @@ _REVERIFY: set[str] = {
     "table_checksum_audit",
     "versioned_drop_column",
     "constrained_ingest",
+    # r14: the leaf-scan path was restructured around
+    # _scan_with_renames (RENAME COLUMN's physical-name groups; DV
+    # row-identity tagging moved inside it) — re-verify the core
+    # snapshot + DV + MOR-merge reads even though the never-renamed
+    # single-scan plan is unchanged
+    "versioned_table_roundtrip",
+    "deletion_vector_roundtrip",
+    "merge_mor_roundtrip",
 }
 # r13 prune history: all 11 r13 names (BPE encode pair, versioned
 # roundtrips, DV lifecycles, streaming append sink + index probes,

@@ -2987,3 +2987,150 @@ def test_merge_mor_degenerate_noop_skips_version_bump(spark, tmp_path):
         spark, path, ev, ["event_id"], insert_not_matched=True)
     assert v2 == before + 1
     assert versioned.read_version(spark, path).count() == ev.count()
+
+
+# ---- r14: RENAME COLUMN ---------------------------------------------
+
+
+def test_rename_column_lifecycle(spark, tmp_path):
+    """Metadata-only rename: files byte-identical, values survive,
+    time travel serves both names, post-rename writes mix physical
+    schemas correctly, chains work, old names retire."""
+    import pytest
+
+    path = str(tmp_path / "rn")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 200)
+    versioned.commit_version(spark, path, ev)
+    m1 = versioned._manifest(path)
+    base = {r.event_id: r.value for r in ev.collect()}
+
+    v2 = versioned.rename_column(spark, path, "value", "reading")
+    assert v2 == 2
+    m2 = versioned._manifest(path)
+    assert m2["files"] == m1["files"]  # zero data movement
+    assert "reading" in m2["renames"]
+    cur = versioned.read_version(spark, path)
+    assert cur.columns == ["event_id", "ts", "user_id", "event_type",
+                           "reading"]
+    assert {r.event_id: r.reading for r in cur.collect()} == base
+
+    # time travel: v1 serves the OLD name with the same values
+    old = versioned.read_version(spark, path, 1)
+    assert old.columns[-1] == "value"
+    assert {r.event_id: r.value for r in old.collect()} == base
+
+    # post-rename write: new files physically carry `reading`; the
+    # mixed-generation snapshot still reads correctly
+    ups = cur.filter(F.col("event_id") < 20).withColumn(
+        "reading", F.col("reading") + 5.0)
+    versioned.upsert_version(spark, path, ups, ["event_id"])
+    got = {r.event_id: r.reading
+           for r in versioned.read_version(spark, path).collect()}
+    for k, v in base.items():
+        assert got[k] == v + (5.0 if k < 20 else 0.0)
+
+    # retirement: the old name can never come back
+    with pytest.raises(ValueError, match="retired"):
+        versioned.evolve_schema(spark, path, [("value", "double")])
+    with pytest.raises(ValueError, match="retired"):
+        versioned.rename_column(spark, path, "reading", "value")
+
+    # chain: reading -> measurement keeps resolving all generations
+    versioned.rename_column(spark, path, "reading", "measurement")
+    got2 = {r.event_id: r.measurement
+            for r in versioned.read_version(spark, path).collect()}
+    assert got2 == got
+
+    # guards: unknown column, existing name
+    with pytest.raises(ValueError, match="no such column"):
+        versioned.rename_column(spark, path, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned.rename_column(spark, path, "measurement", "event_id")
+
+
+def test_rename_column_dv_merge_and_partitioned(spark, tmp_path):
+    """Rename interplay: DV deletes and MOR merges keep working on a
+    renamed table; partitioned tables refuse renaming the layout-
+    deriving ts column but rename data columns fine (COW rewrite of a
+    touched day mixes physical schemas within one partition)."""
+    import pytest
+
+    path = str(tmp_path / "rnd")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 100)
+    versioned.commit_version(spark, path, ev)
+    versioned.rename_column(spark, path, "value", "reading")
+    n0 = ev.count()
+
+    versioned.delete_rows_dv(spark, path, F.col("event_id") == 3)
+    assert versioned.read_version(spark, path).count() == n0 - 1
+    versioned.merge_into_mor(
+        spark, path,
+        ev.limit(5).select("event_id", F.lit(7.0).alias("m")),
+        ["event_id"],
+        when_matched=[("update", {"reading": "s.m"}, None)],
+    )
+    cur = versioned.read_version(spark, path)
+    assert cur.filter(F.col("reading") == 7.0).count() >= 4
+
+    # CHECK constraint referencing the column blocks the rename
+    versioned.add_constraint(spark, path, "cap", "reading <= 1e9")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        versioned.rename_column(spark, path, "reading", "blocked")
+    versioned.drop_constraint(path, "cap")
+
+    # partitioned twin
+    p2 = str(tmp_path / "rnp")
+    os.makedirs(p2)
+    versioned.commit_version_partitioned(spark, p2, ev)
+    with pytest.raises(ValueError, match="day-partition"):
+        versioned.rename_column(spark, p2, "ts", "event_ts")
+    versioned.rename_column(spark, p2, "value", "reading")
+    up = versioned.read_version(spark, p2).limit(5).withColumn(
+        "reading", F.lit(-1.0))
+    versioned.upsert_version_cow(spark, p2, up, ["event_id"])
+    assert versioned.read_version(spark, p2).filter(
+        "reading = -1.0").count() == 5
+
+
+def test_rename_column_compaction_normalizes_and_stats_follow(
+    spark, tmp_path
+):
+    """Compaction outputs carry the CURRENT logical names (the rename
+    map only ever shrinks); index pointers follow the rename and
+    incremental stats refresh keeps working across it."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "rnc")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 200)
+    versioned.commit_version(spark, path, ev.repartition(6))
+    versioned.build_column_stats(spark, path, "value")
+    base = {r.event_id: r.value for r in ev.collect()}
+
+    versioned.rename_column(spark, path, "value", "reading")
+    assert os.path.isfile(os.path.join(path, "_STATS_reading.json"))
+    assert not os.path.isfile(os.path.join(path, "_STATS_value.json"))
+    # the pointer's recorded column follows; refresh under the NEW
+    # name is incremental (version bumped by the rename commit)
+    versioned.build_column_stats(spark, path, "reading")
+    lo = min(base.values())
+    hi = max(base.values())
+    served = versioned.stats_lookup(spark, path, "reading", lo, hi)
+    assert served.count() == len(base)  # full range serves every row
+
+    r = versioned.compact_files(spark, path, target_bytes=10**9,
+                                min_files=2)
+    assert r["files_out"] >= 1
+    m = versioned._manifest(path)
+    for f in m["files"]:
+        names = pq.ParquetFile(os.path.join(path, f)).schema_arrow.names
+        assert "reading" in names and "value" not in names
+    got = {r_.event_id: r_.reading
+           for r_ in versioned.read_version(spark, path).collect()}
+    assert got == base
+    # post-compaction, no live file carries the old physical name —
+    # the map entries are inert (sidecar lists reference only dead
+    # relpaths) and a vacuum past the rename reclaims them with the
+    # pre-compaction manifests
