@@ -387,6 +387,21 @@ def _guarded_write(df: DataFrame, path: str, write_fn) -> None:
         raise
 
 
+def _attempt_data_dir(path: str, v: int) -> str:
+    """UNIQUE per-attempt data directory for version v. Deterministic
+    `data/v{N}` dirs made concurrent writers mutually destructive: an
+    OCC LOSER's mode-overwrite data write could clobber the WINNER's
+    already-published files for the contested version number.
+    Unique-suffix dirs (the discipline compaction/zorder already
+    used, and the reason Iceberg/Delta write uniquely-located files)
+    make every attempt's files private: losers and torn attempts
+    leave vacuum-reclaimable orphans, never corruption. Manifests
+    reference files by relpath, so readers never cared about the dir
+    name."""
+    return os.path.join(path, "data", f"v{v}-{uuid.uuid4().hex[:8]}")
+
+
+
 def commit_version(
     spark: SparkSession,
     path: str,
@@ -428,12 +443,13 @@ def commit_version(
     """
     _occ_check(path, expected_current)
     v = current_version(path) + 1
-    data_dir = os.path.join(path, "data", f"v{v}")
+    data_dir = _attempt_data_dir(path, v)
     _guarded_write(
         df, path, lambda g: g.write.mode("overwrite").parquet(data_dir)
     )
+    rel_dir = os.path.relpath(data_dir, path)
     files = sorted(
-        os.path.join("data", f"v{v}", f)
+        os.path.join(rel_dir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
@@ -1250,12 +1266,13 @@ def update_rows_mor(
             for c in data_cols
         ]
     )
-    data_dir = os.path.join(path, "data", f"v{v}")
+    data_dir = _attempt_data_dir(path, v)
     _guarded_write(
         updated, path, lambda g: g.write.mode("overwrite").parquet(data_dir)
     )
+    rel_dir = os.path.relpath(data_dir, path)
     new_files = sorted(
-        os.path.join("data", f"v{v}", f)
+        os.path.join(rel_dir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
@@ -1586,14 +1603,15 @@ def merge_into_mor(
 
     new_files: list[str] = []
     if images is not None:
-        data_dir = os.path.join(path, "data", f"v{v}")
+        data_dir = _attempt_data_dir(path, v)
         _guarded_write(
             images,
             path,
             lambda g: g.write.mode("overwrite").parquet(data_dir),
         )
+        rel_dir = os.path.relpath(data_dir, path)
         new_files = sorted(
-            os.path.join("data", f"v{v}", f)
+            os.path.join(rel_dir, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
@@ -3102,7 +3120,7 @@ def commit_version_clustered(
 
     _occ_check(path, expected_current)
     v = current_version(path) + 1
-    data_dir = os.path.join(path, "data", f"v{v}")
+    data_dir = _attempt_data_dir(path, v)
     _guarded_write(
         df,
         path,
@@ -3173,7 +3191,7 @@ def commit_version_partitioned(
             else None
         )
     v = current_version(path) + 1
-    data_dir = os.path.join(path, "data", f"v{v}")
+    data_dir = _attempt_data_dir(path, v)
     _guarded_write(
         with_partition_col(df, ts_col),
         path,
@@ -3238,7 +3256,7 @@ def append_version_clustered(
     _occ_check(path, expected_current)
     prior = _manifest(path) if current_version(path) > 0 else {"files": [], "partitions": {}}
     v = prior.get("version", 0) + 1
-    data_dir = os.path.join(path, "data", f"v{v}")
+    data_dir = _attempt_data_dir(path, v)
     _guarded_write(
         df,
         path,
@@ -3519,8 +3537,50 @@ def _publish_manifest(
     has one — the delta encoder then skips its own resolution (at a
     files_ref checkpoint base that second resolution re-read the whole
     parquet sidecar per commit). The JSON write is atomic
-    (tmp + rename): a crash mid-publish leaves no torn manifest."""
+    (tmp + rename): a crash mid-publish leaves no torn manifest.
+
+    The whole publish runs under an EXCLUSIVE advisory lock
+    (`_COMMIT.lock`, flock): on a local FS the check-then-replace
+    sequence alone had a TOCTOU window where two writers could both
+    pass the OCC check and both swap the pointer for the same version
+    number — the lock serializes [check → manifest write → swap], so
+    EXACTLY ONE writer wins a contested version and the loser aborts
+    with ConcurrentCommitError before touching any shared name
+    (pinned cross-process in tests/test_versioned.py). The section is
+    O(manifest JSON) — data files were written before entering, under
+    per-attempt unique dirs. On a real object store the lock's job is
+    done by conditional-put on the pointer object; same protocol,
+    different primitive."""
+    import fcntl
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        fh = stack.enter_context(
+            open(os.path.join(path, "_COMMIT.lock"), "a")
+        )
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        stack.callback(fcntl.flock, fh, fcntl.LOCK_UN)
+        _publish_manifest_locked(path, v, manifest, expected_current, prev)
+
+
+def _publish_manifest_locked(
+    path: str,
+    v: int,
+    manifest: dict,
+    expected_current: int | None,
+    prev: dict | None = None,
+) -> None:
     _occ_check(path, expected_current)
+    # monotonicity guard — independent of expected_current: every
+    # writer plans v = current+1 BEFORE its data write, so finding
+    # the pointer already at >= v inside the lock means another
+    # writer won this version; publishing would clobber its manifest
+    cur_now = current_version(path)
+    if v <= cur_now:
+        raise ConcurrentCommitError(
+            f"version v{v} was published by a concurrent writer "
+            f"(pointer at v{cur_now}); re-read and retry"
+        )
     # metadata-only commits (DDL, DV, zorder, compaction) rebuild the
     # manifest dict from scratch — inherit the partition-deriving
     # column so drop/rename DDL can keep protecting it downstream,

@@ -50,7 +50,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from gen_growth_fixture import ensure as ensure_fixture  # noqa: E402
 from gen_growth_fixture import ensure_xl as ensure_fixture_xl  # noqa: E402
 
-from data_ingestion_pipeline_spark.operators import dedup, similarity  # noqa: E402
+from data_ingestion_pipeline_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+)
 from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
 from data_ingestion_pipeline_spark.sources.tables import load_table  # noqa: E402
 
@@ -58,7 +62,11 @@ ALPHA_GATE = 1.5
 SEGMENTS = ["sf0.01->sf0.1", "sf0.1->sf1eq(generated)"]
 
 # production candidate-generation paths (the bench_fn side — grading
-# joins would re-introduce the quadratic oracle these exist to avoid)
+# joins would re-introduce the quadratic oracle these exist to avoid).
+# The multimodal trio (r14, VERDICT r13 task 3): image_phash_index is
+# the map-only banding substrate (expected alpha ~1), while
+# video_frame_overlap and audio_near_dup_pairs include their df-capped
+# candidate joins — the class the alpha gate exists for.
 OPS = {
     "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
     "simhash_candidates": dedup.simhash_candidates,
@@ -66,6 +74,9 @@ OPS = {
     "jaccard_prefix_join": dedup.jaccard_prefix_join,
     "dup_clusters": dedup.dup_clusters,
     "semantic_dedup": similarity.semantic_dedup,
+    "image_phash_index": multimodal.image_phash_index,
+    "video_frame_overlap": multimodal.video_frame_overlap,
+    "audio_near_dup_pairs": multimodal.audio_near_dup_pairs,
 }
 EMB_OPS = {"embedding_near_dup_lsh", "semantic_dedup"}
 # ops measured one decade further (500k docs, Heaps-law vocabulary —

@@ -1,0 +1,154 @@
+"""Phase-tagged timing for semantic_dedup (VERDICT r13 task 5).
+
+Three rounds running, semantic_dedup's reading inside the full bench
+sweep (~12 s) has been ~3x its standalone warm reading (~4 s) — the
+only registry entry with that gap. "Host contention" was the working
+hypothesis; this harness settles it at per-phase granularity.
+
+Phases (mirrors operators/similarity.py::semantic_dedup, with
+localCheckpoint barriers so each phase's wall time is its own):
+
+  train_kmeans  bounded sample collect + driver-side numpy k-means
+                (the GEMM: iters x n_cells x sample matmuls)
+  assign_arrow  _ivf_assign mapInPandas over all vectors (Arrow
+                batches, nprobe ranks) — the executor-Python phase
+  salt          probe-population count + salted sub-cell assignment
+                (one shuffle over the probe table)
+  pair_prune    within-subcell self-join + fixed-point cosine +
+                min-id aggregation + final left join (JVM joins)
+
+Usage:
+  python scripts/semantic_dedup_phases.py            # solo (idle host)
+  python scripts/semantic_dedup_phases.py --contended
+      # spawns `python bench.py` first, waits for it to ramp, then
+      # measures the same phases while the sweep saturates the host —
+      # reproducing the contended reading deterministically
+
+Each mode appends its record to SEMDEDUP_PHASES.json (committed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_ingestion_pipeline_spark.operators import similarity as S  # noqa: E402
+from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
+from data_ingestion_pipeline_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_phases(spark, sf_dir: str) -> dict:
+    t: dict = {}
+    total0 = time.perf_counter()
+
+    t0 = time.perf_counter()
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, n = S._ivf_train_sample(emb, min_vec_id=0)
+    n_cells, _ = S._ivf_params(n)
+    Cq = S._ivf_centroids(emb, rows, n_cells)
+    t["train_kmeans"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    probes = S._ivf_assign(
+        emb, Cq, nprobe=S.SEMANTIC_DEDUP_NPROBE, with_rank=True
+    ).localCheckpoint(eager=True)
+    t["assign_arrow"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cap = max(
+        64,
+        (S.SEMANTIC_DEDUP_CELL_CAP_FACTOR * n * S.SEMANTIC_DEDUP_NPROBE)
+        // max(n_cells, 1),
+    )
+    salted = S._salted_subcells(probes, cap).localCheckpoint(eager=True)
+    t["salt"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cells = probes.filter(F.col("rank") == 0).select("vec_id", "cell")
+    embn = S._with_norm(emb).join(salted.select("vec_id", "subcell"), "vec_id")
+    a = embn.select(
+        F.col("subcell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = embn.select(
+        F.col("subcell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dup_pairs = (
+        a.join(b, "subcell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine",
+            S._fixed_dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= S.SEMANTIC_DUP_COSINE)
+    )
+    dup_of = dup_pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    n_out = cells.join(dup_of, "vec_id", "left").count()
+    t["pair_prune"] = round(time.perf_counter() - t0, 2)
+
+    t["total"] = round(time.perf_counter() - total0, 2)
+    t["out_rows"] = n_out
+    return t
+
+
+def main() -> None:
+    contended = "--contended" in sys.argv
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    sweep = None
+    if contended:
+        sweep = subprocess.Popen(
+            [sys.executable, str(ROOT / "bench.py")],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            cwd=str(ROOT),
+        )
+        time.sleep(60)  # let the sweep ramp past session boot
+
+    spark = get_spark("semdedup-phases", cpus=cpus)
+    try:
+        run_phases(spark, SF_DIR)  # warmup: codegen/Arrow boot
+        runs = [run_phases(spark, SF_DIR) for _ in range(2)]
+    finally:
+        if sweep is not None:
+            sweep.terminate()
+            sweep.wait()
+
+    rec = {
+        "mode": "contended(bench.py sweep)" if contended else "solo",
+        "sf_dir": SF_DIR,
+        "cpus": cpus,
+        "runs": runs,
+    }
+    out_path = ROOT / "SEMDEDUP_PHASES.json"
+    try:
+        data = json.loads(out_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        data = {"records": []}
+    data["records"].append(rec)
+    out_path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -1173,7 +1173,7 @@ def test_compaction_carries_meta_and_survives_torn_run(spark, tmp_path):
     # torn-run debris: a parquet file at the exact next version dir
     junk_dir = os.path.join(path, "data", "v2", f"{versioned.PART_COL}=2024-01-01")
     os.makedirs(junk_dir)
-    src = glob.glob(os.path.join(path, "data", "v1", "*", "*.parquet"))[0]
+    src = glob.glob(os.path.join(path, "data", "v1*", "*", "*.parquet"))[0]
     shutil.copy(src, os.path.join(junk_dir, "junk.parquet"))
 
     stats = versioned.compact_files(spark, path)
@@ -3134,3 +3134,88 @@ def test_rename_column_compaction_normalizes_and_stats_follow(
     # the map entries are inert (sidecar lists reference only dead
     # relpaths) and a vacuum past the rename reclaims them with the
     # pre-compaction manifests
+
+
+def test_two_process_occ_race_exactly_one_winner(spark, tmp_path):
+    """REAL concurrent writers (two subprocesses, separate Spark
+    sessions) hammer OCC commits on one table: every marker each
+    process reports as committed must be present exactly once (no
+    lost update — the flock-serialized publish arbitrates contested
+    version numbers), the version chain has no holes, and losers
+    always retried cleanly (ConcurrentCommitError only)."""
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    path = str(tmp_path / "race")
+    os.makedirs(path)
+    seed = spark.createDataFrame(
+        [(0, "seed", 0)], "marker bigint, proc string, seq int"
+    )
+    versioned.commit_version(spark, path, seed)
+    start_flag = str(tmp_path / "go")
+
+    worker = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, {root!r})
+        from pyspark.sql import SparkSession
+        from data_ingestion_pipeline_spark.operators import versioned as V
+
+        proc, path, flag = sys.argv[1], sys.argv[2], sys.argv[3]
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .appName("race-" + proc).getOrCreate())
+        while not os.path.exists(flag):
+            time.sleep(0.01)
+        committed = 0
+        for seq in range(10):
+            marker = (1 if proc == "a" else 2) * 1000 + seq
+            row = spark.createDataFrame(
+                [(marker, proc, seq)],
+                "marker bigint, proc string, seq int")
+            for attempt in range(60):
+                cur = V.current_version(path)
+                snap = V.read_version(spark, path, cur)
+                try:
+                    V.commit_version(
+                        spark, path, snap.unionByName(row),
+                        expected_current=cur)
+                    committed += 1
+                    break
+                except V.ConcurrentCommitError:
+                    continue
+            else:
+                print("GAVE_UP", proc, seq, flush=True)
+                sys.exit(3)
+        print("DONE", proc, committed, flush=True)
+        """
+    ).format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, p, path, start_flag],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for p in ("a", "b")
+    ]
+    _time.sleep(1)
+    open(start_flag, "w").close()
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all("DONE" in o for o in outs), outs
+
+    # no lost update: all 20 markers present exactly once, plus seed
+    final = versioned.read_version(spark, path)
+    markers = sorted(r.marker for r in final.collect())
+    expect = [0] + [1000 + i for i in range(10)] + [2000 + i for i in range(10)]
+    assert markers == expect
+    # exactly one winner per version: the chain is dense 1..21 and
+    # every manifest resolves (no clobbered/torn member)
+    assert versioned.current_version(path) == 21
+    for v in range(1, 22):
+        assert versioned._manifest(path, v)["version"] == v
