@@ -3590,7 +3590,18 @@ def _publish_manifest_locked(
     # would otherwise resolve it again). Dropping the rename map
     # would make every pre-rename file read the renamed column as
     # NULL — silent data loss, hence the unconditional inheritance.
-    needs = ("ts_col" not in manifest) or ("renames" not in manifest)
+    # Resolution is NOT free (a delta-chain walk per publish), so the
+    # common case must not pay it: ts_col only matters for
+    # day-partitioned manifests, and renames can only exist if a
+    # rename DDL ever ran on this table — observable as the _renames/
+    # sidecar dir, ONE stat call (r14 bench regression: the first cut
+    # resolved prev on every unpartitioned commit).
+    needs = (
+        "ts_col" not in manifest and "partitions" in manifest
+    ) or (
+        "renames" not in manifest
+        and os.path.isdir(os.path.join(path, RENAMES_DIR))
+    )
     if needs and prev is None and manifest.get("version", 1) > 1:
         try:
             prev = _manifest(path, manifest["version"] - 1)
