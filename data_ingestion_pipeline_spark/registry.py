@@ -1062,6 +1062,19 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.versioned_drop_column_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_drop_column_is_metadata_only_and_name_retires",
     ),
+    "shallow_clone_roundtrip": QuerySpec(
+        # SHALLOW CLONE (r14): zero-copy table copy — the clone's v1
+        # manifest references the source's files across table roots
+        # (../-relative), O(manifest) at any size; writes on the clone
+        # localize only what they touch (COW day rewrite), schema DDL
+        # works immediately, the source never changes. DV/MOR/index/
+        # purge refuse until localize_clone (the bookkeeping-safety
+        # contract, pinned); Delta's shallow-clone vacuum caveat
+        # applies and is documented
+        versioned.shallow_clone_roundtrip,
+        versioned.shallow_clone_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_shallow_clone_lifecycle",
+    ),
     "versioned_rename_column": QuerySpec(
         # RENAME COLUMN (r14): metadata-only rename on the name-mapped
         # format via per-file physical-name map sidecars (Delta needs

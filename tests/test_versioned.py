@@ -3219,3 +3219,115 @@ def test_two_process_occ_race_exactly_one_winner(spark, tmp_path):
     assert versioned.current_version(path) == 21
     for v in range(1, 22):
         assert versioned._manifest(path, v)["version"] == v
+
+
+# ---- r14: SHALLOW CLONE ---------------------------------------------
+
+
+def test_shallow_clone_lifecycle(spark, tmp_path):
+    """Zero-copy clone: no data file lands under the clone, content
+    matches the source snapshot, writes on the clone localize only
+    what they touch, the source never changes, and cloning a PINNED
+    older version serves that version."""
+    import glob
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    os.makedirs(src)
+    ev = _events(spark).filter(F.col("event_id") < 300)
+    versioned.commit_version_partitioned(spark, src, ev)
+    versioned.add_constraint(spark, src, "cap", "value <= 1e9")
+    base = {r.event_id: r.value for r in ev.collect()}
+
+    assert versioned.clone_table(spark, src, dst) == 1
+    assert not glob.glob(
+        os.path.join(dst, "data", "**", "*.parquet"), recursive=True
+    )
+    got = {r.event_id: r.value
+           for r in versioned.read_version(spark, dst).collect()}
+    assert got == base
+    # table properties carry
+    assert versioned.table_constraints(dst) == {"cap": "value <= 1e9"}
+
+    # a write on the clone rewrites ONLY the touched day locally
+    up = (versioned.read_version(spark, dst)
+          .filter(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
+          .withColumn("value", F.col("value") + 1000.0))
+    n_up = up.count()
+    versioned.upsert_version_cow(spark, dst, up, ["event_id"])
+    m2 = versioned._manifest(dst)
+    assert any(f.startswith("..") for f in m2["files"])  # still shallow
+    assert any(f.startswith("data/") for f in m2["files"])  # localized day
+    got2 = {r.event_id: r.value
+            for r in versioned.read_version(spark, dst).collect()}
+    bumped = sum(1 for k in base if got2[k] == base[k] + 1000.0)
+    assert bumped == n_up
+    # source byte-identical
+    assert {r.event_id: r.value
+            for r in versioned.read_version(spark, src).collect()} == base
+
+    # clone of a PINNED older version (tag → version → clone)
+    versioned.commit_version_partitioned(
+        spark, src, ev.withColumn("value", F.lit(-1.0)))
+    versioned.tag_version(src, "release-1", 1)
+    dst2 = str(tmp_path / "dst2")
+    versioned.clone_table(spark, src, dst2, version=1)
+    assert {r.event_id: r.value
+            for r in versioned.read_version(spark, dst2).collect()} == base
+
+    # destination with commits refuses
+    import pytest
+    with pytest.raises(ValueError, match="already has commits"):
+        versioned.clone_table(spark, src, dst)
+
+
+def test_shallow_clone_dv_rename_and_localize(spark, tmp_path):
+    """Clone of a table with a live deletion vector AND a renamed
+    column: both carry (deletes stay deleted, the physical-name map
+    re-keys); guarded ops refuse until localize_clone, which
+    materializes externals (DV applied, logical names) and lifts the
+    restriction."""
+    import pytest
+
+    src = str(tmp_path / "s2")
+    dst = str(tmp_path / "d2")
+    os.makedirs(src)
+    ev = _events(spark).filter(F.col("event_id") < 200)
+    versioned.commit_version(spark, src, ev)
+    versioned.delete_rows_dv(spark, src, F.col("event_id") == 5)
+    versioned.rename_column(spark, src, "value", "reading")
+    base = {r.event_id: r.value for r in ev.collect()}
+
+    versioned.clone_table(spark, src, dst)
+    got = {r.event_id: r.reading
+           for r in versioned.read_version(spark, dst).collect()}
+    assert 5 not in got and len(got) == len(base) - 1
+    assert got[7] == base[7]
+
+    for op, call in (
+        ("delete_rows_dv",
+         lambda: versioned.delete_rows_dv(spark, dst, F.lit(True))),
+        ("merge_into_mor",
+         lambda: versioned.merge_into_mor(
+             spark, dst, ev.limit(1).select("event_id"), ["event_id"],
+             when_matched=[("delete", None, None)])),
+        ("build_column_stats",
+         lambda: versioned.build_column_stats(spark, dst, "event_id")),
+        ("build_bloom_index",
+         lambda: versioned.build_bloom_index(spark, dst, "event_id")),
+        ("purge_rows",
+         lambda: versioned.purge_rows(spark, dst, "event_id", [7])),
+    ):
+        with pytest.raises(ValueError, match="localize_clone"):
+            call()
+
+    v = versioned.localize_clone(spark, dst)
+    m = versioned._manifest(dst)
+    assert not any(f.startswith("..") for f in m["files"])
+    got3 = {r.event_id: r.reading
+            for r in versioned.read_version(spark, dst).collect()}
+    assert got3 == got  # DV + rename both survived materialization
+    versioned.delete_rows_dv(spark, dst, F.col("event_id") == 7)
+    assert versioned.read_version(spark, dst).count() == len(got) - 1
+    # localize is idempotent
+    assert versioned.localize_clone(spark, dst) == versioned.current_version(dst)
