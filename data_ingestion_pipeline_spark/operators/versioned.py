@@ -768,6 +768,123 @@ def drop_column(
 
 RENAMES_DIR = "_renames"
 
+# ALTER COLUMN TYPE widening lattice — exactly the promotions Spark's
+# parquet reader performs losslessly at scan time under an explicit
+# wider schema (probed: int32 pages under bigint/double, float under
+# double, decimal precision growth), which is what makes the DDL
+# metadata-only. Delta's "type widening" table feature is the analog
+# (it also gates on reader-side upcast support).
+_WIDENINGS: set[tuple[str, str]] = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+    ("float", "double"),
+}
+
+
+def _is_widening(frm, to) -> bool:
+    a, b = frm.typeName(), to.typeName()
+    if (a, b) in _WIDENINGS:
+        return True
+    if a == "decimal" and b == "decimal":
+        return (
+            to.scale == frm.scale and to.precision > frm.precision
+        ) or (
+            to.scale > frm.scale
+            and to.precision - to.scale >= frm.precision - frm.scale
+        )
+    return False
+
+
+def widen_column_type(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    new_type: str,
+    expected_current: int | None = None,
+) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE (widening only) as a
+    METADATA-ONLY commit — Delta's type-widening table feature on
+    this format: the new manifest references every data file
+    unchanged and records the WIDER type; every read path already
+    scans under the manifest's explicit schema, and Spark's parquet
+    reader upcasts narrow physical pages losslessly at the scan
+    (int→long, int→double, float→double, decimal precision growth —
+    the _WIDENINGS lattice). Zero data movement at any table size;
+    files written after the DDL carry the wide type physically, and
+    mixed-generation snapshots need no extra machinery (unlike
+    RENAME, the reader's upcast does the mapping). Narrowing and
+    non-lossless changes are refused — they would need a full
+    rewrite, which is a different operation (COW rewrite), not a
+    footgun this DDL should hide. Composes with RENAME: the
+    physical-name groups read old-name columns under the wide type.
+
+    CDF caveat (documented, Delta shares it): table_changes ACROSS a
+    float→double widening boundary may emit representation-only
+    update pairs (the row fingerprint renders float 0.1 and its exact
+    double image differently); integer and decimal widenings are
+    render-stable."""
+    from pyspark.sql import types as T
+
+    _occ_check(path, expected_current)
+    cur = current_version(path)
+    if cur == 0:
+        raise ValueError("cannot evolve an empty table")
+    m = _manifest(path, cur)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    by_name = {f.name: f for f in schema.fields}
+    if col not in by_name:
+        raise ValueError(f"no such column {col!r}")
+    target = getattr(T, "_parse_datatype_string")(new_type)
+    frm = by_name[col].dataType
+    if frm == target:
+        return cur  # nothing to do: no churn commit
+    if not _is_widening(frm, target):
+        raise ValueError(
+            f"cannot change {col!r} from {frm.simpleString()} to "
+            f"{target.simpleString()}: only lossless widenings are "
+            "metadata-only (rewrite the table for anything else)"
+        )
+    pc = m.get("partition_col")
+    if pc and col == pc:
+        raise ValueError(
+            f"{col!r} is the partition/cluster column; its values live "
+            "in the directory layout"
+        )
+    new_fields = [
+        T.StructField(
+            f.name, target if f.name == col else f.dataType, f.nullable,
+            f.metadata,
+        )
+        for f in schema.fields
+    ]
+    v = cur + 1
+    _publish_manifest(
+        path,
+        v,
+        {
+            "version": v,
+            "files": m["files"],  # by reference — no data write
+            **({"partitions": m["partitions"]} if "partitions" in m else {}),
+            **({"partition_col": pc} if pc else {}),
+            "schema": T.StructType(new_fields).json(),
+            **({"project_schema": True} if m.get("project_schema") else {}),
+            "committed_at": time.time(),
+            **({"dv": m["dv"]} if m.get("dv") else {}),
+            "meta": {
+                "widened": {
+                    "col": col,
+                    "from": frm.simpleString(),
+                    "to": target.simpleString(),
+                }
+            },
+        },
+        expected_current,
+        prev=m,
+    )
+    return v
+
 
 def rename_column(
     spark: SparkSession,
@@ -5998,5 +6115,55 @@ def shallow_clone_oracle_sql() -> str:
                CASE WHEN event_id % 10 = 0
                          AND CAST(ts AS DATE) = DATE '2024-01-02'
                     THEN value + 1000.0 ELSE value END AS reading
+        FROM events
+    """
+
+
+def versioned_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ALTER COLUMN TYPE lifecycle — commit events
+    with DELIBERATELY NARROW physical types (user_id int, value
+    float), widen both metadata-only (int→bigint, float→double; files
+    byte-identical, pinned), then MOR-update every 10th event's value
+    +1000 so the update images land as physically-WIDE files while
+    the originals stay narrow: the returned snapshot reads MIXED
+    physical generations through the reader's lossless upcast. The
+    oracle replays the narrow-then-wide conversion in SQL
+    (REAL→DOUBLE is the same IEEE widening in both engines)."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("widen_col", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.col("user_id").cast("int").alias("user_id"),
+        "event_type",
+        F.col("value").cast("float").alias("value"),
+    )
+    commit_version(spark, path, ev)
+    widen_column_type(spark, path, "user_id", "bigint")
+    widen_column_type(spark, path, "value", "double")
+    merge_into_mor(
+        spark,
+        path,
+        ev.filter(F.col("event_id") % 10 == 0).select("event_id"),
+        ["event_id"],
+        when_matched=[("update", {"value": "t.value + 1000.0"}, None)],
+    )
+    return read_version(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def versioned_widen_column_oracle_sql() -> str:
+    return """
+        SELECT event_id, ts, CAST(user_id AS BIGINT) AS user_id,
+               event_type,
+               CASE WHEN event_id % 10 = 0
+                    THEN CAST(CAST(value AS REAL) AS DOUBLE) + 1000.0
+                    ELSE CAST(CAST(value AS REAL) AS DOUBLE)
+               END AS value
         FROM events
     """

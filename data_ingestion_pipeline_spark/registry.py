@@ -1062,6 +1062,18 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.versioned_drop_column_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_drop_column_is_metadata_only_and_name_retires",
     ),
+    "versioned_widen_column": QuerySpec(
+        # ALTER COLUMN TYPE widening (r14): metadata-only — the
+        # manifest records the wider type and Spark's parquet reader
+        # upcasts narrow physical pages losslessly at the scan
+        # (Delta's type-widening feature on this format). Entry reads
+        # MIXED narrow/wide physical generations (originals int/float,
+        # MOR update images bigint/double) through one logical schema;
+        # narrowing refusal + time travel + RENAME composition pinned
+        versioned.versioned_widen_column,
+        versioned.versioned_widen_column_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_widen_column_type_metadata_only",
+    ),
     "shallow_clone_roundtrip": QuerySpec(
         # SHALLOW CLONE (r14): zero-copy table copy — the clone's v1
         # manifest references the source's files across table roots

@@ -3331,3 +3331,68 @@ def test_shallow_clone_dv_rename_and_localize(spark, tmp_path):
     assert versioned.read_version(spark, dst).count() == len(got) - 1
     # localize is idempotent
     assert versioned.localize_clone(spark, dst) == versioned.current_version(dst)
+
+
+def test_widen_column_type_metadata_only(spark, tmp_path):
+    """Widening is metadata-only (files byte-identical), mixed
+    narrow/wide generations read losslessly, time travel serves the
+    narrow type, narrowing and lossy changes refuse, and widening
+    composes with RENAME (old-name files read under the wide type)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "w")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 100).select(
+        "event_id", "ts",
+        F.col("user_id").cast("int").alias("user_id"),
+        "event_type",
+        F.col("value").cast("float").alias("value"))
+    versioned.commit_version(spark, path, ev)
+    m1 = versioned._manifest(path)
+    base = {r.event_id: (r.user_id, r.value) for r in ev.collect()}
+
+    assert versioned.widen_column_type(spark, path, "user_id", "bigint") == 2
+    assert versioned.widen_column_type(spark, path, "value", "double") == 3
+    m3 = versioned._manifest(path)
+    assert m3["files"] == m1["files"]  # zero data movement
+    cur = versioned.read_version(spark, path)
+    sch = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    assert sch["user_id"] == "bigint" and sch["value"] == "double"
+    got = {r.event_id: (r.user_id, r.value) for r in cur.collect()}
+    for k, (u, v) in base.items():
+        assert got[k][0] == u and abs(got[k][1] - v) < 1e-6
+    # time travel: v1 serves the narrow types
+    old = versioned.read_version(spark, path, 1)
+    osch = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    assert osch["user_id"] == "int" and osch["value"] == "float"
+
+    # same-type is a no-op (no churn commit); narrowing refuses
+    assert versioned.widen_column_type(spark, path, "value", "double") == 3
+    with pytest.raises(ValueError, match="lossless widening"):
+        versioned.widen_column_type(spark, path, "user_id", "int")
+    with pytest.raises(ValueError, match="lossless widening"):
+        versioned.widen_column_type(spark, path, "value", "string")
+    with pytest.raises(ValueError, match="no such column"):
+        versioned.widen_column_type(spark, path, "nope", "bigint")
+
+    # mixed generations: wide update images + narrow originals
+    versioned.merge_into_mor(
+        spark, path, ev.limit(7).select("event_id"), ["event_id"],
+        when_matched=[("update", {"value": "t.value + 1.5"}, None)])
+    got2 = {r.event_id: r.value
+            for r in versioned.read_version(spark, path).collect()}
+    assert sum(1 for k in base
+               if abs(got2[k] - (base[k][1] + 1.5)) < 1e-6) == 7
+
+    # composes with RENAME: old-name files read under the wide type
+    versioned.rename_column(spark, path, "value", "reading")
+    got3 = {r.event_id: r.reading
+            for r in versioned.read_version(spark, path).collect()}
+    assert got3 == got2
+
+    # decimal lattice
+    assert versioned._is_widening(T.DecimalType(10, 2), T.DecimalType(20, 2))
+    assert versioned._is_widening(T.DecimalType(10, 2), T.DecimalType(14, 4))
+    assert not versioned._is_widening(T.DecimalType(10, 2), T.DecimalType(9, 2))
+    assert not versioned._is_widening(T.DecimalType(10, 2), T.DecimalType(10, 4))
