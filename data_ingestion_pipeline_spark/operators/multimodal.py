@@ -777,7 +777,15 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every surviving (pair, offset) with its vote count — sub-
     quadratic by construction, never all-pairs. Injected-pair recall
     is pinned in tests/test_multimodal.py."""
-    fp = audio_fingerprint(_audio_dup_corpus(spark, sf_dir))
+    # pin the fingerprint table once: it feeds THREE consumers (the
+    # df-cap aggregate and both join sides) and Spark shares no
+    # non-exchange subtrees, so without the barrier the decode chain
+    # would re-execute per branch (PLANS.md showed 8 scans). At scale
+    # this is the persisted audio_fingerprint_index table; in-query,
+    # localCheckpoint is the same pin.
+    fp = audio_fingerprint(_audio_dup_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     rare = (
         fp.groupBy("fp_key")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -888,5 +896,193 @@ def audio_near_dup_oracle_sql() -> str:
           ON a.fp_key = b.fp_key AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3
         HAVING COUNT(*) >= 4
+"""
+    )
+
+
+# ---- image near-dup candidate pairs (completes the image branch) ----
+
+IMAGE_BAND_DF_CAP = 16  # band buckets in more docs are stop-buckets
+IMAGE_HAMMING_MAX = 3   # the banding guarantee: <=3 => a band collides
+
+
+def _image_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus every 10th re-emitted under doc_id+1e6 — the
+    duplicated-upload fixture, same construction as the video/audio
+    near-dup entries (the oracle replays it in SQL)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return with_binary_payload(docs.unionByName(dups)).select(
+        "doc_id", "payload"
+    )
+
+
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: image near-dup CANDIDATE PAIRS end to end —
+    the join the image_phash_index substrate exists for: melt the 4
+    LSH bands to (band_idx, band_val) keys, drop stop-buckets
+    (> IMAGE_BAND_DF_CAP docs — uniform/black images), equi-join on
+    the band key, dedupe pairs, and keep pairs within Hamming
+    distance IMAGE_HAMMING_MAX over the full 56-bit dHash (the
+    pigeonhole guarantee: any pair at <=3 bit flips shares at least
+    one 14-bit band, so the bucketed join has perfect recall for the
+    radius — never all-pairs, per-key fan-out bounded by the cap).
+    The phash table is pinned once (localCheckpoint): it feeds the
+    cap aggregate and both join sides; at scale it is the persisted
+    image_phash_index."""
+    ph = image_phash(_image_dup_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    melted = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"band{i}").alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    rare = (
+        melted.groupBy("band_idx", "band_val")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= IMAGE_BAND_DF_CAP)
+        .select("band_idx", "band_val")
+    )
+    keyed = melted.join(rare, ["band_idx", "band_val"])
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= IMAGE_HAMMING_MAX)
+    )
+
+
+# the dHash pipeline in DuckDB SQL, parameterized by the corpus CTE —
+# shared by the index entry (corpus = documents) and the pairs entry
+# (corpus = documents + injected dups)
+_IMAGE_PHASH_CORE_SQL = """
+        raw AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS L
+            FROM corpus
+        ), dims AS (
+            SELECT doc_id, h, L,
+                   16 + (CASE WHEN L > 0 THEN
+                       (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1
+                   ELSE 0 END) % 16 AS w,
+                   16 + (CASE WHEN L > 1 THEN
+                       (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1
+                   ELSE 0 END) % 16 AS hh
+            FROM raw
+        ), gy AS (
+            SELECT *, unnest(range(0, 8)) AS y FROM dims
+        ), gx AS (
+            SELECT *, unnest(range(0, 8)) AS x FROM gy
+        ), gc AS (
+            SELECT *, unnest(range(0, 3)) AS c FROM gx
+        ), px AS (
+            SELECT doc_id, y, x,
+                   CASE WHEN L = 0 THEN 0 ELSE
+                       (strpos('0123456789ABCDEF', substr(h,
+                           2 * ((((y * hh // 8) * w + (x * w // 8)) * 3 + c)
+                                % L) + 1, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF', substr(h,
+                           2 * ((((y * hh // 8) * w + (x * w // 8)) * 3 + c)
+                                % L) + 2, 1)) - 1
+                   END AS byte
+            FROM gc
+        ), gray AS (
+            SELECT doc_id, y, x, SUM(byte) // 3 AS g
+            FROM px GROUP BY doc_id, y, x
+        ), bits AS (
+            SELECT a.doc_id,
+                   CASE WHEN a.g > b.g THEN
+                       CAST(1 AS BIGINT) << (a.y * 7 + a.x)
+                   ELSE 0 END AS bit
+            FROM gray a JOIN gray b
+              ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+            WHERE a.x < 7
+        ), hashes AS (
+            SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+            FROM bits GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, phash,
+                   (phash >> 0) & 16383 AS band0,
+                   (phash >> 14) & 16383 AS band1,
+                   (phash >> 28) & 16383 AS band2,
+                   (phash >> 42) & 16383 AS band3
+            FROM hashes
+        )
+"""
+
+
+def image_phash_oracle_sql() -> str:
+    return (
+        "WITH corpus AS (SELECT doc_id, text FROM documents),\n"
+        + _IMAGE_PHASH_CORE_SQL
+        + "\n        SELECT doc_id, phash, band0, band1, band2, band3"
+        "\n        FROM banded"
+    )
+
+
+def image_near_dup_oracle_sql() -> str:
+    return (
+        """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+"""
+        + _IMAGE_PHASH_CORE_SQL
+        + f""",
+        melted AS (
+            SELECT doc_id, phash, u.band_idx, u.band_val
+            FROM banded,
+                 LATERAL (
+                     SELECT * FROM (VALUES
+                         (0, band0), (1, band1), (2, band2), (3, band3)
+                     ) AS v(band_idx, band_val)
+                 ) AS u
+        ), rare AS (
+            SELECT band_idx, band_val FROM melted
+            GROUP BY 1, 2
+            HAVING COUNT(DISTINCT doc_id) <= {IMAGE_BAND_DF_CAP}
+        ), keyed AS (
+            SELECT m.* FROM melted m JOIN rare USING (band_idx, band_val)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)
+                       AS hamming
+            FROM keyed a JOIN keyed b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs
+        WHERE hamming <= {IMAGE_HAMMING_MAX}
 """
     )

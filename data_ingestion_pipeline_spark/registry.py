@@ -3157,65 +3157,22 @@ REGISTRY: dict[str, QuerySpec] = {
         # candidate generation applied to images (equal band ⇒
         # Hamming-≤3 pigeonhole; bucketed join, never all-pairs). The
         # oracle replays the whole three-stage Arrow pipeline in pure
-        # SQL (the stand-in codec is byte math — decoded_image_stats'
-        # construction extended with grayscale + bit packing)
+        # SQL (the shared _IMAGE_PHASH_CORE_SQL CTE, r14)
         multimodal.image_phash_index,
-        """
-        WITH raw AS (
-            SELECT doc_id, hex(encode(text)) AS h,
-                   octet_length(encode(text)) AS L
-            FROM documents
-        ), dims AS (
-            SELECT doc_id, h, L,
-                   16 + (CASE WHEN L > 0 THEN
-                       (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
-                       + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1
-                   ELSE 0 END) % 16 AS w,
-                   16 + (CASE WHEN L > 1 THEN
-                       (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
-                       + strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1
-                   ELSE 0 END) % 16 AS hh
-            FROM raw
-        ), gy AS (
-            SELECT *, unnest(range(0, 8)) AS y FROM dims
-        ), gx AS (
-            SELECT *, unnest(range(0, 8)) AS x FROM gy
-        ), gc AS (
-            SELECT *, unnest(range(0, 3)) AS c FROM gx
-        ), px AS (
-            SELECT doc_id, y, x,
-                   CASE WHEN L = 0 THEN 0 ELSE
-                       (strpos('0123456789ABCDEF', substr(h,
-                           2 * ((((y * hh // 8) * w + (x * w // 8)) * 3 + c)
-                                % L) + 1, 1)) - 1) * 16
-                       + strpos('0123456789ABCDEF', substr(h,
-                           2 * ((((y * hh // 8) * w + (x * w // 8)) * 3 + c)
-                                % L) + 2, 1)) - 1
-                   END AS byte
-            FROM gc
-        ), gray AS (
-            SELECT doc_id, y, x, SUM(byte) // 3 AS g
-            FROM px GROUP BY doc_id, y, x
-        ), bits AS (
-            SELECT a.doc_id,
-                   CASE WHEN a.g > b.g THEN
-                       CAST(1 AS BIGINT) << (a.y * 7 + a.x)
-                   ELSE 0 END AS bit
-            FROM gray a JOIN gray b
-              ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
-            WHERE a.x < 7
-        ), hashes AS (
-            SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
-            FROM bits GROUP BY doc_id
-        )
-        SELECT doc_id, phash,
-               (phash >> 0) & 16383 AS band0,
-               (phash >> 14) & 16383 AS band1,
-               (phash >> 28) & 16383 AS band2,
-               (phash >> 42) & 16383 AS band3
-        FROM hashes
-        """,
+        multimodal.image_phash_oracle_sql(),
         ground_truth="tests/test_multimodal.py::test_image_phash_buckets_duplicates",
+    ),
+    "image_near_dup_pairs": QuerySpec(
+        # image near-dup candidates end to end (r14): melt the 4 LSH
+        # bands, drop stop-buckets (df-cap), band-keyed equi-join,
+        # Hamming ≤ 3 verify over the full 56-bit hash — perfect
+        # recall for the radius by pigeonhole, never all-pairs. The
+        # phash table is pinned once (at scale: the persisted
+        # image_phash_index). Fixture injects duplicated uploads;
+        # recall pinned in pytest
+        multimodal.image_near_dup_pairs,
+        multimodal.image_near_dup_oracle_sql(),
+        ground_truth="tests/test_multimodal.py::test_image_near_dup_finds_injected_pairs",
     ),
     "audio_fingerprint_index": QuerySpec(
         # audio near-dup substrate (r14): decode → 8-sample window

@@ -325,3 +325,47 @@ def test_audio_fingerprint_amplitude_quantization(spark):
     a = sorted((r.shingle_idx, r.fp_key) for r in fp if r.doc_id == 1)
     b = sorted((r.shingle_idx, r.fp_key) for r in fp if r.doc_id == 2)
     assert a and a == b
+
+
+def test_image_near_dup_finds_injected_pairs(spark):
+    """Every injected duplicated upload pairs with its original at
+    Hamming 0; pair orientation unique; the df-cap bounds bucket
+    fan-out rather than dropping true-dup pairs (a dup pair shares
+    EVERY band, so one surviving bucket suffices)."""
+    from data_ingestion_pipeline_spark.operators.multimodal import (
+        IMAGE_BAND_DF_CAP,
+        PHASH_BANDS,
+        image_near_dup_pairs,
+        image_phash,
+        with_binary_payload,
+    )
+
+    rows = image_near_dup_pairs(spark, SF_TEST).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "text")
+    injected = [r.doc_id for r in docs.filter("doc_id % 10 = 0").collect()]
+
+    # which injected pairs CAN survive: a pair is dropped only if all
+    # 4 of its (shared) band buckets exceed the cap — compute from the
+    # same phash table the operator uses
+    corpus = with_binary_payload(
+        docs.unionByName(
+            docs.filter("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    ).select("doc_id", "payload")
+    ph = {r.doc_id: r for r in image_phash(corpus).collect()}
+    from collections import Counter
+    band_pop = Counter()
+    for r in ph.values():
+        for i in range(PHASH_BANDS):
+            band_pop[(i, getattr(r, f"band{i}"))] += 1
+    for d in injected:
+        r = ph[d]
+        survivable = any(
+            band_pop[(i, getattr(r, f"band{i}"))] <= IMAGE_BAND_DF_CAP
+            for i in range(PHASH_BANDS)
+        )
+        if survivable:
+            assert got.get((d, d + 1_000_000)) == 0, d
+    assert all(a < b for (a, b) in got)
+    assert all(h <= 3 for h in got.values())
