@@ -3347,6 +3347,9 @@ def commit_version_partitioned(
     return v
 
 
+_APPEND_MAX_REBASE = 16  # bounded retries; each is metadata-only
+
+
 def append_version_clustered(
     spark: SparkSession,
     path: str,
@@ -3356,6 +3359,7 @@ def append_version_clustered(
     expected_current: int | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    rebase: bool = True,
 ) -> int:
     """APPEND-only clustered commit: the new rows land as fresh files
     in data/v{N+1} (partitioned by partition_col), and EVERY file of
@@ -3373,12 +3377,29 @@ def append_version_clustered(
     build_column_stats) instead of the stale-rebuild full-table pass a
     later lookup would otherwise pay. Same post-publish failure
     contract as commit_version (IndexMaintenanceError, commit already
-    durable)."""
+    durable).
+
+    CONCURRENT-APPEND CONFLICT RESOLUTION (Delta's commutative-commit
+    logic): blind appends commute — losing the version race does NOT
+    invalidate an append the way it invalidates an upsert, because
+    the data files are already written under a private dir and only
+    ADD to any snapshot. On ConcurrentCommitError the commit REBASES:
+    re-resolve the new current, re-stack this append's (already
+    written) files on top, and republish — zero data rewrite per
+    retry, so N writers appending concurrently all succeed with total
+    write cost O(their own data). Rebase is refused (the conflict
+    surfaces) when the winner changed what appends are validated
+    against: a different schema (rename/widen/drop landed — this
+    append's physical files predate it), a different CHECK-constraint
+    set (rows were validated under the old contract), or a different
+    partition_col. `expected_current` still pins the FIRST attempt;
+    set rebase=False for strict single-writer semantics."""
 
     _occ_check(path, expected_current)
     prior = _manifest(path) if current_version(path) > 0 else {"files": [], "partitions": {}}
     v = prior.get("version", 0) + 1
     data_dir = _attempt_data_dir(path, v)
+    cons_at_write = table_constraints(path)
     _guarded_write(
         df,
         path,
@@ -3387,23 +3408,57 @@ def append_version_clustered(
         .parquet(data_dir),
     )
     new_files = _walk_rel_parquet(data_dir, path)
-    files = sorted(list(prior["files"]) + new_files)
-    partitions = dict(prior.get("partitions", {}))
-    partitions.update({f: _partition_of(f, partition_col) for f in new_files})
-    _publish_manifest(
-        path,
-        v,
-        {"version": v, "files": files, "partitions": partitions,
-         "partition_col": partition_col,
-         "schema": df.schema.json(),
-         "committed_at": time.time(),
-         # deletion vector carries BY REFERENCE: appended files have
-         # no DV rows, carried files keep theirs (see delete_rows_dv)
-         **({"dv": prior["dv"]} if prior.get("dv") else {}),
-         "meta": {**prior.get("meta", {}), **(meta or {})}},
-        expected_current,
-        prev=prior if prior.get("version") else None,
-    )
+    new_parts = {f: _partition_of(f, partition_col) for f in new_files}
+
+    base = prior
+    exp = expected_current
+    for attempt in range(_APPEND_MAX_REBASE + 1):
+        v = base.get("version", 0) + 1
+        files = sorted(list(base["files"]) + new_files)
+        partitions = dict(base.get("partitions", {}))
+        partitions.update(new_parts)
+        try:
+            _publish_manifest(
+                path,
+                v,
+                {"version": v, "files": files, "partitions": partitions,
+                 "partition_col": partition_col,
+                 "schema": df.schema.json(),
+                 "committed_at": time.time(),
+                 # deletion vector carries BY REFERENCE: appended files
+                 # have no DV rows, carried files keep theirs
+                 **({"dv": base["dv"]} if base.get("dv") else {}),
+                 "meta": {**base.get("meta", {}), **(meta or {})}},
+                exp,
+                prev=base if base.get("version") else None,
+            )
+            break
+        except ConcurrentCommitError:
+            if not rebase or attempt == _APPEND_MAX_REBASE:
+                raise
+            cur = _manifest(path)
+            if (
+                cur.get("schema") != prior.get("schema", df.schema.json())
+                and cur.get("schema") != df.schema.json()
+            ):
+                raise ConcurrentCommitError(
+                    "concurrent commit changed the table schema; this "
+                    "append's files predate it — re-run the append "
+                    "against the new schema"
+                )
+            if cur.get("partition_col") != partition_col:
+                raise ConcurrentCommitError(
+                    "concurrent commit changed the partition layout; "
+                    "append cannot rebase across it"
+                )
+            if table_constraints(path) != cons_at_write:
+                raise ConcurrentCommitError(
+                    "concurrent commit changed the CHECK-constraint "
+                    "set; this append was validated under the old one "
+                    "— re-run the append"
+                )
+            base = cur
+            exp = None  # the rebase races again under the lock's guard
     for col in stats_cols or ():
         try:
             build_column_stats(spark, path, col)

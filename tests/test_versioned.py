@@ -3396,3 +3396,58 @@ def test_widen_column_type_metadata_only(spark, tmp_path):
     assert versioned._is_widening(T.DecimalType(10, 2), T.DecimalType(14, 4))
     assert not versioned._is_widening(T.DecimalType(10, 2), T.DecimalType(9, 2))
     assert not versioned._is_widening(T.DecimalType(10, 2), T.DecimalType(10, 4))
+
+
+def test_two_process_concurrent_appends_rebase(spark, tmp_path):
+    """Blind appends COMMUTE: two processes append concurrently with
+    NO caller-side retry loop — the commit self-rebases on conflict
+    (data files written once, conflicts resolved in metadata) — and
+    every appended row survives."""
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    path = str(tmp_path / "apprace")
+    os.makedirs(path)
+    start_flag = str(tmp_path / "go")
+
+    worker = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, {root!r})
+        from pyspark.sql import SparkSession, functions as F
+        from data_ingestion_pipeline_spark.operators import versioned as V
+
+        proc, path, flag = sys.argv[1], sys.argv[2], sys.argv[3]
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .appName("app-" + proc).getOrCreate())
+        while not os.path.exists(flag):
+            time.sleep(0.01)
+        basev = 0 if proc == "a" else 100
+        for seq in range(8):
+            df = spark.createDataFrame(
+                [(basev + seq, proc, seq % 2)],
+                "marker bigint, proc string, shard int")
+            V.append_version_clustered(spark, path, df, "shard")
+        print("DONE", proc, flush=True)
+        """
+    ).format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, p, path, start_flag],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for p in ("a", "b")
+    ]
+    _time.sleep(1)
+    open(start_flag, "w").close()
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    final = versioned.read_version(spark, path)
+    markers = sorted(r.marker for r in final.collect())
+    assert markers == sorted(list(range(8)) + [100 + i for i in range(8)])
+    assert versioned.current_version(path) == 16  # one version per append
