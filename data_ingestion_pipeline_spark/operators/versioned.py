@@ -6222,3 +6222,128 @@ def versioned_widen_column_oracle_sql() -> str:
                END AS value
         FROM events
     """
+
+
+# ---- identity columns: distributed monotonic row ids ----------------
+
+
+def assign_identity(
+    df: DataFrame,
+    id_col: str,
+    order_by: list[str],
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a gap-free monotonically increasing identity column —
+    Delta's IDENTITY columns, made DETERMINISTIC: ids are the global
+    rank of a total order over `order_by` (must be a unique key),
+    offset by `start`, computed WITHOUT the single-partition window
+    a naive `row_number() OVER (ORDER BY ...)` plans (the classic
+    scale killer: one task sorts the world). Shape: one range
+    exchange + in-partition sort (pinned by localCheckpoint so the
+    sampled range boundaries cannot move between passes), a
+    per-partition count aggregate (driver receives O(partitions)
+    rows), then one Arrow stage adding cumulative-offset + local
+    position. Rank is boundary-independent: any range partitioning of
+    a total order yields the same global ranks, so the ids are a pure
+    function of the data — replayable by the DuckDB oracle and safe
+    under retries."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    pinned = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*[F.col(c) for c in order_by])
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in pinned.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    out_schema = ", ".join(
+        [f"{id_col} bigint"]
+        + [f"{f.name} {f.dataType.simpleString()}" for f in pinned.schema.fields]
+    )
+
+    def tag(batches):
+        import pandas as pd  # noqa: F811 — executor-side import
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        base = offsets.get(ctx.partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            ids = pd.Series(range(base + seen, base + seen + len(pdf)))
+            seen += len(pdf)
+            out = pdf.copy()
+            out.insert(0, id_col, ids.astype("int64"))
+            yield out
+
+    return pinned.mapInPandas(tag, out_schema)
+
+
+def identity_column_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: IDENTITY-column lifecycle — two appends to a
+    clustered table, each assigning gap-free row ids from the
+    manifest's high-watermark (`id_hwm` rides in commit meta, exactly
+    how Delta persists identity state): evens get [0, n), odds get
+    [n, n+m). Ids are the deterministic global rank over event_id, so
+    the oracle replays them with row_number(); uniqueness, density
+    and hwm persistence are pinned in tests."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("identity", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for parity in (0, 1):
+        half = ev.filter(F.col("event_id") % 2 == parity)
+        hwm = (
+            _manifest(path).get("meta", {}).get("id_hwm", 0)
+            if current_version(path) > 0
+            else 0
+        )
+        tagged = assign_identity(
+            half, "row_id", ["event_id"], start=hwm
+        ).withColumn("p_shard", F.col("event_type"))
+        # partitionBy strips the cluster column from the data files —
+        # shard on a DERIVED copy so event_type itself stays readable
+        # (the build_ivfpq_index pattern)
+        append_version_clustered(
+            spark,
+            path,
+            tagged,
+            "p_shard",
+            meta={"id_hwm": hwm + half.count()},
+        )
+    return read_version(spark, path).select(
+        "row_id", "event_id", "event_type", "value"
+    )
+
+
+def identity_column_oracle_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 2 = 0
+        ), o AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 2 = 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT)
+                   AS row_id, event_id, event_type, value
+        FROM e
+        UNION ALL
+        SELECT (SELECT COUNT(*) FROM e)
+                   + row_number() OVER (ORDER BY event_id) - 1,
+               event_id, event_type, value
+        FROM o
+    """

@@ -1062,6 +1062,16 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.versioned_drop_column_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_drop_column_is_metadata_only_and_name_retires",
     ),
+    "identity_column_appends": QuerySpec(
+        # IDENTITY columns (r14): gap-free monotonic row ids as the
+        # deterministic global rank of a unique order key — one range
+        # exchange + per-partition offsets, never the single-partition
+        # row_number window; high-watermark rides in commit meta
+        # across appends (Delta identity, made oracle-replayable)
+        versioned.identity_column_appends,
+        versioned.identity_column_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_identity_assignment_distributed",
+    ),
     "versioned_widen_column": QuerySpec(
         # ALTER COLUMN TYPE widening (r14): metadata-only — the
         # manifest records the wider type and Spark's parquet reader

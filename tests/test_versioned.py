@@ -3451,3 +3451,47 @@ def test_two_process_concurrent_appends_rebase(spark, tmp_path):
     markers = sorted(r.marker for r in final.collect())
     assert markers == sorted(list(range(8)) + [100 + i for i in range(8)])
     assert versioned.current_version(path) == 16  # one version per append
+
+
+def test_identity_assignment_distributed(spark):
+    """Identity ids are the deterministic global rank regardless of
+    partition count (range boundaries cannot change ranks of a total
+    order), dense from `start`, and stable across reruns."""
+    df = _events(spark).filter(F.col("event_id") < 500).select(
+        "event_id", "value")
+    a = {r.event_id: r.rid for r in versioned.assign_identity(
+        df, "rid", ["event_id"], start=100, num_partitions=7).collect()}
+    b = {r.event_id: r.rid for r in versioned.assign_identity(
+        df, "rid", ["event_id"], start=100, num_partitions=13).collect()}
+    assert a == b  # partitioning-independent
+    ranks = sorted(a.items())  # by event_id
+    assert [rid for _k, rid in ranks] == list(
+        range(100, 100 + len(ranks)))  # dense rank of the order key
+
+
+def test_identity_hwm_survives_appends(spark, tmp_path):
+    """The id high-watermark rides in commit meta: a third append
+    continues where the entry's two left off — no id reuse even
+    after unrelated commits."""
+    import shutil
+
+    # run the registry lifecycle into a private scratch
+    sf = "/root/testdata/sf0.001"
+    out = versioned.identity_column_appends(spark, sf)
+    n = out.count()
+    ids = [r.row_id for r in out.collect()]
+    assert sorted(ids) == list(range(n))  # gap-free union of appends
+    path = versioned.scratch_path("identity", "sf0.001", "table")
+    m = versioned._manifest(path)
+    assert m["meta"]["id_hwm"] == n
+    more = _events(spark).filter(F.col("event_id") < 10).select(
+        "event_id", "event_type", "value")
+    tagged = versioned.assign_identity(
+        more, "row_id", ["event_id"], start=m["meta"]["id_hwm"]
+    ).withColumn("p_shard", F.col("event_type"))
+    versioned.append_version_clustered(
+        spark, path, tagged, "p_shard",
+        meta={"id_hwm": m["meta"]["id_hwm"] + more.count()})
+    allids = [r.row_id for r in versioned.read_version(spark, path)
+              .select("row_id").collect()]
+    assert sorted(allids) == list(range(n + more.count()))
