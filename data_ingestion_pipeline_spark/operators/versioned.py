@@ -6311,9 +6311,15 @@ def identity_column_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
             if current_version(path) > 0
             else 0
         )
-        tagged = assign_identity(
-            half, "row_id", ["event_id"], start=hwm
-        ).withColumn("p_shard", F.col("event_type"))
+        tagged = (
+            assign_identity(half, "row_id", ["event_id"], start=hwm)
+            .withColumn("p_shard", F.col("event_type"))
+            # ids are already deterministic (pure rank of the data),
+            # so re-shuffling for WRITE LAYOUT is safe: one exchange
+            # on the shard key turns 32 partitions × 5 shards = 160
+            # tiny files per append into 5 right-sized ones
+            .repartition(F.col("p_shard"))
+        )
         # partitionBy strips the cluster column from the data files —
         # shard on a DERIVED copy so event_type itself stays readable
         # (the build_ivfpq_index pattern)
