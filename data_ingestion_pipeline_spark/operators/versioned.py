@@ -2889,11 +2889,20 @@ def stats_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vacuum(
-    path: str, keep_from: int, sidecar_grace_sec: float = 0.0
+    path: str,
+    keep_from: int,
+    sidecar_grace_sec: float = 0.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Drop manifests of versions < keep_from (the time-travel
     horizon) unless a TAG pins them, then delete only data files no
     RETAINED manifest references. Returns what was removed.
+
+    `dry_run=True` (Delta's VACUUM DRY RUN) computes and returns the
+    same removal list WITHOUT deleting anything or rewriting any
+    manifest — the audit-before-reclaim step every retention runbook
+    wants; a subsequent real vacuum removes exactly that list (plus
+    anything that became unreferenced in between).
 
     `sidecar_grace_sec` is the Delta-VACUUM-style age window for
     UNREFERENCED index/DV sidecars: a delete_rows_dv in flight writes
@@ -2965,10 +2974,11 @@ def vacuum(
             continue  # self-contained; inflate lazily below if needed
         full, chain = _resolve_chain(path, v)
         resolved[v] = full
-        if any(c in drop_versions for c in chain):
+        if any(c in drop_versions for c in chain) and not dry_run:
             _atomic_json(_manifest_path(path, v), _checkpoint_form(path, full))
     for v in sorted(drop_versions):
-        os.remove(_manifest_path(path, v))
+        if not dry_run:
+            os.remove(_manifest_path(path, v))
         removed.append(_manifest_path(path, v))
     # Torn commits leave manifest_v{>cur}.json files the pointer never
     # reached — unreachable by any reader, but if left behind while
@@ -2976,7 +2986,8 @@ def vacuum(
     # would resolve them to missing files. Sweep them with the data.
     v = cur + 1
     while os.path.isfile(_manifest_path(path, v)):
-        os.remove(_manifest_path(path, v))
+        if not dry_run:
+            os.remove(_manifest_path(path, v))
         removed.append(_manifest_path(path, v))
         v += 1
 
@@ -2987,7 +2998,8 @@ def vacuum(
     data_root = os.path.join(path, "data")
     for rel in _walk_rel_parquet(data_root, path) if os.path.isdir(data_root) else []:
         if rel not in referenced:
-            os.remove(os.path.join(path, rel))
+            if not dry_run:
+                os.remove(os.path.join(path, rel))
             removed.append(os.path.join(path, rel))
     # index sidecars: every rebuild writes a fresh uuid'd dir and swaps
     # the pointer JSON, orphaning the previous one — reclaim any
@@ -3025,7 +3037,8 @@ def vacuum(
             for vd in sorted(os.listdir(sub)) if os.path.isdir(sub) else []:
                 rel = os.path.normpath(os.path.join("_index", name, vd))
                 if rel not in active and not _in_grace(os.path.join(path, rel)):
-                    _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+                    if not dry_run:
+                        _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
                     removed.append(os.path.join(path, rel))
     # deletion-vector sidecars: keep those some RETAINED manifest
     # references (resolved manifests carry the dv key); torn
@@ -3041,7 +3054,8 @@ def vacuum(
         for fn in sorted(os.listdir(dv_root)):
             rel = os.path.normpath(os.path.join(DV_DIR, fn))
             if rel not in live_dv and not _in_grace(os.path.join(path, rel)):
-                _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+                if not dry_run:
+                    _shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
                 removed.append(os.path.join(path, rel))
     # parquet-checkpoint sidecars: keep exactly those a retained
     # manifest still points at (rebuilds/purge repoints orphan the
@@ -3057,7 +3071,8 @@ def vacuum(
         for fn in sorted(os.listdir(mf_root)):
             rel = os.path.normpath(os.path.join("_manifest_files", fn))
             if rel not in live_refs:
-                os.remove(os.path.join(path, rel))
+                if not dry_run:
+                    os.remove(os.path.join(path, rel))
                 removed.append(os.path.join(path, rel))
     # rename-map sidecars: keep exactly those some retained
     # manifest's renames entries still point at (vacuuming past the
@@ -3073,14 +3088,16 @@ def vacuum(
         for fn in sorted(os.listdir(ren_root)):
             rel = os.path.normpath(os.path.join(RENAMES_DIR, fn))
             if rel not in live_ren and not _in_grace(os.path.join(path, rel)):
-                os.remove(os.path.join(path, rel))
+                if not dry_run:
+                    os.remove(os.path.join(path, rel))
                 removed.append(os.path.join(path, rel))
     # a crash between _atomic_json's tmp write and its rename leaves a
     # *.tmp-XXXX orphan beside the metadata — never referenced, safe
     # to sweep (vacuum already forbids concurrent writers)
     for fn in sorted(os.listdir(path)):
         if ".tmp-" in fn and os.path.isfile(os.path.join(path, fn)):
-            os.remove(os.path.join(path, fn))
+            if not dry_run:
+                os.remove(os.path.join(path, fn))
             removed.append(os.path.join(path, fn))
     return removed
 

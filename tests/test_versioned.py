@@ -3495,3 +3495,33 @@ def test_identity_hwm_survives_appends(spark, tmp_path):
     allids = [r.row_id for r in versioned.read_version(spark, path)
               .select("row_id").collect()]
     assert sorted(allids) == list(range(n + more.count()))
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    """DRY RUN returns exactly the removal list a real vacuum then
+    acts on, deleting nothing and rewriting no manifest."""
+    import glob
+
+    path = str(tmp_path / "vdr")
+    os.makedirs(path)
+    df = spark.range(50).select(F.col("id").alias("k"))
+    versioned.commit_version(spark, path, df)
+    versioned.commit_version(spark, path, df.filter("k < 30"))
+    versioned.commit_version(spark, path, df.filter("k < 10"))
+
+    before = sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True))
+    mtimes = {p: os.path.getmtime(p) for p in before if os.path.isfile(p)}
+    preview = versioned.vacuum(path, keep_from=3, dry_run=True)
+    assert preview  # v1/v2 manifests + their orphaned data files
+    after = sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True))
+    assert after == before  # nothing deleted
+    assert {p: os.path.getmtime(p) for p in after
+            if os.path.isfile(p)} == mtimes  # nothing rewritten
+    # current snapshot untouched and still readable
+    assert versioned.read_version(spark, path).count() == 10
+
+    real = versioned.vacuum(path, keep_from=3)
+    assert sorted(real) == sorted(preview)
+    for p in preview:
+        assert not os.path.exists(p), p
+    assert versioned.read_version(spark, path).count() == 10
