@@ -24,6 +24,16 @@ Env knobs:
                             JSON reports the FIRST (cold) timing and a
                             parallel "warm" map of the best timing —
                             used to fill BASELINE.md.
+  SPARK_GRAFT_BENCH_ONLY    comma-separated entry names: run exactly
+                            these (unknown names error loudly — a
+                            silent skip would fake a faster sweep).
+                            For matched-set A/B comparisons.
+  SPARK_GRAFT_BENCH_ORDER   'registry' (default: the verification-
+                            rotation order, what the driver measures)
+                            or 'alpha' (pinned alphabetical order,
+                            stable across rounds — removes rotation
+                            reshuffling as a variable in round-over-
+                            round comparisons; VERDICT r14 task 1).
 
 `ngram_jaccard_pairs` is deliberately excluded: it is the quadratic
 ground-truth fixture for the LSH dedup operators (see operators/
@@ -164,6 +174,19 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
     names = [n for n in REGISTRY if n not in EXCLUDED]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        want = [n for n in (s.strip() for s in only.split(",")) if n]
+        unknown = sorted(set(want) - set(REGISTRY))
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown entries: {unknown}")
+        keep = set(want)
+        names = [n for n in names if n in keep]
+    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "registry")
+    if order == "alpha":
+        names = sorted(names)
+    elif order != "registry":
+        raise SystemExit(f"SPARK_GRAFT_BENCH_ORDER must be registry|alpha, got {order!r}")
 
     # Untimed warmup: JVM/codegen/session initialization otherwise
     # lands entirely on whichever query happens to run first (round 2

@@ -732,6 +732,16 @@ def drop_column(
             )
     new_schema = T.StructType([f for f in schema.fields if f.name != col])
     v = cur + 1
+    # Retire BEFORE publish — same crash-window ordering as
+    # rename_column: retired-but-still-live is harmless (retirement
+    # only gates ADDING a name), dropped-but-unretired lets a later
+    # evolve_schema re-add the name and resurrect pre-drop physical
+    # values (ADVICE r14).
+    retired = _retired_cols(path)
+    if col not in retired:
+        _atomic_json(
+            os.path.join(path, RETIRED_COLS_FILE), retired + [col]
+        )
     _publish_manifest(
         path,
         v,
@@ -753,11 +763,6 @@ def drop_column(
         expected_current,
         prev=m,
     )
-    retired = _retired_cols(path)
-    if col not in retired:
-        _atomic_json(
-            os.path.join(path, RETIRED_COLS_FILE), retired + [col]
-        )
     for pointer in (f"_BLOOM_{col}.json", f"_STATS_{col}.json"):
         try:
             os.remove(os.path.join(path, pointer))
@@ -997,6 +1002,17 @@ def rename_column(
         for f in schema.fields
     ]
     renames = {**prev_ren, **({new: entries} if entries else {})}
+    # Retire the old name BEFORE publishing the rename manifest: a
+    # crash between the two must err on the side of the name being
+    # retired-but-still-live (harmless — evolve_schema only consults
+    # retirement when ADDING a name, and a live column is never
+    # re-added), never rename-live-but-unretired, where a later
+    # evolve_schema could re-add `old` and pre-rename files would
+    # serve a physical read schema with duplicate field names — the
+    # resurrection hazard retirement exists to block (ADVICE r14).
+    retired = _retired_cols(path)
+    if old not in retired:
+        _atomic_json(os.path.join(path, RETIRED_COLS_FILE), retired + [old])
     _publish_manifest(
         path,
         v,
@@ -1019,17 +1035,22 @@ def rename_column(
         expected_current,
         prev=m,
     )
-    retired = _retired_cols(path)
-    if old not in retired:
-        _atomic_json(os.path.join(path, RETIRED_COLS_FILE), retired + [old])
     for kind in ("_BLOOM_", "_STATS_"):
         src = os.path.join(path, f"{kind}{old}.json")
         if os.path.isfile(src):
             try:
                 with open(src) as fh:
                     payload = json.load(fh)
+                # stats pointers record the column as 'col', bloom
+                # pointers as 'key_col' — migrate whichever is
+                # present, else _incremental_prior's require check
+                # never matches again and the advertised pointer-
+                # follow silently degrades to a full rebuild on every
+                # refresh (ADVICE r14).
                 if payload.get("col") == old:
                     payload["col"] = new
+                if payload.get("key_col") == old:
+                    payload["key_col"] = new
                 _atomic_json(
                     os.path.join(path, f"{kind}{new}.json"), payload
                 )
@@ -2010,15 +2031,38 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     column-pruned to the key; index size is files × 8 KiB regardless
     of row count. A file with zero rows (or an all-NULL key) gets no
     row and is correctly never a candidate."""
+    from pyspark.sql import types as T
+
     m = _manifest(path)
     _refuse_external(m, "build_bloom_index")
     abs_root = os.path.abspath(path)
+    # The bitmap hashes the key's STRING RENDER (cast to string), so
+    # the index is only valid for the data type it was built under: a
+    # float→double widening changes the render ('0.1' vs
+    # '0.10000000149011612'), and carrying float-rendered bitmaps
+    # across the widen would make carried files test FALSE-NEGATIVE
+    # for values they contain (ADVICE r14 — violates the no-false-
+    # negative guarantee). Recording the type in the pointer and
+    # requiring it for incrementality forces ONE full rebuild after
+    # any type-changing DDL; pre-fix pointers lack the key and rebuild
+    # once too (self-healing).
+    try:
+        key_type = next(
+            f.dataType.simpleString()
+            for f in T.StructType.fromJson(json.loads(m["schema"])).fields
+            if f.name == key_col
+        )
+    except StopIteration:
+        raise ValueError(
+            f"no such column {key_col!r} in the current snapshot schema"
+        ) from None
     prior = _incremental_prior(
         path,
         f"_BLOOM_{key_col}.json",
         m,
         {
             "key_col": key_col,
+            "key_type": key_type,
             "format": BLOOM_FORMAT,
             "bits": BLOOM_BITS,
             "hashes": BLOOM_HASHES,
@@ -2122,6 +2166,7 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
         ).parquet(sidecar_dir)
     index = {
         "key_col": key_col,
+        "key_type": key_type,
         "version": m["version"],
         "format": BLOOM_FORMAT,
         "bits": BLOOM_BITS,
@@ -6097,6 +6142,26 @@ def restore_version(
             "schema": t["schema"],
             **({"project_schema": True} if t.get("project_schema") else {}),
             **({"dv": t["dv"]} if t.get("dv") else {}),
+            # The restored snapshot must carry the TARGET's own rename
+            # map and ts_col — they describe exactly the files/schema
+            # being restored — never inherit the CURRENT version's via
+            # _publish_manifest's prev-fallback: a map keyed to the
+            # current logical names is inert against the restored
+            # schema, and pre-rename files would then read their
+            # renamed columns as NULL (ADVICE r14). When the target
+            # predates every rename, an explicit EMPTY map suppresses
+            # the inheritance (the _renames/ sidecar dir exists, so
+            # the fallback would otherwise fire).
+            **({"ts_col": t["ts_col"]} if "ts_col" in t else {}),
+            **(
+                {"renames": t["renames"]}
+                if t.get("renames")
+                else (
+                    {"renames": {}}
+                    if os.path.isdir(os.path.join(path, RENAMES_DIR))
+                    else {}
+                )
+            ),
             "committed_at": time.time(),
             "meta": {**(meta or {}), "restored_from": to_version},
         },

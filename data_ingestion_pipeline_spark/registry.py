@@ -3329,28 +3329,22 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
 _REVERIFY: set[str] = {
-    # r14 (ADVICE r13 fixes): merge_into_cow's kept-row path was
-    # rewritten (per-__rid aggregate replacing the filter that
-    # duplicated dup-keyed non-modifying matches) — re-verify both
-    # COW merge lifecycles; table_checksum's double canonicalization
-    # widened to decimal(38,6)+overflow sentinel (same text for
-    # in-range values, but the canonical image is new code);
-    # drop_column gained the ts_col guard and commit_version_
-    # partitioned records ts_col in the manifest — re-verify the
-    # DDL lifecycle entry; add_constraint gained OCC + the lock.
-    "merge_cow_roundtrip",
-    "table_checksum_audit",
+    # r15 (ADVICE r14 fixes): restore_version now carries the target
+    # manifest's own renames/ts_col instead of inheriting the current
+    # version's — re-verify the restore lifecycle; rename_column
+    # retires the old name BEFORE publish and migrates bloom
+    # pointers' key_col; drop_column retires before publish;
+    # build_bloom_index records/requires key_type (full rebuild
+    # across a widen) — re-verify the DDL + bloom lifecycles.
+    "table_history_roundtrip",
+    "versioned_rename_column",
     "versioned_drop_column",
-    "constrained_ingest",
-    # r14: the leaf-scan path was restructured around
-    # _scan_with_renames (RENAME COLUMN's physical-name groups; DV
-    # row-identity tagging moved inside it) — re-verify the core
-    # snapshot + DV + MOR-merge reads even though the never-renamed
-    # single-scan plan is unchanged
-    "versioned_table_roundtrip",
-    "deletion_vector_roundtrip",
-    "merge_mor_roundtrip",
+    "bloom_index_lookup",
+    "versioned_widen_column",
 }
+# r14 prune history: all 7 r14 names (COW/MOR merge, checksum,
+# drop-column, constraints, core snapshot + DV reads) hold clean r14
+# hash-matched verdicts (CORRECTNESS_r14).
 # r13 prune history: all 11 r13 names (BPE encode pair, versioned
 # roundtrips, DV lifecycles, streaming append sink + index probes,
 # table_changes, zorder) hold clean r13 hash-matched verdicts

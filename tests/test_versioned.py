@@ -3525,3 +3525,149 @@ def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
     for p in preview:
         assert not os.path.exists(p), p
     assert versioned.read_version(spark, path).count() == 10
+
+
+# --- ADVICE r14 fixes: restore×rename, bloom×widen, pointer -------
+# migration, retirement ordering
+
+
+def test_restore_between_chained_renames_carries_target_map(
+    spark, tmp_path
+):
+    """RESTORE to a version between two chained renames (value→v_b at
+    v2, v_b→v_c at v3, restore to v2) must carry the TARGET manifest's
+    own rename map — not inherit the CURRENT one keyed to 'v_c', which
+    is inert against the restored schema and makes pre-rename files
+    read 'v_b' as NULL (ADVICE r14 medium)."""
+    path = str(tmp_path / "rr")
+    os.makedirs(path)
+    ev = _events(spark).filter(F.col("event_id") < 50)
+    versioned.commit_version(spark, path, ev)  # v1: physical 'value'
+    base = {r.event_id: r.value for r in ev.collect()}
+    versioned.rename_column(spark, path, "value", "v_b")  # v2
+    versioned.rename_column(spark, path, "v_b", "v_c")  # v3
+
+    assert versioned.restore_version(spark, path, 2) == 4
+    m = versioned._manifest(path)
+    assert set(m.get("renames") or {}) == {"v_b"}  # target's map
+    got = {
+        r.event_id: r.v_b
+        for r in versioned.read_version(spark, path).collect()
+    }
+    assert got == base  # pre-rename files serve values, never NULL
+
+    # restore all the way to the pre-rename v1: the explicit empty
+    # map suppresses prev-inheritance entirely
+    assert versioned.restore_version(spark, path, 1) == 5
+    m = versioned._manifest(path)
+    assert not m.get("renames")
+    got = {
+        r.event_id: r.value
+        for r in versioned.read_version(spark, path).collect()
+    }
+    assert got == base
+
+
+def test_bloom_index_full_rebuild_after_widen(spark, tmp_path):
+    """float→double widening changes the key's string render
+    ('0.1' vs '0.10000000149011612'); an incremental bloom refresh
+    must not carry float-render bitmaps — carried files would test
+    false-negative for values they contain (ADVICE r14 medium). The
+    recorded key_type forces one full rebuild across the widen."""
+    path = str(tmp_path / "bw")
+    os.makedirs(path)
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") / F.lit(10.0)).cast("float").alias("val"),
+    )
+    versioned.commit_version(spark, path, df.repartition(4))
+    b1 = versioned.build_bloom_index(spark, path, "val")
+    assert b1["key_type"] == "float"
+    versioned.widen_column_type(spark, path, "val", "double")
+    b2 = versioned.build_bloom_index(spark, path, "val")
+    assert b2["key_type"] == "double"
+    assert b2["carried_files"] == 0  # every bitmap re-harvested
+    assert b2["harvested_files"] == 4
+    # no false negatives under the new render: probe the exact double
+    # the widened table now serves for k=1 (float 0.1's double image,
+    # which renders differently from the float it was built under)
+    probe = [
+        r.val
+        for r in versioned.read_version(spark, path)
+        .filter(F.col("k") == 1)
+        .collect()
+    ]
+    assert "0.1" != str(probe[0])  # the render actually changed
+    cand = versioned.bloom_candidate_files(spark, path, "val", probe)
+    assert cand  # the file holding k=1 survives pruning
+
+
+def test_rename_migrates_bloom_pointer_for_incremental_refresh(
+    spark, tmp_path
+):
+    """Bloom pointers record the column as 'key_col' (stats use
+    'col'); the rename migration must rewrite it too, else the
+    advertised pointer-follow silently degrades to a full rebuild on
+    every refresh (ADVICE r14 low)."""
+    import json as _json
+
+    path = str(tmp_path / "bp")
+    os.makedirs(path)
+    versioned.commit_version(
+        spark, path, _events(spark).limit(60).repartition(3)
+    )
+    versioned.build_bloom_index(spark, path, "value")
+    versioned.rename_column(spark, path, "value", "reading")
+    with open(os.path.join(path, "_BLOOM_reading.json")) as fh:
+        p = _json.load(fh)
+    assert p["key_col"] == "reading"
+    b = versioned.build_bloom_index(spark, path, "reading")
+    assert b["harvested_files"] == 0  # carried, not rebuilt
+    assert b["carried_files"] == 3
+    probe = [
+        r.reading
+        for r in versioned.read_version(spark, path).limit(1).collect()
+    ]
+    assert versioned.bloom_candidate_files(spark, path, "reading", probe)
+
+
+def test_retirement_precedes_ddl_publish(spark, tmp_path, monkeypatch):
+    """A crash between the rename/drop publish and the retirement
+    sidecar must err RETIRED-BUT-STILL-LIVE (harmless: retirement only
+    gates re-ADDING a name) — never live-DDL-but-unretired, where a
+    later evolve_schema re-adds the old name and pre-DDL files
+    resurrect its physical values (ADVICE r14 low). Pin the order by
+    failing the publish and observing retirement already durable."""
+    import pytest
+
+    path = str(tmp_path / "ord")
+    os.makedirs(path)
+    versioned.commit_version(spark, path, _events(spark).limit(20))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash at publish")
+
+    monkeypatch.setattr(versioned, "_publish_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        versioned.rename_column(spark, path, "value", "reading")
+    assert versioned.current_version(path) == 1  # rename not live
+    assert "value" in versioned._retired_cols(path)  # retired first
+    monkeypatch.undo()
+
+    # the early retirement is harmless: the retry completes, reads
+    # serve the new name, and the old name stays blocked
+    versioned.rename_column(spark, path, "value", "reading")
+    assert versioned.current_version(path) == 2
+    assert versioned.read_version(spark, path).select("reading").count() == 20
+    with pytest.raises(ValueError, match="retired"):
+        versioned.evolve_schema(spark, path, [("value", "double")])
+
+    # same ordering for DROP
+    monkeypatch.setattr(versioned, "_publish_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        versioned.drop_column(spark, path, "event_type")
+    assert versioned.current_version(path) == 2
+    assert "event_type" in versioned._retired_cols(path)
+    monkeypatch.undo()
+    versioned.drop_column(spark, path, "event_type")
+    assert versioned.current_version(path) == 3
