@@ -75,6 +75,7 @@ OPS = {
     "dup_clusters": dedup.dup_clusters,
     "semantic_dedup": similarity.semantic_dedup,
     "image_phash_index": multimodal.image_phash_index,
+    "image_near_dup_pairs": multimodal.image_near_dup_pairs,
     "video_frame_overlap": multimodal.video_frame_overlap,
     "audio_near_dup_pairs": multimodal.audio_near_dup_pairs,
 }
@@ -87,6 +88,14 @@ XL_OPS = {"jaccard_prefix_join"}
 
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = os.environ.get("SPARK_GRAFT_GROWTH_ONLY", "").strip()
+    ops = OPS
+    if only:
+        want = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = want - set(OPS)
+        if unknown:
+            raise SystemExit(f"unknown growth ops: {sorted(unknown)}")
+        ops = {k: v for k, v in OPS.items() if k in want}
     spark = get_spark("growth-curve", cpus=cpus)
     sf_dirs = [
         "/root/testdata/sf0.01",
@@ -102,7 +111,7 @@ def main() -> None:
     rows_for = lambda name: emb_rows if name in EMB_OPS else doc_rows  # noqa: E731
 
     out, failed = {}, []
-    for name, fn in OPS.items():
+    for name, fn in ops.items():
         # FRESH SESSION PER OPERATOR: the candidate-generation ops
         # localCheckpoint large intermediates, and those blocks live in
         # the block manager for the session's lifetime — by the time
@@ -170,13 +179,15 @@ def main() -> None:
     # merge-preserve the metadata-path block scripts/metadata_growth.py
     # maintains (and symmetrically there)
     prev = json.loads(gc_path.read_text()) if gc_path.is_file() else {}
+    merged_ops = {**prev.get("ops", {}), **out} if only else out
     doc = {
         "gate": ALPHA_GATE,
         "segments": SEGMENTS,
-        "ops": out,
+        "ops": merged_ops,
     }
-    if "metadata_path" in prev:
-        doc["metadata_path"] = prev["metadata_path"]
+    for k in ("metadata_path", "merge_commit", "cdc_loop"):
+        if k in prev:
+            doc[k] = prev[k]
     gc_path.write_text(json.dumps(doc, indent=1))
     spark.stop()
     if failed:
