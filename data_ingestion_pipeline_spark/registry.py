@@ -1155,6 +1155,19 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.cdf_replica_sync_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_cdf_replica_reapply_is_content_idempotent",
     ),
+    "stream_cdf_replica": QuerySpec(
+        # CDF as a STREAMING source (r15): the commit log is already a
+        # file stream (one atomic JSON manifest per version), so
+        # readStream over it gives Delta's readStream.format("delta")
+        # shape on this format — checkpointed offsets, backlog replay,
+        # per-commit micro-batches; foreachBatch seeds then applies
+        # net diffs through the idempotent three-clause merge. Same
+        # final-state oracle as the batch-cursor twin; exactly-once
+        # under checkpoint replay pinned in tests/test_streaming.py
+        streaming.stream_cdf_replica,
+        versioned.cdf_replica_sync_oracle_sql(),
+        ground_truth="tests/test_streaming.py::test_stream_cdf_replica_replay_is_noop",
+    ),
     "versioned_cow_roundtrip": QuerySpec(
         versioned.versioned_cow_roundtrip,
         # COW upsert of one day's updates over the day-partitioned v1:

@@ -1087,33 +1087,53 @@ def stream_session_windows(
         # Delta semantics: each emitted (user_id, session_start) —
         # changed row or event_count=0 tombstone — replaces that key
         # in the table; unchanged sessions of a touched station are
-        # NOT re-emitted and must be retained. The merge commits
-        # through the manifest-versioned path: version N+1's data
-        # files land in a FRESH directory while version N's remain the
-        # durable current snapshot until the atomic pointer swap — no
-        # read-modify-OVERWRITE window where the only surviving copy
-        # of the table is an executor-memory localCheckpoint (the r7
-        # durability debt), and the batch-id meta gives the sink
-        # exactly-once replay skips for free.
+        # NOT re-emitted and must be retained. The batch lands as ONE
+        # three-clause MOR MERGE (update / tombstone-delete /
+        # guarded insert): the commit writes O(emitted) delta files +
+        # DV positions, never a rewrite of the whole session table —
+        # the r15 phase probe attributed 86% of this entry's wall
+        # time to the sink's previous per-batch full-table commits,
+        # and at stream scale the session table grows with total
+        # sessions while a micro-batch stays rate-bounded, so the
+        # rewrite shape was O(table) per batch where the merge is
+        # O(batch) writes (the 100 TB requirement; the base-side scan
+        # the merge join reads is carried-by-reference parquet, cost
+        # shared with any read). Exactly-once: batch-id meta replay
+        # skip, backstopped by the merge's content-idempotence (a
+        # replayed tombstone re-matches nothing and fails the insert
+        # guard — apply_changes_mor's argument).
         sess = bdf.sparkSession
         if batch_id <= V.manifest_meta(table).get("batch_id", -1):
             return  # replayed batch: already committed
-        live = bdf.filter(F.col("event_count") > 0)
-        if V.current_version(table) > 0:
-            base = V.read_version(sess, table)
-            # emitted keys are unique per batch by construction (each
-            # group yields each session_start at most once), so no
-            # distinct; the key set is micro-batch-bounded, so
-            # broadcasting it is safe at any stream length
-            keep = base.join(
-                F.broadcast(bdf.select("user_id", "session_start")),
-                ["user_id", "session_start"],
-                "left_anti",
+        if V.current_version(table) == 0:
+            V.commit_version(
+                sess,
+                table,
+                bdf.filter(F.col("event_count") > 0),
+                meta={"batch_id": batch_id},
             )
-            out = keep.unionByName(live)
-        else:
-            out = live
-        V.commit_version(sess, table, out, meta={"batch_id": batch_id})
+            return
+        attrs = ["session_end", "event_count", "avg_value"]
+        V.merge_into_mor(
+            sess,
+            table,
+            bdf,  # emitted keys unique per batch by construction
+            ["user_id", "session_start"],
+            when_matched=[
+                (
+                    "update",
+                    {c: f"s.{c}" for c in attrs},
+                    "s.event_count > 0",
+                ),
+                ("delete", None, "s.event_count = 0"),
+            ],
+            insert_not_matched={
+                c: f"s.{c}"
+                for c in ["user_id", "session_start", *attrs]
+            },
+            insert_not_matched_cond="s.event_count > 0",
+            meta={"batch_id": batch_id},
+        )
 
     with _stream_shuffle(spark):
         query = (
@@ -1778,3 +1798,133 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     if not _glob.glob(os.path.join(table, "*.parquet")):
         return spark.createDataFrame([], FEED_SCHEMA)
     return spark.read.parquet(table).select(*FEED_COLS)
+
+
+# ---- CDF as a Structured Streaming source ---------------------------
+# The versioned format's change feed, consumed the way Delta users
+# consume theirs: `readStream` (VERDICT r14 task 6). The insight that
+# makes this a THIN wrapper instead of a custom engine: the table's
+# COMMIT LOG IS ALREADY A FILE STREAM — one atomically-renamed JSON
+# manifest object per version, in mtime order — so Spark's built-in
+# file source provides discovery, ordering, backlog replay, and
+# checkpointed offsets over the table's history for free, and the
+# heavy diff (table_changes) runs inside foreachBatch as ordinary
+# distributed jobs. Reference analog: the consumer service's poll
+# loop (services/consumer/main.py) — here the micro-batch engine is
+# the poll loop.
+
+
+def stream_table_commits(spark: SparkSession, table_path: str) -> DataFrame:
+    """readStream over a versioned table's commit log: one row
+    (version long) per manifest object. maxFilesPerTrigger=1 yields
+    per-commit micro-batches; the foreachBatch applier diffs
+    acked→max(batch) net, so coarser batching collapses intermediate
+    versions exactly like consume_changes does. Scale note: the
+    stream carries O(commits) 100-byte rows, never data — the data
+    motion happens in the applier's table_changes join, which prunes
+    to the two snapshots' manifests."""
+    return (
+        spark.readStream.format("json")
+        .schema("version long")
+        .option("pathGlobFilter", "manifest_v*.json")
+        .option("maxFilesPerTrigger", 1)
+        .load(table_path)
+    )
+
+
+def run_cdf_replica_stream(
+    spark: SparkSession,
+    src_path: str,
+    rep_path: str,
+    keys: list[str],
+    ckpt: str,
+) -> None:
+    """Drain the source table's commit stream into a replica table:
+    the first commit seen SEEDS the replica (snapshot read at that
+    version), every later micro-batch applies the NET diff
+    acked→batch-max through apply_changes_mor's idempotent
+    three-clause merge. The replica's own manifest meta carries the
+    acked source version, so the cursor is transactional WITH the
+    data it acknowledges — a crash between replica commit and stream
+    checkpoint replays the batch, the acked guard skips it, and the
+    merge's content-idempotence backstops even a torn guard:
+    at-least-once delivery, exactly-once replica state."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    os.makedirs(rep_path, exist_ok=True)
+
+    def _apply(bdf: DataFrame, batch_id: int) -> None:
+        sess = bdf.sparkSession
+        versions = [r.version for r in bdf.select("version").collect()]
+        if not versions:
+            return
+        hi = max(versions)
+        acked = int(V.manifest_meta(rep_path).get("cdf_acked", 0))
+        if hi <= acked:
+            return  # replayed batch: already applied
+        if V.current_version(rep_path) == 0:
+            V.commit_version(
+                sess,
+                rep_path,
+                V.read_version(sess, src_path, hi),
+                meta={"cdf_acked": hi},
+            )
+            return
+        diff = V.table_changes(sess, src_path, acked, hi, keys)
+        V.apply_changes_mor(
+            sess, rep_path, diff, keys, meta={"cdf_acked": hi}
+        )
+
+    with _stream_shuffle(spark):
+        query = (
+            stream_table_commits(spark, src_path)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+
+def stream_cdf_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the change feed consumed AS A STREAM —
+    readStream-shaped micro-batches over the commit log, drained into
+    a replica. Source lifecycle (committed before the drain, so the
+    stream replays history from its checkpointed offsets): commit
+    events (v1), upsert every 10th value +1000 (v2), DV-delete the
+    clicks (v3). The drain seeds at v1 then applies two net diffs;
+    the replica snapshot must equal the source's final state (same
+    oracle as the batch-cursor twin cdf_replica_sync). Exactly-once
+    under checkpoint replay is pinned in
+    tests/test_streaming.py::test_stream_cdf_replica_replay_is_noop."""
+    import shutil as _shutil
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = scratch_path("stream_cdf", sf_name, "run")
+    _shutil.rmtree(root, ignore_errors=True)
+    src_path = os.path.join(root, "source")
+    rep_path = os.path.join(root, "replica")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    V.commit_version(spark, src_path, ev)
+    V.upsert_version(
+        spark,
+        src_path,
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 1000.0
+        ),
+        ["event_id"],
+    )
+    V.delete_rows_dv(spark, src_path, F.col("event_type") == "click")
+
+    run_cdf_replica_stream(spark, src_path, rep_path, ["event_id"], ckpt)
+    return V.read_version(spark, rep_path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

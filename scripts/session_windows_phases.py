@@ -82,11 +82,20 @@ def run_once(spark, sf_dir: str) -> dict:
 
     acc = {"sink_read": 0.0, "sink_commit": 0.0, "reads": 0, "commits": 0}
     real_commit, real_read = V.commit_version, V.read_version
+    real_merge = V.merge_into_mor
 
     def commit(*a, **k):
         t = time.perf_counter()
         try:
             return real_commit(*a, **k)
+        finally:
+            acc["sink_commit"] += time.perf_counter() - t
+            acc["commits"] += 1
+
+    def merge(*a, **k):
+        t = time.perf_counter()
+        try:
+            return real_merge(*a, **k)
         finally:
             acc["sink_commit"] += time.perf_counter() - t
             acc["commits"] += 1
@@ -102,6 +111,7 @@ def run_once(spark, sf_dir: str) -> dict:
     tap = ProgressTap()
     spark.streams.addListener(tap)
     V.commit_version, V.read_version = commit, read
+    V.merge_into_mor = merge
     try:
         t0 = time.perf_counter()
         df = P.stream_session_windows_bounded(spark, sf_dir)
@@ -111,6 +121,7 @@ def run_once(spark, sf_dir: str) -> dict:
         readback = round(time.perf_counter() - t0, 3)
     finally:
         V.commit_version, V.read_version = real_commit, real_read
+        V.merge_into_mor = real_merge
         spark.streams.removeListener(tap)
 
     batches = []

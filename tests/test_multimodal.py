@@ -5,6 +5,7 @@ hashlib, Pandas-UDF histogram parity with direct numpy, stub contract.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pytest
@@ -66,12 +67,103 @@ def test_byte_histogram_registry_entry_is_flat(spark):
     assert all(abs(s - 1.0) < 1e-9 for s in by_doc.values())
 
 
-def test_decode_image_stub_contract(spark):
-    docs = multimodal.with_binary_payload(
-        load_table(spark, SF_TEST, "documents")
+def test_decode_dispatch_falls_back_to_standin(spark):
+    """With no codec libs importable (this container), decode_image /
+    decode_audio dispatch to the deterministic stand-ins — output
+    byte-identical to calling the stand-ins directly, pinning that
+    the seam swaps the codec and nothing else."""
+    docs = (
+        multimodal.with_binary_payload(load_table(spark, SF_TEST, "documents"))
+        .select("doc_id", "payload")
+        .limit(20)
     )
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(docs)
+    if multimodal._pillow_available() or multimodal._soundfile_available():
+        pytest.skip("codec libs present: the real-codec parity tests apply")
+    img = {r.doc_id: r for r in multimodal.decode_image(docs).collect()}
+    fake = {r.doc_id: r for r in multimodal.decode_image_fake(docs).collect()}
+    assert set(img) == set(fake)
+    for k in img:
+        assert (img[k].width, img[k].height, bytes(img[k].pixels)) == (
+            fake[k].width,
+            fake[k].height,
+            bytes(fake[k].pixels),
+        )
+    au = {r.doc_id: r for r in multimodal.decode_audio(docs).collect()}
+    fau = {r.doc_id: r for r in multimodal.decode_audio_fake(docs).collect()}
+    assert set(au) == set(fau)
+    for k in au:
+        assert (au[k].sample_rate, bytes(au[k].samples)) == (
+            fau[k].sample_rate,
+            bytes(fau[k].samples),
+        )
+
+
+_REAL_CODECS = pytest.mark.skipif(
+    os.environ.get("MULTIMODAL_REAL_CODECS") != "1",
+    reason="MULTIMODAL_REAL_CODECS=1 not set (container ships no codec "
+    "libs); recipe: docs/real_codecs_test.md",
+)
+
+
+@_REAL_CODECS
+def test_real_codec_image_parity(spark):
+    """Codec-equipped host only: decode_image over real PNG bytes
+    matches a direct driver-side Pillow decode pixel-for-pixel, and
+    the decoded frames flow through image_resize unchanged."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(6):
+        w, h = 16 + i, 20 + 2 * i
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, format="PNG")
+        rows.append((i, buf.getvalue(), arr))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    for i, _, arr in rows:
+        r = got[i]
+        assert (r.width, r.height, r.channels) == (arr.shape[1], arr.shape[0], 3)
+        assert bytes(r.pixels) == arr.tobytes()
+    small = multimodal.image_resize(multimodal.decode_image(df)).collect()
+    assert all(
+        (s.width, s.height) == (multimodal.RESIZE_W, multimodal.RESIZE_H)
+        for s in small
+    )
+
+
+@_REAL_CODECS
+def test_real_codec_audio_parity(spark):
+    """Codec-equipped host only: decode_audio over real WAV bytes
+    returns the exact PCM16 frames written, and the RMS pipeline
+    consumes them unchanged."""
+    import io
+
+    import soundfile as sf
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(4):
+        pcm = rng.randint(-3000, 3000, size=500 + 100 * i).astype(np.int16)
+        buf = io.BytesIO()
+        sf.write(buf, pcm, 16000, format="WAV", subtype="PCM_16")
+        rows.append((i, buf.getvalue(), pcm))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in multimodal.decode_audio(df).collect()}
+    for i, _, pcm in rows:
+        r = got[i]
+        assert r.sample_rate == 16000 and r.n_samples == len(pcm)
+        assert bytes(r.samples) == pcm.astype("<i2").tobytes()
+    assert (
+        multimodal.audio_rms_windows(multimodal.decode_audio(df)).count() > 0
+    )
 
 
 def _python_image_stats(text: str):

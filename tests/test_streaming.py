@@ -9,6 +9,7 @@ the sink is idempotent under batch replay (T5).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import functions as F
@@ -349,3 +350,61 @@ def test_stream_cdc_merge_versions_and_replay(spark):
         .select(*FEED_COLS)
         .collect()
     } == want
+
+
+def test_stream_cdf_replica_replay_is_noop(spark, tmp_path):
+    """CDF-as-a-stream exactly-once: (1) the drained replica equals
+    the source's final snapshot; (2) a FULL replay from a fresh
+    checkpoint re-delivers every commit and the acked guard skips all
+    of them — zero new replica versions; (3) a commit landing after
+    the first drain is picked up incrementally by the same
+    checkpoint."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.streaming.pipeline import (
+        run_cdf_replica_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    os.makedirs(src)
+    ev = (
+        load_table(spark, SF_TEST, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(400)
+    )
+    V.commit_version(spark, src, ev)
+    V.upsert_version(
+        spark,
+        src,
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 1000.0
+        ),
+        ["event_id"],
+    )
+    V.delete_rows_dv(spark, src, F.col("event_type") == "click")
+
+    run_cdf_replica_stream(spark, src, rep, ["event_id"], str(tmp_path / "ck1"))
+    want = sorted(map(tuple, V.read_version(spark, src).collect()))
+    assert sorted(map(tuple, V.read_version(spark, rep).collect())) == want
+    v_after = V.current_version(rep)
+    assert int(V.manifest_meta(rep)["cdf_acked"]) == V.current_version(src)
+
+    # full replay (fresh checkpoint): every batch re-delivered, every
+    # batch skipped — replica untouched
+    run_cdf_replica_stream(spark, src, rep, ["event_id"], str(tmp_path / "ck2"))
+    assert V.current_version(rep) == v_after
+    assert sorted(map(tuple, V.read_version(spark, rep).collect())) == want
+
+    # incremental pickup on the original checkpoint
+    V.upsert_version(
+        spark,
+        src,
+        ev.filter(F.col("event_id") % 7 == 0).withColumn(
+            "value", F.lit(-5.0)
+        ),
+        ["event_id"],
+    )
+    run_cdf_replica_stream(spark, src, rep, ["event_id"], str(tmp_path / "ck1"))
+    want2 = sorted(map(tuple, V.read_version(spark, src).collect()))
+    assert sorted(map(tuple, V.read_version(spark, rep).collect())) == want2
+    assert int(V.manifest_meta(rep)["cdf_acked"]) == V.current_version(src)

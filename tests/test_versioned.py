@@ -3671,3 +3671,74 @@ def test_retirement_precedes_ddl_publish(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     versioned.drop_column(spark, path, "event_type")
     assert versioned.current_version(path) == 3
+
+
+def test_conditional_put_loss_retries_cleanly(spark, tmp_path):
+    """Object-store mapping made executable (VERDICT r14 task 7): the
+    pointer swap is a pluggable CAS primitive. Install one that LOSES
+    the first conditional put — a competing writer's no-op commit
+    takes the contested version between our pointer read and our put,
+    the store's precondition then rejects us (the S3/GCS 412 path) —
+    and drive the documented OCC conflict loop through it: the losing
+    attempt aborts before any shared-name mutation, the retry
+    re-reads the competing snapshot and wins the next version, and
+    every row (base + upsert) survives."""
+    import time as _time
+
+    path = str(tmp_path / "cas")
+    os.makedirs(path)
+    ev = _events(spark).limit(100)
+    versioned.commit_version(spark, path, ev)  # v1
+
+    class LoseFirstPut:
+        """First swap: a competing commit lands (manifest object for
+        the contested version + its winning conditional put), then our
+        own put is refused — exactly what a real store's precondition
+        failure looks like from the caller."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.armed = True
+
+        def publish_lock(self, p):
+            return self.inner.publish_lock(p)
+
+        def swap(self, p, expected, new):
+            if self.armed:
+                self.armed = False
+                m = versioned._manifest(p)
+                competing = {
+                    "version": new,
+                    "files": m["files"],  # a no-op commit: carry v1
+                    "schema": m["schema"],
+                    "committed_at": _time.time(),
+                    "meta": {"writer": "competing"},
+                }
+                versioned._atomic_json(
+                    versioned._manifest_path(p, new), competing
+                )
+                self.inner.swap(p, expected, new)  # competitor wins
+            return self.inner.swap(p, expected, new)
+
+    prev_cas = versioned.set_pointer_cas(
+        LoseFirstPut(versioned.LocalPointerCAS())
+    )
+    try:
+        extra = ev.withColumn("event_id", F.col("event_id") + 1_000_000)
+        for _ in range(3):  # the documented re-read-and-retry loop
+            try:
+                versioned.upsert_version(spark, path, extra, ["event_id"])
+                break
+            except versioned.ConcurrentCommitError:
+                continue
+        else:
+            raise AssertionError("retry loop never won")
+    finally:
+        versioned.set_pointer_cas(prev_cas)
+
+    assert versioned.current_version(path) == 3  # competing v2, ours v3
+    assert versioned._manifest(path, 2)["meta"]["writer"] == "competing"
+    assert versioned.read_version(spark, path).count() == 200
+    # the losing attempt mutated nothing shared: time travel intact
+    assert versioned.read_version(spark, path, 2).count() == 100
+    assert versioned.read_version(spark, path, 1).count() == 100
