@@ -5523,6 +5523,14 @@ def clone_table(
     retired = _retired_cols(src)
     if retired:
         _atomic_json(os.path.join(dst_abs, RETIRED_COLS_FILE), retired)
+    # identity high-water carries over (table property): the clone's
+    # future appends must not reuse ids the source already assigned
+    # to rows the clone references
+    try:
+        with open(os.path.join(src_abs, IDENTITY_FILE)) as fh:
+            _atomic_json(os.path.join(dst_abs, IDENTITY_FILE), json.load(fh))
+    except FileNotFoundError:
+        pass
     return 1
 
 
@@ -6373,6 +6381,60 @@ def versioned_widen_column_oracle_sql() -> str:
 
 # ---- identity columns: distributed monotonic row ids ----------------
 
+IDENTITY_FILE = "_IDENTITY.json"
+
+
+def identity_high_water(path: str, id_col: str) -> int:
+    """The next unassigned identity value for `id_col` (0 for a
+    column that never assigned any). A TABLE PROPERTY sidecar — like
+    CHECK constraints and retired names — NOT commit meta: the r15
+    audit found the meta-riding design lost the high-water mark to
+    ANY intervening commit that wrote its own meta (DDL, RESTORE,
+    compaction), after which the next append would silently REUSE
+    ids. Delta stores identity state in column metadata for the same
+    reason: it is per-column table state, not per-commit payload."""
+    try:
+        with open(os.path.join(path, IDENTITY_FILE)) as fh:
+            return int(json.load(fh).get(id_col, 0))
+    except FileNotFoundError:
+        return 0
+
+
+def advance_identity(path: str, id_col: str, new_hwm: int) -> int:
+    """Advance `id_col`'s high-water mark — MONOTONIC: a regression
+    is refused, because assigned ids may already live in downstream
+    systems (Delta's identity contract: values are never reused, not
+    even across RESTORE — the sidecar deliberately survives restore/
+    DDL untouched). Serialized under flock: the read-modify-write is
+    otherwise a lost-update hazard between two concurrent appenders
+    (the constraint-DDL argument; maps to conditional-put on an
+    object store). Call AFTER the append commit publishes: a crash
+    between the two leaves the mark low and the retry re-advances —
+    at worst ids are assigned twice to the SAME rows of a commit that
+    never published, never to two different commits."""
+    import fcntl
+
+    with open(os.path.join(path, IDENTITY_FILE + ".lock"), "a") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            try:
+                with open(os.path.join(path, IDENTITY_FILE)) as f2:
+                    state = json.load(f2)
+            except FileNotFoundError:
+                state = {}
+            cur = int(state.get(id_col, 0))
+            if new_hwm < cur:
+                raise ValueError(
+                    f"identity {id_col!r} high-water is {cur}; refusing "
+                    f"to regress to {new_hwm} (assigned ids are never "
+                    "reused)"
+                )
+            state[id_col] = int(new_hwm)
+            _atomic_json(os.path.join(path, IDENTITY_FILE), state)
+            return int(new_hwm)
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
 
 def assign_identity(
     df: DataFrame,
@@ -6396,52 +6458,72 @@ def assign_identity(
     function of the data — replayable by the DuckDB oracle and safe
     under retries."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [f.name for f in df.schema.fields]
+
+    # (pid, local position) are materialized INTO the checkpoint, not
+    # read from TaskContext in the consuming stage: partition ids are
+    # STAGE-relative, so a downstream union/coalesce renumbers them
+    # and the offset lookup silently missed — ids collapsed to
+    # per-partition restarts the moment the tagged frame was composed
+    # before committing (r15 audit; the eager-checkpoint job below is
+    # the one stage whose partition index IS the range-partition
+    # index, so capturing there makes the ids a pure function of the
+    # data again, immune to the consumer's plan).
+    def tag(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out.insert(0, "__pos", range(seen, seen + len(pdf)))
+            out.insert(0, "__pid", pid)
+            seen += len(pdf)
+            yield out
+
+    tag_schema = ", ".join(
+        ["__pid int", "__pos bigint"]
+        + [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    )
     pinned = (
         df.repartitionByRange(n, *[F.col(c) for c in order_by])
         .sortWithinPartitions(*[F.col(c) for c in order_by])
+        .mapInPandas(tag, tag_schema)
         .localCheckpoint(eager=True)
     )
     sizes = {
-        r["pid"]: r["n"]
-        for r in pinned.groupBy(
-            F.spark_partition_id().alias("pid")
-        ).agg(F.count("*").alias("n")).collect()
+        r["__pid"]: r["n"]
+        for r in pinned.groupBy("__pid").agg(F.count("*").alias("n")).collect()
     }
     offsets = {}
     acc = start
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    out_schema = ", ".join(
-        [f"{id_col} bigint"]
-        + [f"{f.name} {f.dataType.simpleString()}" for f in pinned.schema.fields]
+    base = (
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )[F.col("__pid")]
+        if offsets
+        else F.lit(start)
     )
-
-    def tag(batches):
-        import pandas as pd  # noqa: F811 — executor-side import
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        base = offsets.get(ctx.partitionId(), 0)
-        seen = 0
-        for pdf in batches:
-            ids = pd.Series(range(base + seen, base + seen + len(pdf)))
-            seen += len(pdf)
-            out = pdf.copy()
-            out.insert(0, id_col, ids.astype("int64"))
-            yield out
-
-    return pinned.mapInPandas(tag, out_schema)
+    return pinned.withColumn(
+        id_col, (base + F.col("__pos")).cast("bigint")
+    ).select(id_col, *cols)
 
 
 def identity_column_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: IDENTITY-column lifecycle — two appends to a
     clustered table, each assigning gap-free row ids from the
-    manifest's high-watermark (`id_hwm` rides in commit meta, exactly
-    how Delta persists identity state): evens get [0, n), odds get
-    [n, n+m). Ids are the deterministic global rank over event_id, so
-    the oracle replays them with row_number(); uniqueness, density
-    and hwm persistence are pinned in tests."""
+    identity high-water TABLE PROPERTY (`_IDENTITY.json`,
+    identity_high_water/advance_identity — per-column table state the
+    way Delta keeps it in column metadata, surviving DDL/RESTORE/
+    maintenance commits that write their own meta; the r15 fix for
+    the meta-riding design that lost the mark to any intervening
+    commit): evens get [0, n), odds get [n, n+m). Ids are the
+    deterministic global rank over event_id, so the oracle replays
+    them with row_number(); uniqueness, density and hwm persistence
+    across DDL + RESTORE are pinned in tests."""
     import shutil as _shutil
 
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -6453,11 +6535,7 @@ def identity_column_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for parity in (0, 1):
         half = ev.filter(F.col("event_id") % 2 == parity)
-        hwm = (
-            _manifest(path).get("meta", {}).get("id_hwm", 0)
-            if current_version(path) > 0
-            else 0
-        )
+        hwm = identity_high_water(path, "row_id")
         tagged = (
             assign_identity(half, "row_id", ["event_id"], start=hwm)
             .withColumn("p_shard", F.col("event_type"))
@@ -6475,8 +6553,12 @@ def identity_column_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             tagged,
             "p_shard",
-            meta={"id_hwm": hwm + half.count()},
+            meta={"id_hwm": hwm + half.count()},  # audit trail only
         )
+        # property advance AFTER the publish: a crash between the two
+        # re-assigns the same ids to the same unpublished rows on
+        # retry, never to a different commit
+        advance_identity(path, "row_id", hwm + half.count())
     return read_version(spark, path).select(
         "row_id", "event_id", "event_type", "value"
     )

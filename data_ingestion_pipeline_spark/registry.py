@@ -3354,6 +3354,11 @@ _REVERIFY: set[str] = {
     "versioned_drop_column",
     "bloom_index_lookup",
     "versioned_widen_column",
+    # r15: assign_identity rewritten (pid/position materialized into
+    # the checkpoint instead of consumer-stage TaskContext — union-
+    # safe ids) and the high-water mark moved from commit meta to the
+    # _IDENTITY.json table property
+    "identity_column_appends",
 }
 # r14 prune history: all 7 r14 names (COW/MOR merge, checksum,
 # drop-column, constraints, core snapshot + DV reads) hold clean r14

@@ -3742,3 +3742,62 @@ def test_conditional_put_loss_retries_cleanly(spark, tmp_path):
     # the losing attempt mutated nothing shared: time travel intact
     assert versioned.read_version(spark, path, 2).count() == 100
     assert versioned.read_version(spark, path, 1).count() == 100
+
+
+def test_identity_hwm_survives_ddl_and_restore(spark, tmp_path):
+    """The identity high-water mark is a TABLE PROPERTY, not commit
+    meta (r15 audit): DDL, RESTORE, and maintenance commits write
+    their own meta, and the old meta-riding mark vanished with them —
+    the next append restarted at 0 and silently REUSED ids. The
+    sidecar survives all of it, monotonic forever."""
+    import pytest
+
+    path = str(tmp_path / "idhwm")
+    os.makedirs(path)
+    ev = _events(spark).limit(90).select("event_id", "event_type", "value")
+
+    first = versioned.assign_identity(
+        ev.filter(F.col("event_id") % 2 == 0), "row_id", ["event_id"]
+    )
+    versioned.commit_version(spark, path, first)
+    n1 = first.count()
+    versioned.advance_identity(path, "row_id", n1)
+    assert versioned.identity_high_water(path, "row_id") == n1
+
+    # an intervening DDL commit (its own meta) must not reset the mark
+    versioned.evolve_schema(spark, path, [("note", "string")])
+    assert versioned.identity_high_water(path, "row_id") == n1
+
+    hwm = versioned.identity_high_water(path, "row_id")
+    second = versioned.assign_identity(
+        ev.filter(F.col("event_id") % 2 == 1),
+        "row_id",
+        ["event_id"],
+        start=hwm,
+    ).withColumn("note", F.lit(None).cast("string"))
+    versioned.commit_version(
+        spark,
+        path,
+        versioned.read_version(spark, path).unionByName(second),
+    )
+    n2 = second.count()
+    versioned.advance_identity(path, "row_id", hwm + n2)
+
+    ids = [r.row_id for r in versioned.read_version(spark, path).collect()]
+    assert sorted(ids) == list(range(n1 + n2))  # gap-free, no reuse
+
+    # RESTORE to v1 rolls the data back but NEVER the mark: ids the
+    # later commits assigned may live downstream already
+    versioned.restore_version(spark, path, 1)
+    assert versioned.identity_high_water(path, "row_id") == n1 + n2
+    third_start = versioned.identity_high_water(path, "row_id")
+    assert third_start == n1 + n2  # continues past everything assigned
+
+    # regression refused
+    with pytest.raises(ValueError, match="refusing"):
+        versioned.advance_identity(path, "row_id", 3)
+
+    # clone carries the property
+    dst = str(tmp_path / "idclone")
+    versioned.clone_table(spark, path, dst)
+    assert versioned.identity_high_water(dst, "row_id") == n1 + n2
