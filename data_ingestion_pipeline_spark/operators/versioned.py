@@ -1057,6 +1057,26 @@ def rename_column(
                 os.remove(src)
             except (OSError, json.JSONDecodeError):
                 pass
+    # identity high-water follows the rename (r15: the property is
+    # keyed by column name; a stranded key would read as hwm 0 under
+    # the new name and the next append would reuse assigned ids).
+    # Whole read-modify-write under the identity flock — the same
+    # lost-update argument as advance_identity.
+    import fcntl as _fcntl
+
+    with open(os.path.join(path, IDENTITY_FILE + ".lock"), "a") as lf:
+        _fcntl.flock(lf, _fcntl.LOCK_EX)
+        try:
+            try:
+                with open(os.path.join(path, IDENTITY_FILE)) as fh:
+                    ident = json.load(fh)
+            except FileNotFoundError:
+                ident = {}
+            if old in ident:
+                ident[new] = max(int(ident.get(new, 0)), int(ident.pop(old)))
+                _atomic_json(os.path.join(path, IDENTITY_FILE), ident)
+        finally:
+            _fcntl.flock(lf, _fcntl.LOCK_UN)
     return v
 
 
@@ -5516,8 +5536,35 @@ def clone_table(
                 else {}
             ),
         }
-    _publish_manifest(dst_abs, 1, manifest, expected_current=0)
+    # Attaching the source's CURRENT constraint set to an OLDER
+    # snapshot has the restore_version hazard: the set was validated
+    # against a later state, and the cloned rows may predate it.
+    # Cloning the current version stays metadata-only (the set is
+    # already valid there); an explicit older version pays one
+    # early-exit validation scan per constraint before the clone
+    # publishes.
     cons = table_constraints(src)
+    if cons and version is not None and version != current_version(src):
+        snap = read_version(spark, src, version)
+        for cname in sorted(cons):
+            expr = cons[cname]
+            ok = F.coalesce(F.expr(expr), F.lit(True))
+            try:
+                bad = snap.filter(~ok).limit(1).collect()
+            except Exception as e:  # noqa: BLE001 — analysis failure
+                raise ConstraintViolationError(
+                    f"constraint {cname!r} ({expr}) cannot be evaluated "
+                    f"against v{version}'s schema; drop it on the source "
+                    "or clone the current version"
+                ) from e
+            if bad:
+                raise ConstraintViolationError(
+                    f"clone of v{version} would carry live constraint "
+                    f"{cname!r} ({expr}) violated by row "
+                    f"{bad[0].asDict()}; drop the constraint or clone "
+                    "the current version"
+                )
+    _publish_manifest(dst_abs, 1, manifest, expected_current=0)
     if cons:
         _atomic_json(os.path.join(dst_abs, CONSTRAINTS_FILE), cons)
     retired = _retired_cols(src)
@@ -6198,6 +6245,35 @@ def restore_version(
             "its files may no longer exist"
         )
     t = _manifest(path, to_version)
+    # Live CHECK constraints were validated against the snapshot that
+    # existed when they were ADDED — a restore to an earlier version
+    # can resurrect rows that predate (and violate) them, leaving a
+    # constrained table serving violating rows with no write ever
+    # having failed (r15 audit). Validate the TARGET snapshot against
+    # the live set before publishing, exactly add_constraint's
+    # early-exit scan; a constraint that cannot even be evaluated
+    # against the target's schema (references a column added later)
+    # refuses too. Unconstrained tables pay one stat call.
+    cons = table_constraints(path)
+    if cons:
+        snap = read_version(spark, path, to_version)
+        for cname in sorted(cons):
+            expr = cons[cname]
+            ok = F.coalesce(F.expr(expr), F.lit(True))
+            try:
+                bad = snap.filter(~ok).limit(1).collect()
+            except Exception as e:  # noqa: BLE001 — analysis failure
+                raise ConstraintViolationError(
+                    f"constraint {cname!r} ({expr}) cannot be evaluated "
+                    f"against v{to_version}'s schema; drop it before "
+                    "restoring"
+                ) from e
+            if bad:
+                raise ConstraintViolationError(
+                    f"restore to v{to_version} would resurrect a row "
+                    f"violating live constraint {cname!r} ({expr}): "
+                    f"{bad[0].asDict()}; drop the constraint first"
+                )
     prev = _manifest(path, cur)
     v = cur + 1
     _publish_manifest(

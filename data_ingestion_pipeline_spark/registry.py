@@ -3359,6 +3359,9 @@ _REVERIFY: set[str] = {
     # safe ids) and the high-water mark moved from commit meta to the
     # _IDENTITY.json table property
     "identity_column_appends",
+    # r15: clone_table gained the older-version constraint validation
+    # and the identity-property carry
+    "shallow_clone_roundtrip",
 }
 # r14 prune history: all 7 r14 names (COW/MOR merge, checksum,
 # drop-column, constraints, core snapshot + DV reads) hold clean r14

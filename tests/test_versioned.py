@@ -3801,3 +3801,66 @@ def test_identity_hwm_survives_ddl_and_restore(spark, tmp_path):
     dst = str(tmp_path / "idclone")
     versioned.clone_table(spark, path, dst)
     assert versioned.identity_high_water(dst, "row_id") == n1 + n2
+
+
+def test_restore_and_clone_validate_live_constraints(spark, tmp_path):
+    """RESTORE (and CLONE of an older version) must not resurrect
+    rows that violate a CHECK constraint added after the target
+    version — the constraint was validated against a later snapshot,
+    and serving pre-constraint rows under it means a constrained
+    table violates its contract with no write ever having failed
+    (r15 audit)."""
+    import pytest
+
+    path = str(tmp_path / "rc")
+    os.makedirs(path)
+    ev = _events(spark).limit(60).select("event_id", "event_type", "value")
+    dirty = ev.withColumn(
+        "value", F.when(F.col("event_id") % 5 == 0, -1.0).otherwise(F.col("value"))
+    )
+    versioned.commit_version(spark, path, dirty)  # v1: has negatives
+    versioned.commit_version(
+        spark, path, dirty.filter(F.col("value") >= 0)
+    )  # v2: clean
+    versioned.add_constraint(spark, path, "nonneg", "value >= 0")  # valid at v2
+
+    with pytest.raises(versioned.ConstraintViolationError, match="resurrect"):
+        versioned.restore_version(spark, path, 1)
+    assert versioned.current_version(path) == 2  # nothing published
+
+    # clone of the dirty version refuses; clone of current succeeds
+    with pytest.raises(versioned.ConstraintViolationError, match="clone"):
+        versioned.clone_table(spark, path, str(tmp_path / "c1"), version=1)
+    versioned.clone_table(spark, path, str(tmp_path / "c2"))
+    assert versioned.table_constraints(str(tmp_path / "c2")) == {
+        "nonneg": "value >= 0"
+    }
+
+    # dropping the constraint unblocks the restore (documented path)
+    versioned.drop_constraint(path, "nonneg")
+    assert versioned.restore_version(spark, path, 1) == 3
+
+    # a constraint referencing a column the target schema lacks also
+    # refuses, with the drop-it-first message
+    versioned.evolve_schema(spark, path, [("note", "string")])  # v4
+    versioned.add_constraint(
+        spark, path, "notelen", "note IS NULL OR length(note) < 99"
+    )
+    with pytest.raises(versioned.ConstraintViolationError, match="schema"):
+        versioned.restore_version(spark, path, 3)
+
+
+def test_rename_migrates_identity_high_water(spark, tmp_path):
+    """Renaming the identity column must carry its high-water key —
+    a stranded key reads as 0 under the new name and the next append
+    would reuse assigned ids (r15 audit)."""
+    path = str(tmp_path / "ri")
+    os.makedirs(path)
+    ev = _events(spark).limit(40).select("event_id", "value")
+    tagged = versioned.assign_identity(ev, "row_id", ["event_id"])
+    versioned.commit_version(spark, path, tagged)
+    versioned.advance_identity(path, "row_id", 40)
+
+    versioned.rename_column(spark, path, "row_id", "rid")
+    assert versioned.identity_high_water(path, "rid") == 40
+    assert versioned.identity_high_water(path, "row_id") == 0  # key moved
