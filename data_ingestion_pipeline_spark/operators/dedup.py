@@ -13,6 +13,8 @@ SimHash gives the complementary Hamming-distance formulation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,6 +107,42 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, bucket) — one row per (doc, band); bucket =
+    xxhash64 over the band's signature slice. A PURE FUNCTION of the
+    text, so band rows computed for today's crawl batch are identical
+    to rows an index persisted last month — the property incremental
+    probing (minhash_index_probe) rests on."""
+    rows_per_band = N_HASHES // N_BANDS
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            b,
+                            F.concat_ws(
+                                ",",
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via LSH banding + signature-estimated
     Jaccard.
@@ -120,29 +158,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (xxhash64 is Spark-specific); ground-truthed
     against ngram_jaccard_pairs in tests/test_dedup.py.
     """
-    rows_per_band = N_HASHES // N_BANDS
-    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ":",
-                            b,
-                            F.concat_ws(
-                                ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = _minhash_band_rows(
+        minhash_signatures(load_table(spark, sf_dir, "documents"))
+    )
 
     a = bands.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
@@ -753,6 +771,190 @@ def minhash_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = jaccard_prefix_join(spark, sf_dir)
     cand = (
         minhash_lsh_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("found", F.lit(1))
+    )
+    graded = exact.join(cand, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.coalesce(F.col("found"), F.lit(0)).alias("found"),
+    )
+    pairs = graded.select(
+        F.lit("pair").alias("kind"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(None).cast("long").alias("n"),
+        (
+            (F.col("found") == 1)
+            | (F.col("jaccard") < F.lit(MINHASH_AUDIT_SURE_J))
+        ).alias("ok"),
+    )
+    recall = graded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("found"), F.lit(0)).alias("hits"),
+    ).select(
+        F.lit("recall").alias("kind"),
+        F.lit(None).cast("long").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("n") == 0, F.lit(True))
+        .otherwise(
+            F.col("hits").cast("double")
+            >= F.lit(MINHASH_AUDIT_RECALL_FLOOR) * F.col("n").cast("double")
+        )
+        .alias("ok"),
+    )
+    return pairs.unionByName(recall)
+
+
+# ---- persisted MinHash band index: continuous-crawl near-dup --------
+# The ANN persisted-index pattern (operators/similarity.py) applied to
+# text near-dup: at 100 TB a crawl pipeline cannot re-run LSH over the
+# whole standing corpus per batch — it maintains the band index as a
+# versioned table and pays O(batch + bucket matches) per crawl:
+# the new docs are shingled/hashed ONCE, the indexed corpus is never
+# re-shingled, the probe is one equi-join against the index, and the
+# batch's own band rows append by reference (append_version_clustered
+# carries every prior index file untouched).
+
+_MINHASH_INDEX_PARAMS = {
+    "n_hashes": N_HASHES,
+    "n_bands": N_BANDS,
+    "shingle_k": SHINGLE_K,
+}
+
+
+def minhash_index_append(
+    spark: SparkSession, path: str, docs: DataFrame
+) -> int:
+    """Create-or-extend the persisted band index with `docs`' band
+    rows — (doc_id, sig, band, bucket), clustered by a derived copy
+    of the band (p_band; partitionBy strips the cluster column, the
+    identity-entry pattern keeps `band` itself readable). The first
+    call creates v1; every later call is an APPEND-SHAPED commit:
+    prior index files carry by reference, write cost is O(batch)
+    regardless of index size. LSH params ride in manifest meta and a
+    mismatched probe/append refuses — bucket keys from different
+    (n_hashes, n_bands, shingle_k) are incomparable garbage."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    prior = V.manifest_meta(path).get("minhash_index")
+    if prior is not None and prior != _MINHASH_INDEX_PARAMS:
+        raise ValueError(
+            f"index at {path!r} was built with {prior}; engine is at "
+            f"{_MINHASH_INDEX_PARAMS} — rebuild the index"
+        )
+    bands = _minhash_band_rows(minhash_signatures(docs)).withColumn(
+        "p_band", F.col("band")
+    )
+    return V.append_version_clustered(
+        spark, path, bands, "p_band",
+        meta={"minhash_index": _MINHASH_INDEX_PARAMS},
+    )
+
+
+def minhash_index_probe(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> DataFrame:
+    """Near-dup candidate pairs of `new_docs` against the INDEXED
+    corpus and within `new_docs` — (doc_a, doc_b, est_jaccard),
+    doc_a < doc_b, est ≥ JACCARD_THRESHOLD. The new batch is
+    shingled/hashed once; the index contributes only its stored band
+    rows through one equi-join on (band, bucket) — fan-out tracks
+    bucket co-occupancy (true duplicate density), never index × batch.
+    Signatures stored in the index make the Jaccard estimate
+    index-local too: no text column is ever read back."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    params = V.manifest_meta(path).get("minhash_index")
+    if params != _MINHASH_INDEX_PARAMS:
+        raise ValueError(
+            f"index at {path!r} carries params {params}; engine is at "
+            f"{_MINHASH_INDEX_PARAMS} — rebuild the index"
+        )
+    nb = _minhash_band_rows(minhash_signatures(new_docs))
+    idx = V.read_version(spark, path).select("doc_id", "sig", "band", "bucket")
+
+    a = nb.select(
+        "band", "bucket",
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+    )
+    old = idx.select(
+        "band", "bucket",
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+    )
+    new_b = nb.select(
+        "band", "bucket",
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+    )
+    # new-vs-index (either id order; normalized below) + new-vs-new
+    pairs = (
+        a.join(old, ["band", "bucket"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .unionByName(
+            a.join(new_b, ["band", "bucket"]).filter(
+                F.col("doc_a") < F.col("doc_b")
+            )
+        )
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(N_HASHES))
+    return (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            "sig_a",
+            "sig_b",
+        )
+        .dropDuplicates(["pa", "pb"])
+        .withColumn("est_jaccard", est)  # symmetric in (sig_a, sig_b)
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("pa").alias("doc_a"),
+            F.col("pb").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+
+
+def minhash_incremental_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production path of the incremental lifecycle: index the
+    standing corpus (doc_id % 3 != 0), probe the new crawl batch
+    (doc_id % 3 == 0). Deterministic split; identical signatures to
+    the batch operator, so the probe finds exactly the
+    minhash_lsh_candidates pairs that involve ≥1 batch doc (pinned in
+    tests/test_dedup.py)."""
+    import shutil as _shutil
+
+    from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("minhash_index", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    minhash_index_append(spark, path, docs.filter(F.col("doc_id") % 3 != 0))
+    return minhash_index_probe(
+        spark, path, docs.filter(F.col("doc_id") % 3 == 0)
+    )
+
+
+def minhash_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded form (the minhash_lsh_recall_audit pattern): exact
+    Jaccard-≥0.5 pairs RESTRICTED to pairs involving ≥1 batch doc,
+    each marked found-by-probe (ok = found, or below the sure-recall
+    threshold), plus the aggregate recall row."""
+    exact = jaccard_prefix_join(spark, sf_dir).filter(
+        (F.col("doc_a") % 3 == 0) | (F.col("doc_b") % 3 == 0)
+    )
+    cand = (
+        minhash_incremental_candidates(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("found", F.lit(1))
     )

@@ -2070,6 +2070,34 @@ REGISTRY: dict[str, QuerySpec] = {
         ground_truth="tests/test_dedup.py::test_minhash_lsh_vs_exact",
         bench_fn=dedup.minhash_lsh_candidates,
     ),
+    "minhash_incremental_probe": QuerySpec(
+        # persisted band index + O(batch) probe (r15): the standing
+        # corpus (doc_id % 3 != 0) is indexed once as a versioned
+        # band-clustered table; the crawl batch (% 3 == 0) is
+        # shingled/hashed once and probed via one (band, bucket)
+        # equi-join — indexed texts never re-shingled, appends carry
+        # prior index files by reference. Graded as a recall audit
+        # against exact Jaccard restricted to batch-involving pairs
+        # (the minhash_lsh_candidates evidence pattern); probe ≡
+        # batch-LSH on the same pairs is pinned in tests.
+        dedup.minhash_incremental_audit,
+        f"""
+        WITH ex AS ({_NGRAM_JACCARD_SQL}),
+        fx AS (
+            SELECT * FROM ex
+            WHERE doc_a % 3 = 0 OR doc_b % 3 = 0
+        )
+        SELECT 'pair' AS kind, doc_a, doc_b, jaccard,
+               CAST(NULL AS BIGINT) AS n, TRUE AS ok
+        FROM fx
+        UNION ALL
+        SELECT 'recall', NULL, NULL, NULL,
+               CAST(COUNT(*) AS BIGINT), TRUE
+        FROM fx
+        """,
+        ground_truth="tests/test_dedup.py::test_minhash_index_probe_matches_batch_lsh",
+        bench_fn=dedup.minhash_incremental_candidates,
+    ),
     "simhash_buckets": QuerySpec(
         # md5-leaf twin for grading; bench times the xxhash64
         # production path (r9 VERDICT §wrong 4: md5-per-token is a

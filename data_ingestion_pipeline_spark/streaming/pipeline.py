@@ -1870,7 +1870,18 @@ def run_cdf_replica_stream(
                 meta={"cdf_acked": hi},
             )
             return
-        diff = V.table_changes(sess, src_path, acked, hi, keys)
+        try:
+            diff = V.table_changes(sess, src_path, acked, hi, keys)
+        except FileNotFoundError as e:
+            # the acked snapshot was vacuumed out from under a slow
+            # stream — same condition (and remedy) as the batch
+            # cursor's consume_changes
+            raise ValueError(
+                f"acked version v{acked} of {src_path} has been "
+                "vacuumed; the stream cannot reconstruct the gap — "
+                "re-seed the replica (table_changes_between_tables) "
+                "and restart from a fresh checkpoint"
+            ) from e
         V.apply_changes_mor(
             sess, rep_path, diff, keys, meta={"cdf_acked": hi}
         )

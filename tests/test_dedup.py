@@ -747,3 +747,61 @@ def test_bpe_arrow_path_compiles_at_production_vocab(spark):
     assert [list(t) for t in got[2]] == [
         bpe_encode_word(w, merges) for w in "sort column art".split()
     ]
+
+
+def test_minhash_index_probe_matches_batch_lsh(spark, tmp_path):
+    """The persisted-index probe finds EXACTLY the batch-LSH pairs
+    that involve ≥1 batch doc: signatures and bucket keys are pure
+    functions of the text, so index rows persisted earlier cogroup
+    identically to rows the batch operator computes fresh. Also pins
+    the O(batch) append shape (prior index files carried by
+    reference) and the param-mismatch refusal."""
+    import os
+
+    import pytest
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_TEST, "documents")
+    path = str(tmp_path / "mhidx")
+    os.makedirs(path)
+
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    dedup.minhash_index_append(spark, path, corpus)
+    m1 = V._manifest(path)
+
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_index_probe(spark, path, batch).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_candidates(spark, SF_TEST).collect()
+        if r.doc_a % 3 == 0 or r.doc_b % 3 == 0
+    }
+    assert got == want
+
+    # append is O(batch): every prior index file carries by reference
+    dedup.minhash_index_append(spark, path, batch)
+    m2 = V._manifest(path)
+    assert set(m1["files"]) <= set(m2["files"])
+
+    # after the append, probing a FURTHER batch sees the first batch
+    # as part of the indexed corpus (here: empty batch → no pairs)
+    empty = batch.filter(F.lit(False))
+    assert dedup.minhash_index_probe(spark, path, empty).count() == 0
+
+    # param drift refuses instead of serving incomparable buckets
+    meta_path = os.path.join(path, f"manifest_v{m2['version']}.json")
+    import json as _json
+
+    with open(meta_path) as fh:
+        mm = _json.load(fh)
+    mm["meta"]["minhash_index"] = {**mm["meta"]["minhash_index"], "n_bands": 4}
+    V._atomic_json(meta_path, mm)
+    with pytest.raises(ValueError, match="rebuild"):
+        dedup.minhash_index_probe(spark, path, batch)
+    with pytest.raises(ValueError, match="rebuild"):
+        dedup.minhash_index_append(spark, path, batch)
