@@ -6512,6 +6512,37 @@ def advance_identity(path: str, id_col: str, new_hwm: int) -> int:
             fcntl.flock(fh, fcntl.LOCK_UN)
 
 
+def reserve_identity(path: str, id_col: str, n: int) -> int:
+    """Atomically reserve the id range [start, start+n) — the
+    CONCURRENT-WRITER identity protocol: the read-and-advance runs
+    under the property flock, so two appenders' ranges are disjoint
+    BEFORE either commits (their blind appends then commute through
+    the rebase path). A writer that crashes after reserving leaves a
+    GAP in the id space, never a duplicate — exactly Delta's identity
+    contract (gaps allowed, reuse never). Single-writer pipelines
+    that want gap-free density call advance_identity AFTER the
+    publish instead (identity_column_appends does); the two modes
+    share the same monotonic property file. Returns start."""
+    import fcntl
+
+    if n < 0:
+        raise ValueError(f"cannot reserve a negative range ({n})")
+    with open(os.path.join(path, IDENTITY_FILE + ".lock"), "a") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            try:
+                with open(os.path.join(path, IDENTITY_FILE)) as f2:
+                    state = json.load(f2)
+            except FileNotFoundError:
+                state = {}
+            start = int(state.get(id_col, 0))
+            state[id_col] = start + int(n)
+            _atomic_json(os.path.join(path, IDENTITY_FILE), state)
+            return start
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
 def assign_identity(
     df: DataFrame,
     id_col: str,

@@ -236,3 +236,61 @@ def ensure_xl() -> str:
 
 if __name__ == "__main__":
     print(ensure())
+
+
+# ---- sf10-equivalent embeddings (200k) — the LSH flattening decade --
+# r15: LSH_BANDS.json attributes embedding_near_dup_lsh's 1.343 alpha
+# to T ∝ n^ρ growth that CAPS at MAX_BAND_TABLES between the 2k and
+# 20k decades; the analysis predicts the exponent FALLS past the cap
+# (T frozen, per-table collisions ≈ n by the b ≈ log₂n design). This
+# fixture is the decade that tests the prediction. Same dup structure
+# as _embeddings (6% near-dups, family ≤ 3, cosine ~0.99), seeded.
+OUT_XL_EMB = ROOT / ".growth_fixture" / "sf10emb"
+N_EMB_XL = 200_000
+
+
+def ensure_xl_emb() -> str:
+    """Generate the 200k-embedding fixture if absent; return its dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done = OUT_XL_EMB / "_GENERATED"
+    if done.is_file():
+        return str(OUT_XL_EMB)
+    os.makedirs(OUT_XL_EMB, exist_ok=True)
+    rng = np.random.RandomState(SEED + 7)
+    E = rng.randn(N_EMB_XL, DIM)
+    dup_mask = (np.arange(N_EMB_XL) > 100) & (rng.rand(N_EMB_XL) < 0.06)
+    copies = np.zeros(N_EMB_XL, dtype=np.int32)
+    for i in np.flatnonzero(dup_mask):
+        j = rng.randint(0, i)
+        if dup_mask[j] or copies[j] >= 2:
+            continue  # copies never copy copies; family size ≤ 3
+        copies[j] += 1
+        E[i] = E[j] + 0.05 * rng.randn(DIM)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    import pandas as pd
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(N_EMB_XL, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in E],
+            "label": rng.randint(0, 10, size=N_EMB_XL).astype(np.int32),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            emb,
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        OUT_XL_EMB / "embeddings.parquet",
+    )
+    done.write_text(f"seed={SEED + 7} emb={N_EMB_XL}\n")
+    return str(OUT_XL_EMB)

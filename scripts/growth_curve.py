@@ -69,6 +69,7 @@ SEGMENTS = ["sf0.01->sf0.1", "sf0.1->sf1eq(generated)"]
 # candidate joins — the class the alpha gate exists for.
 OPS = {
     "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
+    "minhash_incremental_probe": dedup.minhash_incremental_candidates,
     "simhash_candidates": dedup.simhash_candidates,
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
     "jaccard_prefix_join": dedup.jaccard_prefix_join,

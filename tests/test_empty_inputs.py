@@ -64,6 +64,7 @@ _SUMMARY_ROWS = {
     "ann_ivfpq_index_roundtrip": _ANN_AUDIT_EMPTY,
     "ann_ivfpq_index_append_roundtrip": _ANN_AUDIT_EMPTY,
     "minhash_lsh_candidates": _PAIR_AUDIT_EMPTY,
+    "minhash_incremental_probe": _PAIR_AUDIT_EMPTY,
     "embedding_near_dup_lsh": _PAIR_AUDIT_EMPTY,
     "semantic_dedup": _PAIR_AUDIT_EMPTY,
     # the audit checksum of an EMPTY snapshot is the defined zero

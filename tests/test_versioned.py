@@ -3470,9 +3470,10 @@ def test_identity_assignment_distributed(spark):
 
 
 def test_identity_hwm_survives_appends(spark, tmp_path):
-    """The id high-watermark rides in commit meta: a third append
-    continues where the entry's two left off — no id reuse even
-    after unrelated commits."""
+    """A third append continues where the entry's two left off — no
+    id reuse. (The authoritative mark is the _IDENTITY.json property
+    since r15; the commit meta copy asserted here is the audit
+    trail.)"""
     import shutil
 
     # run the registry lifecycle into a private scratch
@@ -3864,3 +3865,63 @@ def test_rename_migrates_identity_high_water(spark, tmp_path):
     versioned.rename_column(spark, path, "row_id", "rid")
     assert versioned.identity_high_water(path, "rid") == 40
     assert versioned.identity_high_water(path, "row_id") == 0  # key moved
+
+
+def test_two_process_identity_reservation_race(spark, tmp_path):
+    """Two PROCESSES append identity-tagged batches concurrently with
+    NO coordination beyond reserve_identity: the flock-held
+    read-and-advance makes their ranges disjoint before either
+    commits, the blind appends self-rebase, and the final table holds
+    every row with globally UNIQUE, DENSE ids (no crash → no gap)."""
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    path = str(tmp_path / "idrace")
+    os.makedirs(path)
+    start_flag = str(tmp_path / "go")
+
+    worker = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, {root!r})
+        from pyspark.sql import SparkSession, functions as F
+        from data_ingestion_pipeline_spark.operators import versioned as V
+
+        proc, path, flag = sys.argv[1], sys.argv[2], sys.argv[3]
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .appName("idrace-" + proc).getOrCreate())
+        while not os.path.exists(flag):
+            time.sleep(0.01)
+        basev = 0 if proc == "a" else 1000
+        for seq in range(5):
+            rows = [(basev + seq * 10 + k,) for k in range(10)]
+            df = spark.createDataFrame(rows, "marker bigint")
+            start = V.reserve_identity(path, "rid", df.count())
+            tagged = V.assign_identity(
+                df, "rid", ["marker"], start=start
+            ).withColumn("shard", (F.col("marker") % 2).cast("int"))
+            V.append_version_clustered(spark, path, tagged, "shard")
+        print("DONE", proc, flush=True)
+        """
+    ).format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, p, path, start_flag],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for p in ("a", "b")
+    ]
+    _time.sleep(1)
+    open(start_flag, "w").close()
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    rows = versioned.read_version(spark, path).collect()
+    assert len(rows) == 100  # 2 procs x 5 batches x 10 rows
+    ids = sorted(r.rid for r in rows)
+    assert ids == list(range(100))  # unique AND dense: no clash, no gap
+    assert versioned.identity_high_water(path, "rid") == 100
