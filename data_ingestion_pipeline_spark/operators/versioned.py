@@ -658,6 +658,50 @@ def _retired_cols(path: str) -> list[str]:
         return []
 
 
+def unretire_column(path: str, col: str, force: bool = False) -> None:
+    """Operator escape hatch for ABORTED-DDL retirement residue
+    (ADVICE r15): rename/drop retire the old name BEFORE publishing
+    (crash-ordering: retired-but-live is harmless, live-DDL-but-
+    unretired resurrects data), so a publish that loses its OCC race
+    (ConcurrentCommitError) and is never retried leaves the name
+    retired while the column stays live — unversioned residue from a
+    commit that officially aborted.
+
+    Safe by construction when the column is STILL IN the current
+    schema: that is exactly the aborted-DDL signature, and a live
+    name needs no resurrection protection (nothing to re-add). When
+    the column is NOT live, unretiring genuinely re-opens the
+    name-mapped resurrection hazard — pre-DDL files physically carry
+    the old name and a later evolve_schema add would serve their
+    stale values — so it is refused unless ``force=True`` (for
+    operators who have purged/rewritten every pre-DDL file and
+    verified no live file carries the physical column)."""
+    retired = _retired_cols(path)
+    if col not in retired:
+        return
+    if not force:
+        from pyspark.sql import types as T
+
+        live: set[str] = set()
+        cur = current_version(path)
+        if cur:
+            m = _manifest(path, cur)
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            live = {f.name for f in schema.fields}
+        if col not in live:
+            raise ValueError(
+                f"column {col!r} is retired and NOT in the current "
+                "schema — unretiring would let evolve_schema re-add "
+                "the name and resurrect its physical values from "
+                "pre-DDL files; pass force=True only after rewriting "
+                "every file that still carries it"
+            )
+    _atomic_json(
+        os.path.join(path, RETIRED_COLS_FILE),
+        [c for c in retired if c != col],
+    )
+
+
 def drop_column(
     spark: SparkSession,
     path: str,
@@ -736,7 +780,11 @@ def drop_column(
     # rename_column: retired-but-still-live is harmless (retirement
     # only gates ADDING a name), dropped-but-unretired lets a later
     # evolve_schema re-add the name and resurrect pre-drop physical
-    # values (ADVICE r14).
+    # values (ADVICE r14). Residue note (ADVICE r15): if the publish
+    # below ABORTS (ConcurrentCommitError) and is never retried, the
+    # retirement persists while the column stays live — unversioned
+    # state from an aborted commit. Deliberate trade against the
+    # resurrection hazard; unretire_column is the audited escape hatch.
     retired = _retired_cols(path)
     if col not in retired:
         _atomic_json(
@@ -1010,6 +1058,9 @@ def rename_column(
     # evolve_schema could re-add `old` and pre-rename files would
     # serve a physical read schema with duplicate field names — the
     # resurrection hazard retirement exists to block (ADVICE r14).
+    # Residue note (ADVICE r15): an ABORTED publish
+    # (ConcurrentCommitError, never retried) leaves `old` retired but
+    # still live — unretire_column is the audited escape hatch.
     retired = _retired_cols(path)
     if old not in retired:
         _atomic_json(os.path.join(path, RETIRED_COLS_FILE), retired + [old])
@@ -3831,6 +3882,25 @@ class LocalPointerCAS:
     the pointer and os.replace()s it — correct because the lock is
     held across the section, so the re-read cannot go stale.
 
+    - ``put_if_absent(path, name, payload)``: create the version-named
+      manifest object iff no object with that name exists; raise
+      ConcurrentCommitError otherwise. This is the third leg of the
+      protocol (ADVICE r15): without it, in the no-lock object-store
+      mode a same-version loser would clobber the winner's
+      ALREADY-PUBLISHED manifest with its own content before its swap
+      is rejected — the swap would then correctly abort the loser, but
+      the published version's manifest would already be corrupted.
+
+    Local-FS default (this class): flock for the lock; swap re-reads
+    the pointer and os.replace()s it — correct because the lock is
+    held across the section, so the re-read cannot go stale.
+    put_if_absent here leans on the same flock: an existing object for
+    an UNPUBLISHED version (the monotonicity guard already excluded
+    published ones) is provably an orphan from a crashed earlier
+    attempt — no live competitor can be mid-publish while we hold the
+    lock — so it is taken over with an atomic replace, preserving the
+    pre-r16 crash-retry liveness.
+
     Object-store deployment: there is no flock — publish_lock
     degrades to a no-op and ALL serialization moves into swap() as a
     CONDITIONAL PUT of the pointer object (S3 If-Match on the read
@@ -3840,10 +3910,18 @@ class LocalPointerCAS:
     loser aborts with ConcurrentCommitError before any shared-name
     mutation and the caller re-reads and retries. Manifest objects
     are version-named (contested only by a writer of the SAME
-    version, which the swap then rejects) and become put-if-absent.
-    A swap of primitive, never of protocol.
+    version) and put_if_absent maps to a conditional CREATE (S3
+    If-None-Match:*, GCS x-goog-if-generation-match:0, ADLS
+    If-None-Match:*): the precondition failure aborts the loser
+    BEFORE the winner's manifest is touched. Crashed-attempt orphans
+    (manifest present, pointer never advanced) need an out-of-band
+    janitor in that mode (delete manifest objects above the pointer
+    past a TTL) — the no-lock primitive cannot distinguish a slow
+    live writer from a dead one. A swap of primitive, never of
+    protocol.
     tests/test_versioned.py::test_conditional_put_loss_retries_cleanly
-    drives a simulated lost conditional put through this seam."""
+    and ::test_same_version_loser_cannot_clobber_published_manifest
+    drive simulated conditional-put losses through this seam."""
 
     def publish_lock(self, path: str):
         import fcntl
@@ -3871,6 +3949,34 @@ class LocalPointerCAS:
         with open(tmp, "w") as fh:
             fh.write(str(new))
         os.replace(tmp, os.path.join(path, POINTER))
+
+    def put_if_absent(self, path: str, name: str, payload: dict) -> None:
+        target = os.path.join(path, name)
+        if os.path.exists(target):
+            # Under the publish flock no live competitor can be
+            # mid-publish, and the monotonicity guard already rejected
+            # published versions — the existing object is a crashed
+            # attempt's orphan. Take it over atomically (retry
+            # liveness); an object-store CAS raises here instead.
+            _atomic_json(target, payload)
+            return
+        # O_EXCL-equivalent create with no torn-file window: write the
+        # full payload to a unique tmp, then hard-link it into place —
+        # link(2) fails with EEXIST if a competitor landed first.
+        tmp = target + f".pia.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"manifest object {name} was created by a concurrent "
+                f"same-version writer; re-read and retry"
+            )
+        finally:
+            os.unlink(tmp)
 
 
 _POINTER_CAS = LocalPointerCAS()
@@ -3937,7 +4043,18 @@ def _publish_manifest_locked(
             manifest["renames"] = prev["renames"]
     enc = _encode_manifest(path, manifest, prev=prev)
     _occ_check(path, expected_current)
-    _atomic_json(_manifest_path(path, v), enc)
+    # The version-named manifest write goes through the CAS object too
+    # (ADVICE r15): in no-lock object-store mode a same-version loser
+    # must fail HERE — before clobbering the winner's already-published
+    # manifest — not at the later pointer swap. Third-party CAS
+    # objects that predate the seam fall back to the clobbering write,
+    # which is exactly their pre-r16 behavior.
+    cas_put = getattr(_POINTER_CAS, "put_if_absent", None)
+    rel = os.path.relpath(_manifest_path(path, v), path)
+    if cas_put is not None:
+        cas_put(path, rel, enc)
+    else:
+        _atomic_json(_manifest_path(path, v), enc)
     _occ_check(path, expected_current)
     # the serialization point: under the local flock cur_now is still
     # current (writers plan v = cur+1, so expected == v-1 == cur_now);

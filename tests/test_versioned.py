@@ -3745,6 +3745,150 @@ def test_conditional_put_loss_retries_cleanly(spark, tmp_path):
     assert versioned.read_version(spark, path, 1).count() == 100
 
 
+def test_same_version_loser_cannot_clobber_published_manifest(
+    spark, tmp_path
+):
+    """ADVICE r15 (medium): the version-named manifest write routes
+    through the CAS object's put_if_absent, so in no-lock object-store
+    mode a same-version loser whose competitor ALREADY published
+    (manifest object + winning pointer put, both landing between the
+    loser's monotonicity check and its manifest write) fails its
+    conditional CREATE before touching the winner's manifest — the
+    published version's content survives intact."""
+    import json as _json
+
+    import pytest
+    from contextlib import nullcontext
+
+    path = str(tmp_path / "casmf")
+    os.makedirs(path)
+    ev = _events(spark).limit(50)
+    versioned.commit_version(spark, path, ev)  # v1
+
+    local = versioned.LocalPointerCAS()
+
+    class ObjectStoreCAS:
+        """publish_lock degraded to a no-op (the documented mode);
+        manifests are conditional creates. The first put is
+        interleaved with a competitor's full same-version publish."""
+
+        def __init__(self):
+            self.armed = True
+
+        def publish_lock(self, p):
+            return nullcontext()
+
+        def swap(self, p, expected, new):
+            local.swap(p, expected, new)
+
+        def put_if_absent(self, p, name, payload):
+            target = os.path.join(p, name)
+            if self.armed:
+                self.armed = False
+                v = int(name[len("manifest_v"):-len(".json")])
+                competing = dict(payload)
+                competing["meta"] = {"writer": "competing"}
+                with open(target, "x") as fh:  # competitor's create
+                    _json.dump(competing, fh)
+                local.swap(p, v - 1, v)  # competitor's winning put
+            try:
+                with open(target, "x") as fh:
+                    _json.dump(payload, fh)
+            except FileExistsError:
+                raise versioned.ConcurrentCommitError(
+                    f"conditional create of {name} rejected "
+                    f"(If-None-Match precondition failed)"
+                )
+
+    prev_cas = versioned.set_pointer_cas(ObjectStoreCAS())
+    try:
+        extra = ev.withColumn("event_id", F.col("event_id") + 1_000_000)
+        with pytest.raises(versioned.ConcurrentCommitError):
+            versioned.upsert_version(spark, path, extra, ["event_id"])
+        # the winner's published manifest was never clobbered
+        assert versioned.current_version(path) == 2
+        assert versioned._manifest(path, 2)["meta"]["writer"] == "competing"
+        # the documented re-read-and-retry loop then wins v3
+        for _ in range(3):
+            try:
+                versioned.upsert_version(spark, path, extra, ["event_id"])
+                break
+            except versioned.ConcurrentCommitError:
+                continue
+        else:
+            raise AssertionError("retry loop never won")
+    finally:
+        versioned.set_pointer_cas(prev_cas)
+
+    assert versioned.current_version(path) == 3
+    assert versioned._manifest(path, 2)["meta"]["writer"] == "competing"
+    assert versioned.read_version(spark, path).count() == 100
+
+
+def test_orphan_manifest_takeover_local(spark, tmp_path):
+    """Crash-retry liveness under the local flock: a crashed attempt's
+    orphan manifest (object present, pointer never advanced) must not
+    wedge the version — under the lock no live competitor can be
+    mid-publish, so LocalPointerCAS.put_if_absent takes the orphan
+    over and the retry commits normally."""
+    import json as _json
+
+    path = str(tmp_path / "orphan")
+    os.makedirs(path)
+    ev = _events(spark).limit(40)
+    versioned.commit_version(spark, path, ev)  # v1
+    # simulate: a writer crashed after its manifest write, before swap
+    with open(versioned._manifest_path(path, 2), "w") as fh:
+        _json.dump({"version": 2, "files": [], "schema": [], "torn": 1}, fh)
+    assert versioned.current_version(path) == 1
+    versioned.commit_version(
+        spark, path, ev.withColumn("value", F.col("value") * 2)
+    )
+    assert versioned.current_version(path) == 2
+    m = versioned._manifest(path, 2)
+    assert "torn" not in m and versioned.read_version(
+        spark, path, 2
+    ).count() == 40
+
+
+def test_unretire_column_escape_hatch(spark, tmp_path, monkeypatch):
+    """ADVICE r15 (low): a rename/drop whose publish ABORTS
+    (ConcurrentCommitError, never retried) leaves its retirement
+    sidecar as residue — the name is retired while the column stays
+    live. unretire_column clears exactly that case (column still in
+    the current schema), refuses the genuinely hazardous one (column
+    gone: pre-DDL files physically carry it) without force=True, and
+    is a no-op for never-retired names."""
+    import pytest
+
+    path = str(tmp_path / "unret")
+    os.makedirs(path)
+    versioned.commit_version(spark, path, _events(spark).limit(30))
+
+    def lose(*a, **k):
+        raise versioned.ConcurrentCommitError("simulated OCC loss")
+
+    monkeypatch.setattr(versioned, "_publish_manifest", lose)
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.rename_column(spark, path, "value", "reading")
+    monkeypatch.undo()
+    # the residue: aborted DDL, name retired but column live
+    assert versioned.current_version(path) == 1
+    assert "value" in versioned._retired_cols(path)
+
+    versioned.unretire_column(path, "value")
+    assert "value" not in versioned._retired_cols(path)
+    versioned.unretire_column(path, "never_retired")  # no-op
+
+    # a COMPLETED drop: unretiring without force is the resurrection
+    # hazard and must be refused; force clears it
+    versioned.drop_column(spark, path, "event_type")
+    with pytest.raises(ValueError, match="force=True"):
+        versioned.unretire_column(path, "event_type")
+    versioned.unretire_column(path, "event_type", force=True)
+    assert "event_type" not in versioned._retired_cols(path)
+
+
 def test_identity_hwm_survives_ddl_and_restore(spark, tmp_path):
     """The identity high-water mark is a TABLE PROPERTY, not commit
     meta (r15 audit): DDL, RESTORE, and maintenance commits write
