@@ -1848,10 +1848,28 @@ def run_cdf_replica_stream(
     data it acknowledges — a crash between replica commit and stream
     checkpoint replays the batch, the acked guard skips it, and the
     merge's content-idempotence backstops even a torn guard:
-    at-least-once delivery, exactly-once replica state."""
+    at-least-once delivery, exactly-once replica state.
+
+    The cursor READ walks replica history backward to the newest
+    commit that carries ``cdf_acked`` (ADVICE r15): reading only the
+    CURRENT manifest's meta was the same meta-riding trap the
+    identity high-water mark escaped in r15 — any non-stream commit
+    to the replica (compaction, DDL, maintenance) rides in with its
+    own meta, the cursor would silently read as 0, and the next batch
+    would call table_changes(src, 0, hi) and wedge the stream with a
+    misleading 'vacuumed' error. The walk is newest-first and the
+    stream's own commits all carry the key, so it terminates in
+    O(maintenance commits since the last drain), not O(history)."""
     from data_ingestion_pipeline_spark.operators import versioned as V
 
     os.makedirs(rep_path, exist_ok=True)
+
+    def _acked() -> int:
+        for v in range(V.current_version(rep_path), 0, -1):
+            meta = V.manifest_meta(rep_path, v)
+            if "cdf_acked" in meta:
+                return int(meta["cdf_acked"])
+        return 0
 
     def _apply(bdf: DataFrame, batch_id: int) -> None:
         sess = bdf.sparkSession
@@ -1859,7 +1877,7 @@ def run_cdf_replica_stream(
         if not versions:
             return
         hi = max(versions)
-        acked = int(V.manifest_meta(rep_path).get("cdf_acked", 0))
+        acked = _acked()
         if hi <= acked:
             return  # replayed batch: already applied
         if V.current_version(rep_path) == 0:

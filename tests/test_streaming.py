@@ -408,3 +408,54 @@ def test_stream_cdf_replica_replay_is_noop(spark, tmp_path):
     want2 = sorted(map(tuple, V.read_version(spark, src).collect()))
     assert sorted(map(tuple, V.read_version(spark, rep).collect())) == want2
     assert int(V.manifest_meta(rep)["cdf_acked"]) == V.current_version(src)
+
+
+def test_stream_cdf_replica_survives_replica_maintenance(spark, tmp_path):
+    """ADVICE r15 (low): a non-stream commit to the REPLICA
+    (compaction here; any maintenance/DDL commit behaves the same)
+    rides in with its own meta, so a cursor that read only the current
+    manifest's 'cdf_acked' silently saw 0 and the next batch wedged on
+    table_changes(src, 0, hi) with a misleading 'vacuumed' error. The
+    cursor read now walks replica history backward to the newest
+    commit carrying the key, so the drain after maintenance applies
+    exactly the new source commits and converges."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.streaming.pipeline import (
+        run_cdf_replica_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    os.makedirs(src)
+    ev = (
+        load_table(spark, SF_TEST, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(300)
+    )
+    V.commit_version(spark, src, ev)
+    V.upsert_version(
+        spark,
+        src,
+        ev.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") + 77.0
+        ),
+        ["event_id"],
+    )
+    ck = str(tmp_path / "ck")
+    run_cdf_replica_stream(spark, src, rep, ["event_id"], ck)
+    acked_src = V.current_version(src)
+
+    # maintenance commits on the replica: DV materialization then a
+    # bin-pack compaction — neither meta carries cdf_acked
+    V.materialize_deletes(spark, rep)
+    V.compact_files(spark, rep, min_files=1)
+    assert "cdf_acked" not in V.manifest_meta(rep)
+
+    # a new source commit, then the drain: pre-fix this raised the
+    # 'vacuumed' ValueError via table_changes(src, 0, hi)
+    V.delete_rows_dv(spark, src, F.col("event_type") == "click")
+    run_cdf_replica_stream(spark, src, rep, ["event_id"], ck)
+    want = sorted(map(tuple, V.read_version(spark, src).collect()))
+    assert sorted(map(tuple, V.read_version(spark, rep).collect())) == want
+    assert int(V.manifest_meta(rep)["cdf_acked"]) == V.current_version(src)
+    assert V.current_version(src) == acked_src + 1
