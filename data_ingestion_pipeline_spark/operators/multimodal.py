@@ -39,6 +39,7 @@ payloads fit executor memory.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -156,6 +157,53 @@ def _soundfile_available() -> bool:
         return False
 
 
+def _use_real_codec(driver_has_it: bool, label: str) -> bool:
+    """Resolve the codec dispatch ONCE, at plan time, on the driver —
+    and make it pinnable (ADVICE r15): inferring from the driver's
+    site-packages alone means a driver/executor divergence either
+    fails mid-stage (driver has the codec, executors don't) or flips
+    a run between real and stand-in output for consumers that assumed
+    one codec. ``MULTIMODAL_CODEC`` pins it:
+
+    - ``real``    — real codec, no fallback; raises AT PLAN TIME if
+                    the driver can't import it, and the executor-side
+                    import error names the pin and the remedy (ship
+                    the wheel via --py-files/pex, or repin). Never
+                    silently degrades.
+    - ``standin`` — deterministic stand-in everywhere, even on a
+                    codec-equipped cluster (what the oracle-graded
+                    entries and any reproducibility-sensitive corpus
+                    build want).
+    - ``auto``    — (default) driver probe, the r15 behavior.
+
+    The resolved branch is captured in the plan's closure, so a run's
+    output codec is a plan-time constant either way; the env var makes
+    it an EXPLICIT, recordable one."""
+    mode = os.environ.get("MULTIMODAL_CODEC", "auto").lower()
+    if mode not in ("auto", "real", "standin"):
+        raise ValueError(
+            f"MULTIMODAL_CODEC={mode!r}: expected auto|real|standin"
+        )
+    if mode == "standin":
+        return False
+    if mode == "real":
+        if not driver_has_it:
+            raise ImportError(
+                f"MULTIMODAL_CODEC=real is pinned but {label} is not "
+                "importable on the driver; install it or repin"
+            )
+        return True
+    return driver_has_it
+
+
+_EXECUTOR_IMPORT_HINT = (
+    "the codec was resolved 'real' at plan time on the driver, but "
+    "this executor cannot import it — driver/executor environments "
+    "diverge; ship the wheel with the job (--py-files / pex / conda "
+    "env) or pin MULTIMODAL_CODEC=standin for a deterministic run"
+)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode image payloads — REAL codec (Pillow) when importable,
     the deterministic stand-in otherwise (this container ships no
@@ -176,15 +224,21 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     design cannot match. Env-guarded parity:
     tests/test_multimodal.py (MULTIMODAL_REAL_CODECS=1), recipe in
     docs/real_codecs_test.md — the Kafka-live pattern applied to
-    codecs."""
-    if not _pillow_available():
+    codecs. Dispatch is resolved at plan time and pinnable via
+    MULTIMODAL_CODEC=auto|real|standin (see _use_real_codec)."""
+    if not _use_real_codec(_pillow_available(), "Pillow"):
         return decode_image_fake(df, payload_col)
     import numpy as np
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise ImportError(
+                f"decode_image: {_EXECUTOR_IMPORT_HINT}"
+            ) from e
 
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
@@ -505,15 +559,22 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     RMS/fingerprint pipeline consumes (first channel, 16-bit PCM
     little-endian — the stand-in's sample contract). Env-guarded
     parity: tests/test_multimodal.py (MULTIMODAL_REAL_CODECS=1),
-    recipe in docs/real_codecs_test.md."""
-    if not _soundfile_available():
+    recipe in docs/real_codecs_test.md. Dispatch is resolved at plan
+    time and pinnable via MULTIMODAL_CODEC=auto|real|standin (see
+    _use_real_codec)."""
+    if not _use_real_codec(_soundfile_available(), "soundfile"):
         return decode_audio_fake(df, payload_col)
     import numpy as np
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        import soundfile as sf
+        try:
+            import soundfile as sf
+        except ImportError as e:
+            raise ImportError(
+                f"decode_audio: {_EXECUTOR_IMPORT_HINT}"
+            ) from e
 
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"], "sample_rate": [],

@@ -98,6 +98,38 @@ def test_decode_dispatch_falls_back_to_standin(spark):
         )
 
 
+def test_codec_dispatch_is_pinnable(spark, monkeypatch):
+    """ADVICE r15: the codec dispatch must be an explicit plan-time
+    pin, not an inference from the driver's site-packages.
+    MULTIMODAL_CODEC=standin forces the stand-in regardless of what
+    the driver can import; =real with no driver codec fails AT PLAN
+    TIME (never a silent fallback or a mid-stage surprise); an
+    unknown value is rejected."""
+    docs = (
+        multimodal.with_binary_payload(load_table(spark, SF_TEST, "documents"))
+        .select("doc_id", "payload")
+        .limit(5)
+    )
+    monkeypatch.setenv("MULTIMODAL_CODEC", "standin")
+    img = {r.doc_id: r for r in multimodal.decode_image(docs).collect()}
+    fake = {r.doc_id: r for r in multimodal.decode_image_fake(docs).collect()}
+    assert {k: bytes(v.pixels) for k, v in img.items()} == {
+        k: bytes(v.pixels) for k, v in fake.items()
+    }
+
+    monkeypatch.setenv("MULTIMODAL_CODEC", "real")
+    if not multimodal._pillow_available():
+        with pytest.raises(ImportError, match="pinned"):
+            multimodal.decode_image(docs)
+    if not multimodal._soundfile_available():
+        with pytest.raises(ImportError, match="pinned"):
+            multimodal.decode_audio(docs)
+
+    monkeypatch.setenv("MULTIMODAL_CODEC", "bogus")
+    with pytest.raises(ValueError, match="auto|real|standin"):
+        multimodal.decode_image(docs)
+
+
 _REAL_CODECS = pytest.mark.skipif(
     os.environ.get("MULTIMODAL_REAL_CODECS") != "1",
     reason="MULTIMODAL_REAL_CODECS=1 not set (container ships no codec "
