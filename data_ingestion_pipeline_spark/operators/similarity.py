@@ -23,6 +23,7 @@ Overflow headroom: testdata embeddings are 64-dim with |x| ≤ 0.6, so
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1694,3 +1695,281 @@ def ann_ivfpq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, d: ann_ivfpq_index_probe(s, d, path),
         *ANN_AUDIT_FLOORS["ivfpq"],
     )
+
+
+# ---- persisted embedding-LSH band index: continuous-crawl near-dup --
+# (VERDICT r15 task 4): the minhash_index pattern (operators/dedup.py)
+# transferred to vectors. At 200k vectors the batch embedding LSH
+# costs ~400 s (LSH_BANDS.json third_decade) and a continuous-crawl
+# pipeline re-pays it on EVERY batch; the persisted index pays it
+# once — the standing corpus's band rows and vectors live in two
+# versioned tables, a crawl batch is hashed once, and the probe is
+# one (band_table, band_key) equi-join against the stored band rows
+# plus an O(candidates) vector fetch for the exact verify. Appends
+# carry every prior index file by reference (append_version_clustered)
+# so maintenance cost is O(batch) regardless of index size.
+
+_EMB_INDEX_BANDS = "bands"
+_EMB_INDEX_VECTORS = "vectors"
+_EMB_VEC_BUCKETS = 16  # vec-table cluster fan-out (balanced files)
+
+
+def _emb_index_params(n: int, dim: int) -> dict:
+    band_bits, n_tables = _lsh_params(n, NEAR_DUP_COSINE)
+    return {
+        "band_bits": band_bits,
+        "n_tables": n_tables,
+        "dim": dim,
+        "n_planes": N_PLANES,
+        "threshold": NEAR_DUP_COSINE,
+    }
+
+
+def embedding_index_append(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    params: dict | None = None,
+) -> int:
+    """Create-or-extend the persisted embedding band index at `path`
+    (two versioned tables under one root: `bands` = (vec_id,
+    band_table, band_key) clustered by a derived copy of band_table;
+    `vectors` = (vec_id, embedding, nrm, sig0, sig1) clustered by
+    pmod(vec_id, 16)). The first call PINS the LSH parameterization —
+    explicit `params`, or derived from the first batch's size via
+    _lsh_params — into the bands manifest meta; every later append
+    re-reads the pinned params, so band keys stay comparable for the
+    index's whole life (the hyperplane draws are deterministic in
+    (n_planes, dim, salt), making probe and append reproducible on
+    any engine restart). A mismatched explicit `params` refuses:
+    band keys from different (bits, tables, dim) are incomparable
+    garbage — re-index under the new parameterization instead
+    (FAISS-retrain semantics, same contract as the minhash and
+    IVF-PQ indexes). Appends are O(batch): prior files carry by
+    reference in both tables."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    bands_path = os.path.join(path, _EMB_INDEX_BANDS)
+    vecs_path = os.path.join(path, _EMB_INDEX_VECTORS)
+    os.makedirs(bands_path, exist_ok=True)
+    os.makedirs(vecs_path, exist_ok=True)
+
+    pinned = V.manifest_meta(bands_path).get("embedding_lsh_index")
+    if pinned is None:
+        pinned = params or _emb_index_params(emb.count(), _vector_dim(emb))
+    elif params is not None and params != pinned:
+        raise ValueError(
+            f"index at {path!r} was pinned with {pinned}; got {params} "
+            "— rebuild the index to re-parameterize"
+        )
+
+    ev = _with_norm(emb.select("vec_id", "embedding"))
+    bands = _band_keys(
+        ev, pinned["n_tables"], pinned["band_bits"], pinned["dim"]
+    ).withColumn("p_table", F.col("band_table"))
+    V.append_version_clustered(
+        spark,
+        bands_path,
+        bands,
+        "p_table",
+        meta={"embedding_lsh_index": pinned},
+    )
+    vecs = (
+        ev.join(hamming_signatures(ev), "vec_id")
+        .select("vec_id", "embedding", "nrm", "sig0", "sig1")
+        .withColumn("p_bucket", F.pmod(F.col("vec_id"), F.lit(_EMB_VEC_BUCKETS)))
+    )
+    return V.append_version_clustered(spark, vecs_path, vecs, "p_bucket")
+
+
+def embedding_index_probe(
+    spark: SparkSession, path: str, new_vecs: DataFrame
+) -> DataFrame:
+    """Near-dup pairs of `new_vecs` against the INDEXED corpus and
+    within `new_vecs` — (vec_a, vec_b, cosine), vec_a < vec_b,
+    cosine ≥ the pinned threshold. Same three prune stages as the
+    batch operator (embedding_near_dup_lsh), with the standing corpus
+    contributing ONLY stored rows:
+
+    1. CANDIDATES — the batch is band-keyed once under the PINNED
+       params; one equi-join on (band_table, band_key) against the
+       stored band rows (new-vs-index) plus the batch's self-join
+       (new-vs-new). Fan-out tracks bucket co-occupancy, never
+       index × batch; the indexed corpus is never re-hashed.
+    2. COARSE — 16-byte signature Hamming ≤ NEAR_DUP_MAX_HAMMING;
+       indexed signatures come from the vectors table via an
+       O(candidates) equi-join, batch signatures are computed fresh
+       (deterministic planes ⇒ identical to the ones stored at that
+       vector's own append).
+    3. EXACT — fixed-point cosine ≥ threshold, precision perfect by
+       construction; the indexed side's vectors are fetched by the
+       same O(candidates) join, so no full-index vector scan.
+
+    With the index pinned at the batch operator's parameterization,
+    the probe's output EQUALS embedding_near_dup_lsh restricted to
+    pairs involving ≥1 batch vector (pinned in
+    tests/test_similarity.py::test_embedding_index_probe_matches_batch_lsh).
+    """
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    bands_path = os.path.join(path, _EMB_INDEX_BANDS)
+    vecs_path = os.path.join(path, _EMB_INDEX_VECTORS)
+    pinned = V.manifest_meta(bands_path).get("embedding_lsh_index")
+    if pinned is None:
+        raise ValueError(f"no embedding index at {path!r}")
+
+    ev = _with_norm(new_vecs.select("vec_id", "embedding"))
+    nb = _band_keys(
+        ev, pinned["n_tables"], pinned["band_bits"], pinned["dim"]
+    )
+    stored = V.read_version(spark, bands_path).select(
+        "vec_id", "band_table", "band_key"
+    )
+    a = nb.select(
+        F.col("vec_id").alias("vec_a"), "band_table", "band_key"
+    )
+    pairs = (
+        a.join(
+            stored.select(
+                F.col("vec_id").alias("vec_b"), "band_table", "band_key"
+            ),
+            ["band_table", "band_key"],
+        )
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .unionByName(
+            a.join(
+                nb.select(
+                    F.col("vec_id").alias("vec_b"), "band_table", "band_key"
+                ),
+                ["band_table", "band_key"],
+            ).filter(F.col("vec_a") < F.col("vec_b"))
+        )
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+        )
+        .dropDuplicates()
+    )
+
+    # one lookup relation serves both pair sides: stored rows for
+    # indexed vectors, fresh rows for the batch (batch rows win on
+    # overlap — they are identical by determinism, so precedence is
+    # cosmetic)
+    fresh = ev.join(hamming_signatures(ev), "vec_id").select(
+        "vec_id", "embedding", "nrm", "sig0", "sig1"
+    )
+    stored_vecs = (
+        V.read_version(spark, vecs_path)
+        .select("vec_id", "embedding", "nrm", "sig0", "sig1")
+        .join(fresh.select("vec_id"), "vec_id", "left_anti")
+    )
+    lookup = fresh.unionByName(stored_vecs)
+    la = lookup.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("sig0").alias("a0"),
+        F.col("sig1").alias("a1"),
+    )
+    lb = lookup.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("sig0").alias("b0"),
+        F.col("sig1").alias("b1"),
+    )
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+            + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1"))),
+        )
+        .filter(F.col("hamming") <= NEAR_DUP_MAX_HAMMING)
+        .withColumn(
+            "cosine",
+            _fixed_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= F.lit(float(pinned["threshold"])))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_index_incremental_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production path of the incremental lifecycle: index the
+    standing corpus (vec_id % 3 != 0), probe the crawl batch
+    (vec_id % 3 == 0). The index is pinned at the FULL corpus's
+    parameterization so the probe is an exact twin of the batch
+    operator on batch-involving pairs (the same trade the minhash
+    entry makes via its global constants; a production deployment
+    pins from the standing corpus at build time and re-indexes when
+    scale shifts a decade)."""
+    import shutil as _shutil
+
+    from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("embedding_index", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    params = _emb_index_params(emb.count(), _vector_dim(emb))
+    embedding_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 3 != 0), params=params
+    )
+    return embedding_index_probe(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 0)
+    )
+
+
+def embedding_index_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graded form (the embedding_near_dup_recall_audit pattern):
+    exact ≥-threshold cosine pairs RESTRICTED to pairs involving ≥1
+    batch vector, each marked found-by-probe (ok = found, or cosine
+    below the sure-recall band), plus the aggregate recall row."""
+    exact = embedding_near_dup_pairs(spark, sf_dir).filter(
+        (F.col("vec_a") % 3 == 0) | (F.col("vec_b") % 3 == 0)
+    )
+    cand = (
+        embedding_index_incremental_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .withColumn("found", F.lit(1))
+    )
+    graded = exact.join(cand, ["vec_a", "vec_b"], "left").select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.coalesce(F.col("found"), F.lit(0)).alias("found"),
+    )
+    pairs = graded.select(
+        F.lit("pair").alias("kind"),
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.lit(None).cast("long").alias("n"),
+        (
+            (F.col("found") == 1)
+            | (F.col("cosine") < F.lit(NEAR_DUP_AUDIT_SURE_COS))
+        ).alias("ok"),
+    )
+    recall = graded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("found"), F.lit(0)).alias("hits"),
+    ).select(
+        F.lit("recall").alias("kind"),
+        F.lit(None).cast("long").alias("vec_a"),
+        F.lit(None).cast("long").alias("vec_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("n") == 0, F.lit(True))
+        .otherwise(
+            F.col("hits").cast("double")
+            >= F.lit(NEAR_DUP_AUDIT_RECALL_FLOOR) * F.col("n").cast("double")
+        )
+        .alias("ok"),
+    )
+    return pairs.unionByName(recall)

@@ -2195,6 +2195,38 @@ REGISTRY: dict[str, QuerySpec] = {
         ground_truth="tests/test_similarity.py::test_embedding_near_dup_lsh_recall_and_pruning",
         bench_fn=similarity.embedding_near_dup_lsh,
     ),
+    "embedding_index_probe": QuerySpec(
+        # persisted embedding-LSH band index + O(batch) incremental
+        # probe (r16, VERDICT r15 task 4): the standing corpus
+        # (vec_id % 3 != 0) is band-keyed + signed ONCE into two
+        # versioned tables (band rows clustered by table id; vectors
+        # + sigs clustered by id bucket); the crawl batch (% 3 == 0)
+        # is hashed once and probed via one (band_table, band_key)
+        # equi-join, with an O(candidates) vector fetch for the
+        # Hamming + exact-cosine verify — the indexed corpus is never
+        # re-hashed, appends carry prior files by reference. Graded
+        # as a recall audit against exact cosine restricted to
+        # batch-involving pairs (the minhash_incremental_probe
+        # evidence pattern); probe ≡ batch-LSH on the same pairs is
+        # pinned in tests.
+        similarity.embedding_index_recall_audit,
+        f"""
+        WITH ep AS ({_EMB_PAIRS_SQL}),
+        fx AS (
+            SELECT * FROM ep
+            WHERE vec_a % 3 = 0 OR vec_b % 3 = 0
+        )
+        SELECT 'pair' AS kind, vec_a, vec_b, cosine,
+               CAST(NULL AS BIGINT) AS n, TRUE AS ok
+        FROM fx
+        UNION ALL
+        SELECT 'recall', NULL, NULL, NULL,
+               CAST(COUNT(*) AS BIGINT), TRUE
+        FROM fx
+        """,
+        ground_truth="tests/test_similarity.py::test_embedding_index_probe_matches_batch_lsh",
+        bench_fn=similarity.embedding_index_incremental_pairs,
+    ),
     "semantic_dedup": QuerySpec(
         # audit form: per-vector SQL-reproducible ground truth
         # (has_true_dup from the exact pair SQL) + precision verdict

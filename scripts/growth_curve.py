@@ -72,6 +72,7 @@ OPS = {
     "minhash_incremental_probe": dedup.minhash_incremental_candidates,
     "simhash_candidates": dedup.simhash_candidates,
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
+    "embedding_index_probe": similarity.embedding_index_incremental_pairs,
     "jaccard_prefix_join": dedup.jaccard_prefix_join,
     "dup_clusters": dedup.dup_clusters,
     "semantic_dedup": similarity.semantic_dedup,
@@ -80,7 +81,11 @@ OPS = {
     "video_frame_overlap": multimodal.video_frame_overlap,
     "audio_near_dup_pairs": multimodal.audio_near_dup_pairs,
 }
-EMB_OPS = {"embedding_near_dup_lsh", "semantic_dedup"}
+EMB_OPS = {
+    "embedding_near_dup_lsh",
+    "embedding_index_probe",
+    "semantic_dedup",
+}
 # ops measured one decade further (500k docs, Heaps-law vocabulary —
 # see gen_growth_fixture.ensure_xl): the steepest curves, where the
 # standard two decades are the thinnest extrapolation base

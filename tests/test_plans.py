@@ -88,6 +88,28 @@ def test_embedding_near_dup_lsh_is_not_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_index_probe_is_not_allpairs(spark, tmp_path):
+    """The persisted-index probe's candidate stage must be an
+    equi-join of the batch's band keys against the STORED band rows —
+    never a cartesian/nested-loop, and never a re-hash of the indexed
+    corpus (the index side reads only its two versioned tables)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    path = str(tmp_path / "embidx_plan")
+    similarity.embedding_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 3 != 0)
+    )
+    probe = similarity.embedding_index_probe(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 0)
+    )
+    plan = plan_of(probe)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_has_no_join(spark):
     """The as-of lookup must compile to union + window (one shuffle on
     user_id, linear merge) — not a range join, whose ts <= ts theta

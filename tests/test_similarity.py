@@ -469,3 +469,83 @@ def test_ivfpq_index_append_grows_without_retrain(spark, tmp_path):
     served = similarity.ann_ivfpq_index_probe(spark, SF_TEST, path).collect()
     par = {r.neighbor_id % 2 for r in served}
     assert par == {0, 1}, par
+
+
+def test_embedding_index_probe_matches_batch_lsh(spark):
+    """The persisted-index probe is an exact twin of the batch LSH
+    operator on batch-involving pairs: with the index pinned at the
+    full-corpus parameterization (the registry entry's construction),
+    probing the vec_id%3==0 batch against the indexed remainder
+    yields exactly embedding_near_dup_lsh's pairs that involve ≥1
+    batch vector — same candidates (deterministic salted planes),
+    same Hamming coarse filter, same fixed-point exact cosine."""
+    probe = {
+        (r.vec_a, r.vec_b, round(r.cosine, 9))
+        for r in similarity.embedding_index_incremental_pairs(
+            spark, SF_TEST
+        ).collect()
+    }
+    batch = {
+        (r.vec_a, r.vec_b, round(r.cosine, 9))
+        for r in similarity.embedding_near_dup_lsh(spark, SF_TEST)
+        .filter((F.col("vec_a") % 3 == 0) | (F.col("vec_b") % 3 == 0))
+        .collect()
+    }
+    assert probe == batch
+    assert probe, "fixture produced no batch-involving near-dup pairs"
+
+
+def test_embedding_index_append_by_reference_and_param_pin(spark, tmp_path):
+    """Index maintenance is O(batch): a second append's bands/vectors
+    manifests carry EVERY v1 file by reference and add only v2 files.
+    The parameterization is pinned at creation: a later append with
+    different explicit params refuses, and probing an empty root
+    refuses."""
+    import os
+
+    import pytest
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    path = str(tmp_path / "embidx")
+    emb = load_table(spark, SF_TEST, "embeddings")
+    params = similarity._emb_index_params(
+        emb.count(), similarity._vector_dim(emb)
+    )
+    similarity.embedding_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 0), params=params
+    )
+    similarity.embedding_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    for sub in ("bands", "vectors"):
+        tp = os.path.join(path, sub)
+        m1 = V._manifest(tp, 1)
+        m2 = V._manifest(tp, 2)
+        assert set(m1["files"]) <= set(m2["files"])  # carried by reference
+        assert any(f.startswith("data/v2") for f in m2["files"])
+    # probe over the two-append index still equals the batch operator
+    # over the same whole corpus (vs itself: all pairs involve the
+    # "batch" when the batch is the whole corpus — use a small probe)
+    probe_batch = emb.filter(F.col("vec_id") % 7 == 0)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_index_probe(
+            spark, path, probe_batch
+        ).collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_lsh(spark, SF_TEST)
+        .filter((F.col("vec_a") % 7 == 0) | (F.col("vec_b") % 7 == 0))
+        .collect()
+    }
+    assert got == want
+
+    bad = dict(params, n_tables=params["n_tables"] + 1)
+    with pytest.raises(ValueError, match="pinned"):
+        similarity.embedding_index_append(spark, path, emb, params=bad)
+    with pytest.raises(ValueError, match="no embedding index"):
+        similarity.embedding_index_probe(
+            spark, str(tmp_path / "nothing"), probe_batch
+        )
