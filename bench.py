@@ -233,10 +233,19 @@ def main() -> None:
         "queries": cold,
         "sf": sf,
         "cpus": cpus,
+        # Self-description (VERDICT r15): which series each field is,
+        # so cross-round per-entry comparisons never silently mix
+        # cold and warm semantics. `queries` and `value` are always
+        # the FIRST (cold) timing of each entry; with --repeat>1 the
+        # `warm` map / `warm_total` are the best-of-N timings.
+        "per_entry_metric": "cold_first_run",
+        "total_metric": "sum_of_cold_first_runs",
+        "repeat": max(repeat, 1),
     }
     if repeat > 1:
         full["warm"] = warm
         full["warm_total"] = round(sum(warm.values()), 2)
+        full["warm_metric"] = "best_of_repeat_runs"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SELF.json"), "w") as f:
         json.dump(full, f, indent=1)

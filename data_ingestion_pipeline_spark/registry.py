@@ -3401,28 +3401,28 @@ def _last_clean_round(names: list[str]) -> dict[str, tuple[int, int]]:
 # rotation treats them as never-verified. Staleness-by-name cannot see
 # code changes — this list is the explicit signal; prune it once the
 # next CORRECTNESS file contains fresh verdicts for these names.
+#
+# STANDING RULE (VERDICT r15): any registry entry whose implementing
+# function (or a helper it calls in its data path) is named in the
+# current round's git diff joins this list in the same commit as the
+# change, and stays until a fresh hash-matched driver verdict lands.
 _REVERIFY: set[str] = {
-    # r15 (ADVICE r14 fixes): restore_version now carries the target
-    # manifest's own renames/ts_col instead of inheriting the current
-    # version's — re-verify the restore lifecycle; rename_column
-    # retires the old name BEFORE publish and migrates bloom
-    # pointers' key_col; drop_column retires before publish;
-    # build_bloom_index records/requires key_type (full rebuild
-    # across a widen) — re-verify the DDL + bloom lifecycles.
-    "table_history_roundtrip",
-    "versioned_rename_column",
-    "versioned_drop_column",
-    "bloom_index_lookup",
-    "versioned_widen_column",
-    # r15: assign_identity rewritten (pid/position materialized into
-    # the checkpoint instead of consumer-stage TaskContext — union-
-    # safe ids) and the high-water mark moved from commit meta to the
-    # _IDENTITY.json table property
-    "identity_column_appends",
-    # r15: clone_table gained the older-version constraint validation
-    # and the identity-property carry
-    "shallow_clone_roundtrip",
+    # r13 rewrite that escaped the discipline (VERDICT r15 "What's
+    # wrong"): jaccard_prefix_join gained the PPJoin positional filter
+    # (c97447c), size-gated broadcast verify (232dff) and a durable
+    # checkpoint option in r13, but its newest driver verdict is r11 —
+    # the exactness claim rests on local tests alone until re-verified.
+    "jaccard_prefix_join",
+    # r15 sink rewrite that escaped the discipline (ADVICE r15 #1):
+    # both session-window sinks moved from per-batch full-table commits
+    # to a three-clause merge_into_mor (streaming/pipeline.py) — a
+    # material commit-shape change with no post-change driver verdict.
+    "stream_session_windows",
+    "stream_session_windows_bounded",
 }
+# r15 prune history: all 7 r15 names (restore/rename/drop/bloom/widen/
+# identity/clone) hold clean r15 hash-matched verdicts
+# (CORRECTNESS_r15).
 # r14 prune history: all 7 r14 names (COW/MOR merge, checksum,
 # drop-column, constraints, core snapshot + DV reads) hold clean r14
 # hash-matched verdicts (CORRECTNESS_r14).
