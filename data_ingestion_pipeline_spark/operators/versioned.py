@@ -3318,17 +3318,25 @@ def _walk_rel_parquet(root: str, base: str) -> list[str]:
 
 
 def _norm_input_path() -> F.Column:
-    """Decoded, scheme-stripped `input_file_name()` — byte-identical
+    """Decoded, scheme-stripped per-row file path — byte-identical
     to `os.path.abspath(unquote(urlparse(uri).path))` on the driver
-    for any path (spaces, '%', non-ASCII included). input_file_name()
-    returns a percent-encoded URI; pre-escape '+' (the one char
-    url_decode mishandles — it decodes to space), url-decode, strip
-    the scheme. Shared by purge_rows and compact_files: the two
-    file-rewrite passes key broadcast maps on this normalization, and
-    drift between them is exactly the silent-row-loss their
-    __HIVE_DEFAULT_PARTITION__ sentinels guard against."""
+    for any path (spaces, '%', non-ASCII included). Sourced from the
+    `_metadata.file_path` pseudo-column, NOT `input_file_name()`:
+    both return the same percent-encoded URI (verified byte-equal
+    across space/%/'+'/non-ASCII paths and over a 40M-row table), but
+    input_file_name() is a NONDETERMINISTIC expression — it fences
+    whole-stage codegen around every tagged scan, which measured 5×
+    on the scan+join leg of a 40M-row merge (10.2 s → 2.8 s warm,
+    scripts/session_sink_growth.py r16) and taxes every DV-table
+    read the same way. The URI is percent-encoded; pre-escape '+'
+    (the one char url_decode mishandles — it decodes to space),
+    url-decode, strip the scheme. Shared by purge_rows and
+    compact_files: the two file-rewrite passes key broadcast maps on
+    this normalization, and drift between them is exactly the
+    silent-row-loss their __HIVE_DEFAULT_PARTITION__ sentinels guard
+    against."""
     decoded = F.url_decode(
-        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+        F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
     )
     return F.regexp_replace(decoded, "^file:/+", "/")
 
@@ -4292,7 +4300,7 @@ def purge_rows(
         spark.read.option("mergeSchema", "true")
         .parquet(*abs_of.values())
         .filter(F.col(key_col).cast("string").isin(vals))
-        .select(F.input_file_name().alias("_f"))
+        .select(F.col("_metadata.file_path").alias("_f"))
         .distinct()
     )
     hit_abs = {_to_abs(r["_f"]) for r in probe.collect()}

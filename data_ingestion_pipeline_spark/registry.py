@@ -3419,6 +3419,23 @@ _REVERIFY: set[str] = {
     # material commit-shape change with no post-change driver verdict.
     "stream_session_windows",
     "stream_session_windows_bounded",
+    # r16 (standing rule): _norm_input_path moved from
+    # input_file_name() to _metadata.file_path (byte-identical —
+    # pinned in test_dv_file_tag_byte_stable_on_encoded_paths — but a
+    # change in the expression every DV-tagged scan evaluates), and
+    # purge's probe moved with it. Re-verify the DV/merge/CDF/
+    # maintenance lifecycles that persist or match __dv_file bytes.
+    "merge_mor_roundtrip",
+    "merge_cow_roundtrip",
+    "deletion_vector_roundtrip",
+    "deletion_vector_maintenance_roundtrip",
+    "purge_roundtrip",
+    "compaction_roundtrip",
+    "versioned_table_changes",
+    "cdf_incremental_consume",
+    "cdf_replica_sync",
+    "stream_cdf_replica",
+    "zorder_incremental_roundtrip",
 }
 # r15 prune history: all 7 r15 names (restore/rename/drop/bloom/widen/
 # identity/clone) hold clean r15 hash-matched verdicts

@@ -802,6 +802,46 @@ def test_retention_is_metadata_only(spark, tmp_path):
     assert versioned.read_version(spark, path).count() == n_kept
 
 
+def test_dv_file_tag_byte_stable_on_encoded_paths(spark, tmp_path):
+    """r16: _norm_input_path moved its source column from
+    nondeterministic input_file_name() (a whole-stage-codegen fence —
+    measured 5× on the scan+join leg of a 40M-row merge,
+    SESSION_SINK_GROWTH.json) to the _metadata.file_path
+    pseudo-column. DV sidecars PERSIST the normalized relpaths and
+    match them by string equality forever after, so the two
+    expressions must be byte-identical — pinned directly on a table
+    path exercising every encoding hazard ('+' which url_decode
+    mishandles, space, '%', non-ASCII), then proven live by a DV
+    delete + read over that table (a tag mismatch would silently
+    resurrect the deleted rows instead of failing)."""
+    path = str(tmp_path / "t +%25 spacé漢")
+    os.makedirs(path)
+    ev = _events(spark).limit(200)
+    versioned.commit_version(spark, path, ev.repartition(3))
+    m = versioned._manifest(path)
+    df = spark.read.schema(versioned._manifest_read_schema(m)).parquet(
+        *[os.path.join(path, f) for f in m["files"]]
+    )
+    old = F.regexp_replace(
+        F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B")),
+        "^file:/+",
+        "/",
+    )
+    mismatch = (
+        df.select(old.alias("a"), versioned._norm_input_path().alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mismatch == 0
+    # live proof: DV delete masks through the tag equality, and the
+    # masked rows stay gone on read (resurrection = tag drift)
+    n_del = ev.filter(F.col("event_id") % 7 == 0).count()
+    versioned.delete_rows_dv(spark, path, F.col("event_id") % 7 == 0)
+    got = versioned.read_version(spark, path)
+    assert got.count() == 200 - n_del
+    assert got.filter(F.col("event_id") % 7 == 0).count() == 0
+
+
 def test_purge_keeps_null_keys_and_decodes_uri_paths(spark, tmp_path):
     """Two silent-loss regressions pinned at once: (1) rows whose key
     is NULL are never purge targets and must survive every rewrite
