@@ -1597,6 +1597,7 @@ def merge_into_mor(
     insert_not_matched_cond: str | None = None,
     expected_current: int | None = None,
     meta: dict | None = None,
+    prune_on: str | None = None,
 ) -> int:
     """Three-clause MERGE INTO as ONE merge-on-read commit — the full
     Delta `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c]
@@ -1640,7 +1641,29 @@ def merge_into_mor(
     any write). Publish order: image files → DV sidecar → manifest,
     so a crash leaves the prior snapshot intact and only
     vacuum-reclaimable orphans. Unpartitioned snapshots only, same
-    rule and reason as update_rows_mor."""
+    rule and reason as update_rows_mor.
+
+    ``prune_on=<merge key>`` (r16) removes the last O(table) term —
+    the full live-file SCAN feeding the match join (measured as the
+    dominant merge cost once the write side went O(emitted):
+    SESSION_SINK_GROWTH.json). The stats index on that key is
+    refreshed incrementally (O(files added since last refresh) footer
+    reads — build_column_stats carries surviving rows by reference),
+    the source's [min, max] on the key is taken in one pass, and only
+    files whose footer interval overlaps it are scanned: a file the
+    probe prunes provably contains NO row equal to any source key
+    (the no-false-negative contract tests/test_properties.py pins),
+    and an unmatched target row is untouched by MERGE semantics, so
+    the result is bit-identical to the unpruned merge
+    (tests/test_versioned.py::test_merge_prune_matches_unpruned_exactly).
+    Per-batch cost becomes O(new footers + candidate files + emitted)
+    — on a time-keyed stream-maintained table (session windows keyed
+    by session_start), candidates are the recent files, so the merge
+    sink stays flat while the table grows: Delta's write-time stats +
+    MERGE file-pruning shape. The column must be one of `keys`
+    (pruning reasons about key equality); an all-NULL-key source
+    skips the scan outright (NULL never equals). Telemetry lands in
+    the commit meta (`merge.files_pruned` / `merge.files_scanned`)."""
     _occ_check(path, expected_current)
     m = _manifest(path)
     _refuse_external(m, "merge_into_mor")
@@ -1660,6 +1683,33 @@ def merge_into_mor(
 
     prior_dead = set(m.get("dv", {}).get("dead_files", []))
     live_files = [f for f in m["files"] if f not in prior_dead]
+    n_live_before_prune = len(live_files)
+    if prune_on is not None and live_files:
+        if prune_on not in keys:
+            raise ValueError(
+                f"prune_on={prune_on!r} must be one of the merge keys "
+                f"{keys}: pruning is sound only for columns the match "
+                "join equates"
+            )
+        # refresh is incremental: O(files added since the index's base
+        # version) footer reads, surviving rows carried by reference
+        build_column_stats(spark, path, prune_on)
+        bounds = source.agg(
+            F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            # every source key is NULL: NULL never equals, so no
+            # target row can match — skip the scan outright
+            live_files = []
+        else:
+            cand = set(
+                stats_candidate_files(
+                    spark, path, prune_on, bounds["lo"], bounds["hi"],
+                    manifest=m,
+                )
+            )
+            live_files = [f for f in live_files if f in cand]
+    n_files_scanned = len(live_files)
     prior_dv = (
         spark.read.schema("file string, pos bigint").parquet(
             os.path.join(path, m["dv"]["sidecar"])
@@ -1869,7 +1919,20 @@ def merge_into_mor(
         "committed_at": time.time(),
         "meta": {
             **(meta or {}),
-            "merge": {"updated": n_upd, "deleted": n_del, "inserted": n_ins},
+            "merge": {
+                "updated": n_upd,
+                "deleted": n_del,
+                "inserted": n_ins,
+                **(
+                    {
+                        "files_scanned": n_files_scanned,
+                        "files_pruned": n_live_before_prune
+                        - n_files_scanned,
+                    }
+                    if prune_on is not None
+                    else {}
+                ),
+            },
         },
         **({"dv": dv_pointer} if dv_pointer else {}),
     }

@@ -220,6 +220,13 @@ def prewarm_feeds(spark: SparkSession, sf_dir: str) -> None:
 # count instead; it is a parameter, not a constant of the design.
 STREAM_SHUFFLE_PARTITIONS = 8
 
+# File-count floor below which the session sink's MERGE skips stats
+# pruning: the probe (incremental footer refresh + candidate filter)
+# costs ~3 small jobs, which beats scanning only once the table has
+# enough files for range locality to skip most of them. Toy-SF drains
+# stay under this; a production stream crosses it within hours.
+MERGE_PRUNE_MIN_FILES = 64
+
 
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
@@ -1114,11 +1121,29 @@ def stream_session_windows(
             )
             return
         attrs = ["session_end", "event_count", "avg_value"]
+        # Adaptive stats pruning (r16): in bounded mode every emitted
+        # session's session_start lies within the disorder horizon of
+        # the watermark, while the table's files are naturally
+        # time-clustered (each batch appends recent sessions) — so
+        # prune_on='session_start' makes the merge's target scan
+        # O(touched files) instead of O(table), the last O(table)
+        # term in the sink (SESSION_SINK_GROWTH.json recent_touch
+        # sweep). Only once the table outgrows a handful of files:
+        # below that, one probe + incremental stats refresh costs
+        # more than just scanning, and the unbounded variant's
+        # arbitrarily-late sessions defeat range locality anyway.
+        prune = (
+            "session_start"
+            if bounded
+            and len(V._manifest(table)["files"]) > MERGE_PRUNE_MIN_FILES
+            else None
+        )
         V.merge_into_mor(
             sess,
             table,
             bdf,  # emitted keys unique per batch by construction
             ["user_id", "session_start"],
+            prune_on=prune,
             when_matched=[
                 (
                     "update",

@@ -296,6 +296,165 @@ def seeded_sink_sweep(spark, work: str) -> dict:
     return sweep
 
 
+def recent_touch_sweep(spark, work: str) -> dict:
+    """The production-shaped experiment: a session table MAINTAINED BY
+    THE STREAM is naturally range-clustered on session_start (each
+    micro-batch appends recent sessions), and the emitted batch only
+    ever touches sessions within the disorder horizon — the newest
+    span. Model that directly: table range-clustered on session_start
+    at FIXED file size (250k rows/file, so file count grows with N —
+    the real layout), one 5k-row batch touching only the newest ids,
+    three sink shapes:
+
+      rewrite      — O(table) WRITE per batch
+      merge        — O(table) SCAN per batch (write already O(emitted))
+      merge_pruned — prune_on='session_start': stats-index candidate
+                     files only = O(touched files + emitted); the
+                     r16 stats-pruned MERGE
+
+    Expectation at growing N: rewrite grows (write), merge grows
+    (scan), merge_pruned stays FLAT — the complete 100 TB session-sink
+    story with every O(table) term eliminated."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    attrs = ["session_end", "event_count", "avg_value"]
+    cols = ["user_id", "session_start", *attrs]
+    batch_rows = 5_000
+    rows_per_file = 250_000
+    sweep: dict = {
+        "batch_rows": batch_rows,
+        "rows_per_file": rows_per_file,
+        "points": [],
+    }
+    for n in (1_000_000, 4_000_000, 40_000_000):
+        base = (
+            spark.range(n)
+            .select(
+                (F.col("id") % 500_000).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_600_000_000) + F.col("id") * 7
+                ).alias("session_start"),
+            )
+            .withColumn(
+                "session_end",
+                F.col("session_start") + F.expr("INTERVAL 10 MINUTES"),
+            )
+            .withColumn("event_count", F.lit(3).cast("long"))
+            .withColumn("avg_value", F.lit(1.5))
+            .select(*cols)
+        )
+        # the batch: updates/tombstones over the NEWEST 4k sessions,
+        # inserts strictly newer than everything in the table
+        touched = spark.range(n - batch_rows * 4 // 5, n).select(
+            (F.col("id") % 500_000).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.col("id") * 7
+            ).alias("session_start"),
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.col("id") * 7 + 600
+            ).alias("session_end"),
+            F.when(F.rand(7) < 0.25, F.lit(0))
+            .otherwise(F.lit(4))
+            .cast("long")
+            .alias("event_count"),
+            F.lit(2.5).alias("avg_value"),
+        )
+        inserts = spark.range(n, n + batch_rows // 5).select(
+            (F.col("id") % 500_000 + 900_000_000).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.col("id") * 7
+            ).alias("session_start"),
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.col("id") * 7 + 600
+            ).alias("session_end"),
+            F.lit(1).cast("long").alias("event_count"),
+            F.lit(1.0).alias("avg_value"),
+        )
+        emitted = touched.unionByName(inserts).localCheckpoint(eager=True)
+        n_emit = emitted.count()
+        point: dict = {
+            "table_rows": n,
+            "n_files": n // rows_per_file,
+            "emitted": n_emit,
+            "modes": {},
+        }
+        for mode in ("merge_pruned", "merge", "rewrite"):
+            table = os.path.join(work, f"recent_{mode}")
+            shutil.rmtree(table, ignore_errors=True)
+            os.makedirs(table, exist_ok=True)
+            V.commit_version(
+                spark,
+                table,
+                base.repartitionByRange(
+                    max(4, n // rows_per_file), "session_start"
+                ),
+            )
+            if mode == "merge_pruned":
+                # write-time stats, Delta-style: the index exists
+                # before the first batch; each merge refreshes it
+                # incrementally (O(new files) footers)
+                V.build_column_stats(spark, table, "session_start")
+            before_bytes = dirbytes_top(table)
+            t0 = time.perf_counter()
+            if mode.startswith("merge"):
+                V.merge_into_mor(
+                    spark,
+                    table,
+                    emitted,
+                    ["user_id", "session_start"],
+                    when_matched=[
+                        ("update", {c: f"s.{c}" for c in attrs},
+                         "s.event_count > 0"),
+                        ("delete", None, "s.event_count = 0"),
+                    ],
+                    insert_not_matched={c: f"s.{c}" for c in cols},
+                    insert_not_matched_cond="s.event_count > 0",
+                    prune_on=(
+                        "session_start" if mode == "merge_pruned" else None
+                    ),
+                )
+            else:
+                cur = V.read_version(spark, table)
+                keep = cur.join(
+                    emitted.select("user_id", "session_start"),
+                    ["user_id", "session_start"],
+                    "left_anti",
+                )
+                V.commit_version(
+                    spark,
+                    table,
+                    keep.unionByName(
+                        emitted.filter(F.col("event_count") > 0).select(
+                            *cur.columns
+                        )
+                    ),
+                )
+            sec = round(time.perf_counter() - t0, 3)
+            entry = {
+                "sink_sec": sec,
+                "bytes_written": dirbytes_top(table) - before_bytes,
+            }
+            if mode == "merge_pruned":
+                mm = V.manifest_meta(table)["merge"]
+                entry["files_scanned"] = mm["files_scanned"]
+                entry["files_pruned"] = mm["files_pruned"]
+            point["modes"][mode] = entry
+            print(f"recent N={n} {mode}: {sec}s {entry}", flush=True)
+            shutil.rmtree(table, ignore_errors=True)
+        sweep["points"].append(point)
+    return sweep
+
+
+def dirbytes_top(p: str) -> int:
+    tot = 0
+    for root, _, fs in os.walk(p):
+        for f in fs:
+            tot += os.path.getsize(os.path.join(root, f))
+    return tot
+
+
 def main() -> None:
     from data_ingestion_pipeline_spark.session import get_spark
 
@@ -345,6 +504,7 @@ def main() -> None:
         out["scales"][f"x{scale}"] = per_scale
 
     out["seeded_sink_sweep"] = seeded_sink_sweep(spark, work)
+    out["recent_touch_sweep"] = recent_touch_sweep(spark, work)
 
     m1 = out["scales"]["x1"]["modes"]
     m10 = out["scales"]["x10"]["modes"]

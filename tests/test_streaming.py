@@ -146,6 +146,29 @@ def test_bounded_session_state_is_pruned(spark):
     assert n_bounded < n_unbounded, (n_bounded, n_unbounded)
 
 
+def test_bounded_session_sink_prunes_and_matches(spark, monkeypatch):
+    """r16 adaptive stats pruning in the bounded session sink: with
+    the file-count floor forced to 0, every post-seed merge engages
+    prune_on='session_start' (telemetry lands in the final commit
+    meta) and the drained table is STILL identical to the unbounded
+    twin — pruning may only skip files that provably hold no touched
+    session, never change the answer."""
+    from data_ingestion_pipeline_spark.streaming import pipeline as P
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    monkeypatch.setattr(P, "MERGE_PRUNE_MIN_FILES", 0)
+    bounded = P.stream_session_windows(spark, SF_TEST, disorder_horizon_s=3600)
+    rows_b = sorted(map(tuple, bounded.collect()))
+    sf_name = SF_TEST.rstrip("/").rsplit("/", 1)[1]
+    table = scratch_path("stream_sessions_bounded", sf_name, "table")
+    mm = V.manifest_meta(table)["merge"]
+    assert "files_scanned" in mm and "files_pruned" in mm, mm
+    monkeypatch.undo()
+    unbounded = P.stream_session_windows(spark, SF_TEST)
+    rows_u = sorted(map(tuple, unbounded.collect()))
+    assert rows_b == rows_u
+
+
 def test_session_merge_is_associative():
     """The incremental sessionization (stream_session_windows) is
     correct under ANY batching iff summary interval-merge is

@@ -2082,6 +2082,111 @@ def test_merge_mor_three_clauses(spark, tmp_path):
     assert versioned.read_version(spark, path, 1).count() == ev.count()
 
 
+def test_merge_prune_matches_unpruned_exactly(spark, tmp_path):
+    """r16 stats-pruned MERGE: with prune_on=<merge key>, only files
+    whose footer [min, max] on the key overlaps the source's range
+    are scanned — bit-identical results to the unpruned merge (a
+    pruned file provably holds no matching key, and unmatched target
+    rows are untouched by MERGE semantics), with files_pruned > 0
+    telemetry on a range-clustered table whose source touches one
+    range. Also pinned: the all-NULL-key source skips the scan
+    entirely (NULL never equals → inserts only), and prune_on must be
+    a merge key."""
+    import pytest
+
+    ev = _events(spark)
+    ids = sorted(r.event_id for r in ev.select("event_id").collect())
+    qs = [ids[len(ids) * i // 4] for i in range(1, 4)]
+    slices = [
+        ev.filter(F.col("event_id") < qs[0]),
+        ev.filter((F.col("event_id") >= qs[0]) & (F.col("event_id") < qs[1])),
+        ev.filter((F.col("event_id") >= qs[1]) & (F.col("event_id") < qs[2])),
+        ev.filter(F.col("event_id") >= qs[2]),
+    ]
+    paths = {}
+    for name in ("pruned", "plain"):
+        p = str(tmp_path / name)
+        os.makedirs(p)
+        versioned.commit_version(spark, p, slices[0].coalesce(1))
+        for s in slices[1:]:
+            # insert-only merges append each disjoint slice as its own
+            # file(s), prior files carried by reference — a
+            # range-clustered unpartitioned table, the layout a
+            # time-keyed streaming sink produces naturally
+            versioned.merge_into_mor(
+                spark, p, s.coalesce(1), ["event_id"],
+                insert_not_matched=True,
+            )
+        paths[name] = p
+
+    # source touches ONLY the top quartile: updates half of it,
+    # deletes a sliver, inserts brand-new ids above everything
+    top = ev.filter(F.col("event_id") >= qs[2])
+    source = (
+        top.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "ts", "user_id", "event_type",
+                (F.col("value") + 100.0).alias("value"),
+                F.lit("update").alias("op"))
+        .unionByName(
+            top.filter(F.col("event_id") % 2 == 1).limit(5).select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                F.lit("delete").alias("op")))
+        .unionByName(
+            top.limit(3).select(
+                (F.col("event_id") + 50_000_000).alias("event_id"),
+                "ts", "user_id", F.lit("ins").alias("event_type"),
+                F.lit(-1.0).alias("value"), F.lit("insert").alias("op")))
+    )
+    args = dict(
+        when_matched=[
+            ("update", {"value": "s.value"}, "s.op = 'update'"),
+            ("delete", None, "s.op = 'delete'"),
+        ],
+        insert_not_matched=True,
+    )
+    versioned.merge_into_mor(
+        spark, paths["pruned"], source, ["event_id"],
+        prune_on="event_id", **args,
+    )
+    versioned.merge_into_mor(spark, paths["plain"], source, ["event_id"], **args)
+
+    got_p = sorted(map(tuple, versioned.read_version(spark, paths["pruned"]).collect()))
+    got_n = sorted(map(tuple, versioned.read_version(spark, paths["plain"]).collect()))
+    assert got_p == got_n
+    mm_p = versioned._manifest(paths["pruned"])["meta"]["merge"]
+    mm_n = versioned._manifest(paths["plain"])["meta"]["merge"]
+    assert (mm_p["updated"], mm_p["deleted"], mm_p["inserted"]) == (
+        mm_n["updated"], mm_n["deleted"], mm_n["inserted"])
+    assert mm_p["files_pruned"] > 0, mm_p
+    assert mm_p["files_scanned"] >= 1
+
+    # all-NULL source key: no row can match — scan skipped outright,
+    # inserts still land, both tables agree
+    null_src = top.limit(4).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "ts", "user_id", F.lit("nullins").alias("event_type"),
+        F.lit(-2.0).alias("value"), F.lit("insert").alias("op"))
+    versioned.merge_into_mor(
+        spark, paths["pruned"], null_src, ["event_id"],
+        prune_on="event_id", **args)
+    versioned.merge_into_mor(
+        spark, paths["plain"], null_src, ["event_id"], **args)
+    got_p = sorted(
+        (r.event_type, r.value)
+        for r in versioned.read_version(spark, paths["pruned"]).collect())
+    got_n = sorted(
+        (r.event_type, r.value)
+        for r in versioned.read_version(spark, paths["plain"]).collect())
+    assert got_p == got_n
+    mm_p = versioned._manifest(paths["pruned"])["meta"]["merge"]
+    assert mm_p["files_scanned"] == 0 and mm_p["inserted"] == 4
+
+    with pytest.raises(ValueError, match="merge keys"):
+        versioned.merge_into_mor(
+            spark, paths["pruned"], source, ["event_id"],
+            prune_on="user_id", **args)
+
+
 def test_merge_mor_clause_order_and_cardinality(spark, tmp_path):
     """First matching clause wins per row (Delta clause-order
     semantics); a matched row satisfying no clause is untouched; two
