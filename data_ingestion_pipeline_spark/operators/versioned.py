@@ -2026,6 +2026,110 @@ def merge_mor_oracle_sql() -> str:
     """
 
 
+def merge_pruned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r16): the stats-pruned three-clause MERGE on a
+    range-clustered table whose source touches only the TOP QUARTILE
+    of the key range — the continuous-ingest shape (recent keys hot,
+    old files cold). commit events range-clustered by event_id, then
+    ONE merge with prune_on='event_id': updates (top-quartile even
+    ids, value+100 → 'merged'), deletes (odd ids divisible by 7),
+    inserts (ids ≡ 2 mod 5 shifted +5·10⁷). The stats probe must
+    actually prune (a zero-prune run means the clustering or the
+    footer stats broke — guarded here, not just in pytest); the final
+    snapshot equals the oracle's LEFT-JOIN/CASE reconstruction, which
+    is pruning-blind — so a hash match IS the proof that pruning
+    never changed the answer."""
+    import shutil as _shutil
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path("merge_pruned", sf_name, "table")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    commit_version(spark, path, ev.repartitionByRange(8, "event_id"))
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    thr = (3 * int(mx)) // 4
+    top = ev.filter(F.col("event_id") >= F.lit(thr))
+    source = (
+        top.filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            (F.col("value") + 100.0).alias("value"),
+            F.lit("update").alias("op"),
+        )
+        .unionByName(
+            top.filter(
+                (F.col("event_id") % 2 == 1) & (F.col("event_id") % 7 == 0)
+            ).select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            top.filter(F.col("event_id") % 5 == 2).select(
+                (F.col("event_id") + 50_000_000).alias("event_id"),
+                "ts", "user_id",
+                F.lit("ins").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    merge_into_mor(
+        spark,
+        path,
+        source,
+        ["event_id"],
+        when_matched=[
+            ("update", {"value": "s.value", "event_type": "'merged'"},
+             "s.op = 'update'"),
+            ("delete", None, "s.op = 'delete'"),
+        ],
+        insert_not_matched=True,
+        prune_on="event_id",
+    )
+    mm = _manifest(path)["meta"]["merge"]
+    if not mm.get("files_pruned"):
+        raise RuntimeError(
+            f"stats pruning did not engage on the range-clustered "
+            f"table: {mm} — footer stats or clustering regressed"
+        )
+    return read_version(spark, path)
+
+
+def merge_pruned_oracle_sql() -> str:
+    return """
+        WITH thr AS (
+            SELECT (3 * MAX(event_id)) // 4 AS t FROM events
+        ),
+        src AS (
+            SELECT event_id, ts, user_id, event_type,
+                   value + 100.0 AS value, 'update' AS op
+            FROM events, thr WHERE event_id >= t AND event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value, 'delete'
+            FROM events, thr
+            WHERE event_id >= t AND event_id % 2 = 1 AND event_id % 7 = 0
+            UNION ALL
+            SELECT event_id + 50000000, ts, user_id, 'ins',
+                   CAST(-1.0 AS DOUBLE), 'insert'
+            FROM events, thr WHERE event_id >= t AND event_id % 5 = 2
+        )
+        SELECT t.event_id, t.ts, t.user_id,
+               CASE WHEN s.op = 'update' THEN 'merged'
+                    ELSE t.event_type END AS event_type,
+               CASE WHEN s.op = 'update' THEN s.value
+                    ELSE t.value END AS value
+        FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+        WHERE s.op IS NULL OR s.op = 'update'
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value
+        FROM src WHERE op = 'insert'
+    """
+
+
 # --- per-file bloom index: point-lookup pruning on a NON-partition,
 # NON-clustered key. Partition pruning needs the partition key and
 # min/max stats need clustering (Z-order); a bloom filter per data

@@ -1291,6 +1291,19 @@ REGISTRY: dict[str, QuerySpec] = {
         versioned.merge_mor_oracle_sql(),
         ground_truth="tests/test_versioned.py::test_merge_mor_three_clauses",
     ),
+    "merge_pruned_roundtrip": QuerySpec(
+        # stats-pruned MERGE (r16): same three-clause semantics on a
+        # range-clustered table whose source touches only the top
+        # quartile of the key range — prune_on='event_id' makes the
+        # target scan O(candidate files) via the footer min/max index
+        # (files_pruned >= 1 guarded in the entry itself; the oracle
+        # is pruning-blind, so a hash match proves pruning never
+        # changed the answer). The production continuous-ingest shape:
+        # recent keys hot, cold files never scanned.
+        versioned.merge_pruned_roundtrip,
+        versioned.merge_pruned_oracle_sql(),
+        ground_truth="tests/test_versioned.py::test_merge_prune_matches_unpruned_exactly",
+    ),
     "merge_cow_roundtrip": QuerySpec(
         # three-clause MERGE, COW granularity (r13): merge_into_mor's
         # semantics on a day-partitioned table — only source-touched
