@@ -2050,6 +2050,9 @@ def merge_pruned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     commit_version(spark, path, ev.repartitionByRange(8, "event_id"))
     mx = ev.agg(F.max("event_id")).collect()[0][0]
+    if mx is None:
+        # empty events table: nothing to merge, nothing to prune
+        return read_version(spark, path)
     thr = (3 * int(mx)) // 4
     top = ev.filter(F.col("event_id") >= F.lit(thr))
     source = (

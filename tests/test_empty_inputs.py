@@ -66,6 +66,7 @@ _SUMMARY_ROWS = {
     "minhash_lsh_candidates": _PAIR_AUDIT_EMPTY,
     "minhash_incremental_probe": _PAIR_AUDIT_EMPTY,
     "embedding_near_dup_lsh": _PAIR_AUDIT_EMPTY,
+    "embedding_index_probe": _PAIR_AUDIT_EMPTY,
     "semantic_dedup": _PAIR_AUDIT_EMPTY,
     # the audit checksum of an EMPTY snapshot is the defined zero
     # element (0 rows, xor identity 0, sum '0') in one summary row

@@ -514,6 +514,11 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "ann_ivfpq_index_append_roundtrip",
         "embedding_near_dup_lsh",
         "semantic_dedup",
+        # r16: same recall-audit shape — grades the persisted-index
+        # probe against the all-pairs exact oracle; the probe itself
+        # is pinned non-cartesian in
+        # test_embedding_index_probe_is_not_allpairs
+        "embedding_index_probe",
     }
     flagged = {}
     for name, spec in REGISTRY.items():
