@@ -28,12 +28,16 @@ Env knobs:
                             these (unknown names error loudly — a
                             silent skip would fake a faster sweep).
                             For matched-set A/B comparisons.
-  SPARK_GRAFT_BENCH_ORDER   'registry' (default: the verification-
-                            rotation order, what the driver measures)
-                            or 'alpha' (pinned alphabetical order,
-                            stable across rounds — removes rotation
-                            reshuffling as a variable in round-over-
-                            round comparisons; VERDICT r14 task 1).
+  SPARK_GRAFT_BENCH_ORDER   'alpha' (default since r16: pinned
+                            alphabetical order, stable across rounds
+                            — removes rotation reshuffling as a
+                            variable in round-over-round comparisons;
+                            VERDICT r14 task 1 made this the only
+                            valid cross-round protocol, and the r16
+                            rotation front-loading the 15 heaviest
+                            streaming lifecycles made registry-order
+                            sweeps unreadable) or 'registry' (the
+                            verification-rotation order).
 
 `ngram_jaccard_pairs` is deliberately excluded: it is the quadratic
 ground-truth fixture for the LSH dedup operators (see operators/
@@ -182,7 +186,7 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown entries: {unknown}")
         keep = set(want)
         names = [n for n in names if n in keep]
-    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "registry")
+    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "alpha")
     if order == "alpha":
         names = sorted(names)
     elif order != "registry":
@@ -241,6 +245,7 @@ def main() -> None:
         "per_entry_metric": "cold_first_run",
         "total_metric": "sum_of_cold_first_runs",
         "repeat": max(repeat, 1),
+        "order": order,
     }
     if repeat > 1:
         full["warm"] = warm
