@@ -827,6 +827,42 @@ _MINHASH_INDEX_PARAMS = {
 }
 
 
+def _minhash_index_params_of(path: str) -> dict | None:
+    """Stored index params via a newest-first history walk — not just
+    the current manifest's meta: a maintenance commit
+    (minhash_index_remove's DV delete, compaction) writes its own
+    meta, and a head-only read would make the index 'disappear'
+    after it (the ADVICE r15 meta-riding trap; appends merge prior
+    meta forward, so the walk is O(maintenance commits))."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    try:
+        cur = V.current_version(path)
+    except FileNotFoundError:
+        return None
+    for v in range(cur, 0, -1):
+        meta = V.manifest_meta(path, v)
+        if "minhash_index" in meta:
+            return meta["minhash_index"]
+    return None
+
+
+def minhash_index_remove(spark: SparkSession, path: str, doc_ids) -> int:
+    """Remove documents from the persisted band index (takedowns,
+    re-crawled rewrites): ONE deletion-vector commit — position-keyed
+    soft delete, zero band files rewritten, prior files carried by
+    reference. Probes read through read_version, so removed docs stop
+    appearing as candidates immediately; time travel still serves the
+    pre-removal index. `doc_ids` is a bounded driver-side literal
+    (the purge_rows key_values contract)."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    ids = [int(x) for x in doc_ids]
+    if not ids:
+        raise ValueError("minhash_index_remove: empty doc_ids")
+    return V.delete_rows_dv(spark, path, F.col("doc_id").isin(ids))
+
+
 def minhash_index_append(
     spark: SparkSession, path: str, docs: DataFrame
 ) -> int:
@@ -841,7 +877,7 @@ def minhash_index_append(
     (n_hashes, n_bands, shingle_k) are incomparable garbage."""
     from data_ingestion_pipeline_spark.operators import versioned as V
 
-    prior = V.manifest_meta(path).get("minhash_index")
+    prior = _minhash_index_params_of(path)
     if prior is not None and prior != _MINHASH_INDEX_PARAMS:
         raise ValueError(
             f"index at {path!r} was built with {prior}; engine is at "
@@ -869,7 +905,7 @@ def minhash_index_probe(
     index-local too: no text column is ever read back."""
     from data_ingestion_pipeline_spark.operators import versioned as V
 
-    params = V.manifest_meta(path).get("minhash_index")
+    params = _minhash_index_params_of(path)
     if params != _MINHASH_INDEX_PARAMS:
         raise ValueError(
             f"index at {path!r} carries params {params}; engine is at "

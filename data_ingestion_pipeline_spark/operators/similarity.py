@@ -1712,6 +1712,37 @@ def ann_ivfpq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_INDEX_BANDS = "bands"
 _EMB_INDEX_VECTORS = "vectors"
 _EMB_VEC_BUCKETS = 16  # vec-table cluster fan-out (balanced files)
+# Band-table DIRECTORY fan-out: cluster band rows by
+# pmod(band_table, 64), not raw band_table — the multi-table LSH
+# construction can run up to 1024 tables (MAX_BAND_TABLES), and one
+# partition directory per table exploded a toy-SF append into 1000+
+# tiny files (the probe joins on the (band_table, band_key) COLUMNS,
+# never on directory boundaries, so bucketing the layout key changes
+# file count and locality only — results are identical).
+_EMB_BAND_DIR_BUCKETS = 64
+
+
+def _emb_index_pinned(bands_path: str) -> dict | None:
+    """The pinned LSH parameterization, read by walking bands-table
+    history newest-first to the latest commit whose meta carries the
+    key — NOT just the current manifest: a maintenance commit
+    (embedding_index_remove's DV delete, compaction) writes its own
+    meta, and reading only the head would make the index 'disappear'
+    after its first removal (the exact meta-riding trap ADVICE r15
+    called on the CDF cursor; appends merge prior meta forward, so
+    the walk terminates at the newest append — O(maintenance
+    commits), not O(history))."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    try:
+        cur = V.current_version(bands_path)
+    except FileNotFoundError:
+        return None
+    for v in range(cur, 0, -1):
+        meta = V.manifest_meta(bands_path, v)
+        if "embedding_lsh_index" in meta:
+            return meta["embedding_lsh_index"]
+    return None
 
 
 def _emb_index_params(n: int, dim: int) -> dict:
@@ -1733,9 +1764,9 @@ def embedding_index_append(
 ) -> int:
     """Create-or-extend the persisted embedding band index at `path`
     (two versioned tables under one root: `bands` = (vec_id,
-    band_table, band_key) clustered by a derived copy of band_table;
-    `vectors` = (vec_id, embedding, nrm, sig0, sig1) clustered by
-    pmod(vec_id, 16)). The first call PINS the LSH parameterization —
+    band_table, band_key) clustered by pmod(band_table, 64) — see
+    _EMB_BAND_DIR_BUCKETS; `vectors` = (vec_id, embedding, nrm,
+    sig0, sig1) clustered by pmod(vec_id, 16)). The first call PINS the LSH parameterization —
     explicit `params`, or derived from the first batch's size via
     _lsh_params — into the bands manifest meta; every later append
     re-reads the pinned params, so band keys stay comparable for the
@@ -1754,7 +1785,7 @@ def embedding_index_append(
     os.makedirs(bands_path, exist_ok=True)
     os.makedirs(vecs_path, exist_ok=True)
 
-    pinned = V.manifest_meta(bands_path).get("embedding_lsh_index")
+    pinned = _emb_index_pinned(bands_path)
     if pinned is None:
         pinned = params or _emb_index_params(emb.count(), _vector_dim(emb))
     elif params is not None and params != pinned:
@@ -1766,7 +1797,9 @@ def embedding_index_append(
     ev = _with_norm(emb.select("vec_id", "embedding"))
     bands = _band_keys(
         ev, pinned["n_tables"], pinned["band_bits"], pinned["dim"]
-    ).withColumn("p_table", F.col("band_table"))
+    ).withColumn(
+        "p_table", F.pmod(F.col("band_table"), F.lit(_EMB_BAND_DIR_BUCKETS))
+    )
     V.append_version_clustered(
         spark,
         bands_path,
@@ -1780,6 +1813,36 @@ def embedding_index_append(
         .withColumn("p_bucket", F.pmod(F.col("vec_id"), F.lit(_EMB_VEC_BUCKETS)))
     )
     return V.append_version_clustered(spark, vecs_path, vecs, "p_bucket")
+
+
+def embedding_index_remove(
+    spark: SparkSession, path: str, vec_ids
+) -> tuple[int, int]:
+    """Remove vectors from the persisted index — the crawl-corpus
+    maintenance op (documents get taken down or rewritten; their
+    vectors must stop matching). ONE deletion-vector commit per
+    subtable: position-keyed soft deletes, zero band/vector files
+    rewritten, prior index files carried by reference — O(index scan)
+    once for the predicate, O(removed) sidecar bytes. Probes read
+    through read_version, so the DV masks removed rows immediately:
+    a removed vector stops appearing as a candidate AND its stored
+    (embedding, signature) row disappears from the verify lookup in
+    the same commit. `vec_ids` is a bounded driver-side literal (the
+    purge_rows key_values contract); time travel still serves the
+    pre-removal index. Returns the two new subtable versions."""
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    ids = [int(x) for x in vec_ids]
+    if not ids:
+        raise ValueError("embedding_index_remove: empty vec_ids")
+    pred = F.col("vec_id").isin(ids)
+    vb = V.delete_rows_dv(
+        spark, os.path.join(path, _EMB_INDEX_BANDS), pred
+    )
+    vv = V.delete_rows_dv(
+        spark, os.path.join(path, _EMB_INDEX_VECTORS), pred
+    )
+    return vb, vv
 
 
 def embedding_index_probe(
@@ -1814,7 +1877,7 @@ def embedding_index_probe(
 
     bands_path = os.path.join(path, _EMB_INDEX_BANDS)
     vecs_path = os.path.join(path, _EMB_INDEX_VECTORS)
-    pinned = V.manifest_meta(bands_path).get("embedding_lsh_index")
+    pinned = _emb_index_pinned(bands_path)
     if pinned is None:
         raise ValueError(f"no embedding index at {path!r}")
 

@@ -3449,6 +3449,10 @@ _REVERIFY: set[str] = {
     "cdf_replica_sync",
     "stream_cdf_replica",
     "zorder_incremental_roundtrip",
+    # r16 (standing rule): the minhash index param read moved to a
+    # history walk (meta-riding fix) and gained a remove op — the
+    # incremental entry's data path changed.
+    "minhash_incremental_probe",
 }
 # r15 prune history: all 7 r15 names (restore/rename/drop/bloom/widen/
 # identity/clone) hold clean r15 hash-matched verdicts

@@ -805,3 +805,64 @@ def test_minhash_index_probe_matches_batch_lsh(spark, tmp_path):
         dedup.minhash_index_probe(spark, path, batch)
     with pytest.raises(ValueError, match="rebuild"):
         dedup.minhash_index_append(spark, path, batch)
+
+
+def test_minhash_index_remove_and_meta_survives_maintenance(
+    spark, tmp_path
+):
+    """r16 index maintenance: minhash_index_remove DV-masks the named
+    docs in one commit (no band files rewritten — removed docs stop
+    appearing as candidates immediately), and the stored params
+    SURVIVE the maintenance commit: the param read walks history
+    newest-first instead of trusting the head manifest's meta (the
+    ADVICE r15 meta-riding trap — a DV commit writes its own meta,
+    and a head-only read made the index 'disappear' after the first
+    removal)."""
+    import os
+
+    import pytest
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+    from data_ingestion_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_TEST, "documents")
+    path = str(tmp_path / "mhidx_rm")
+    os.makedirs(path)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    dedup.minhash_index_append(spark, path, corpus)
+    before = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_index_probe(spark, path, batch).collect()
+    }
+    assert before, "fixture produced no cross pairs"
+    victims = sorted(
+        {d for a, b in before for d in (a, b) if d % 3 != 0}
+    )[:2]
+    assert victims
+    m_files_before = set(V._manifest(path)["files"])
+    dedup.minhash_index_remove(spark, path, victims)
+    # params survive the DV commit's own meta (history walk)
+    assert "minhash_index" not in V.manifest_meta(path)
+    after = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_index_probe(spark, path, batch).collect()
+    }
+    gone = set(victims)
+    assert after == {
+        p for p in before if not (gone & set(p))
+    }
+    m2 = V._manifest(path)
+    assert set(m2["files"]) == m_files_before  # nothing rewritten
+    assert m2["dv"]["rows"] > 0
+    # appends still work post-removal, DV carried by reference
+    dedup.minhash_index_append(spark, path, batch)
+    grown = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_index_probe(
+            spark, path, batch.filter(F.lit(False))
+        ).collect()
+    }
+    assert grown == set()
+    with pytest.raises(ValueError, match="empty"):
+        dedup.minhash_index_remove(spark, path, [])

@@ -495,6 +495,74 @@ def test_embedding_index_probe_matches_batch_lsh(spark):
     assert probe, "fixture produced no batch-involving near-dup pairs"
 
 
+def test_embedding_index_remove_masks_vectors(spark, tmp_path):
+    """r16 index maintenance: embedding_index_remove DV-masks the
+    named vectors in BOTH subtables in one commit each — no files
+    rewritten, probes immediately stop matching them (both as
+    candidates and in the verify lookup), untouched pairs unchanged,
+    and a later append still carries the DV by reference (removed
+    vectors stay gone after index growth)."""
+    import os
+
+    import pytest
+
+    from data_ingestion_pipeline_spark.operators import versioned as V
+
+    path = str(tmp_path / "embidx_rm")
+    emb = load_table(spark, SF_TEST, "embeddings")
+    params = similarity._emb_index_params(
+        emb.count(), similarity._vector_dim(emb)
+    )
+    similarity.embedding_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 3 != 0), params=params
+    )
+    probe_batch = emb.filter(F.col("vec_id") % 3 == 0)
+    before = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_index_probe(
+            spark, path, probe_batch
+        ).collect()
+    }
+    assert before, "fixture produced no cross pairs"
+    # remove every INDEXED vector that participates in a pair
+    indexed_in_pairs = sorted(
+        {v for a, b in before for v in (a, b) if v % 3 != 0}
+    )[:3]
+    assert indexed_in_pairs
+    similarity.embedding_index_remove(spark, path, indexed_in_pairs)
+    after = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_index_probe(
+            spark, path, probe_batch
+        ).collect()
+    }
+    gone = set(indexed_in_pairs)
+    assert after == {
+        (a, b) for a, b in before if a not in gone and b not in gone
+    }
+    # no files rewritten: both subtables' new manifests carry every
+    # prior file; removal rides purely in the DV pointer
+    for sub in ("bands", "vectors"):
+        tp = os.path.join(path, sub)
+        m1, m2 = V._manifest(tp, 1), V._manifest(tp)
+        assert set(m1["files"]) == set(m2["files"])
+        assert m2["dv"]["rows"] > 0
+    # append after removal: DV carries by reference, removed vectors
+    # stay gone while the new vectors index normally
+    similarity.embedding_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 0)
+    )
+    grown = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_index_probe(
+            spark, path, probe_batch
+        ).collect()
+    }
+    assert not {p for p in grown if gone & set(p)}
+    with pytest.raises(ValueError, match="empty"):
+        similarity.embedding_index_remove(spark, path, [])
+
+
 def test_embedding_index_append_by_reference_and_param_pin(spark, tmp_path):
     """Index maintenance is O(batch): a second append's bands/vectors
     manifests carry EVERY v1 file by reference and add only v2 files.
