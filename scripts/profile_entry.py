@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Per-entry job-level profile: run one registry entry's bench path
+with the Spark event log enabled, then break its wall time down into
+the individual Spark jobs (description, duration, task time) plus the
+driver-side gaps between jobs.
+
+Usage:
+  python scripts/profile_entry.py <entry> [<entry> ...]
+
+Writes a human-readable breakdown to stdout. This is the measurement
+instrument for the optimization rounds (guide §1: measure first —
+know whether an entry's seconds are executor compute, many small
+jobs' fixed overhead, or driver-side Python between jobs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_ingestion_pipeline_spark.registry import REGISTRY  # noqa: E402
+from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
+
+EVDIR = "/tmp/spark-events-profile"
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def parse_eventlog(path: str) -> list[dict]:
+    jobs: dict[int, dict] = {}
+    stage_names: dict[int, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                jid = ev["Job ID"]
+                props = ev.get("Properties") or {}
+                jobs[jid] = {
+                    "job": jid,
+                    "start": ev["Submission Time"],
+                    "desc": props.get("spark.job.description", ""),
+                    "callsite": props.get("callSite.short", ""),
+                    "stages": [
+                        s["Stage ID"] for s in ev.get("Stage Infos", [])
+                    ],
+                }
+                for s in ev.get("Stage Infos", []):
+                    stage_names[s["Stage ID"]] = s.get("Stage Name", "")
+            elif e == "SparkListenerJobEnd":
+                jid = ev["Job ID"]
+                if jid in jobs:
+                    jobs[jid]["end"] = ev["Completion Time"]
+    out = []
+    for jid in sorted(jobs):
+        j = jobs[jid]
+        if "end" not in j:
+            continue
+        j["dur"] = (j["end"] - j["start"]) / 1000.0
+        j["name"] = j["desc"] or stage_names.get(
+            j["stages"][0] if j["stages"] else -1, j["callsite"]
+        )
+        out.append(j)
+    return out
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    bad = [n for n in names if n not in REGISTRY]
+    if bad:
+        raise SystemExit(f"unknown entries: {bad}")
+    os.makedirs(EVDIR, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        "profile",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": EVDIR,
+        },
+    )
+    app_id = spark.sparkContext.applicationId
+
+    # warmups, mirroring bench.py
+    materialize(REGISTRY["raw_filter_sort"].fn(spark, sf_dir))
+    from data_ingestion_pipeline_spark.streaming.pipeline import prewarm_feeds
+
+    prewarm_feeds(spark, sf_dir)
+
+    marks = []
+    for name in names:
+        fn = REGISTRY[name].bench_fn or REGISTRY[name].fn
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        t1 = time.time()
+        marks.append((name, t0 * 1000, t1 * 1000, t1 - t0))
+
+    spark.stop()
+    time.sleep(1.0)
+    evlog = os.path.join(EVDIR, app_id)
+    if not os.path.exists(evlog):
+        # Spark 4 rolling layout: eventlog_v2_<appid>/events_N_<appid>[.suffix]
+        cands = [
+            p for p in os.listdir(EVDIR)
+            if p.startswith(app_id) or p == f"eventlog_v2_{app_id}"
+        ]
+        if not cands:
+            raise SystemExit(f"no event log for {app_id} in {EVDIR}")
+        evlog = os.path.join(EVDIR, cands[0])
+    if os.path.isdir(evlog):
+        parts = sorted(
+            os.path.join(evlog, p)
+            for p in os.listdir(evlog)
+            if p.startswith("events_")
+        )
+        jobs = []
+        for p in parts:
+            jobs.extend(parse_eventlog(p))
+    else:
+        jobs = parse_eventlog(evlog)
+
+    for name, ms0, ms1, wall in marks:
+        mine = [j for j in jobs if ms0 <= j["start"] <= ms1]
+        jsum = sum(j["dur"] for j in mine)
+        print(f"\n=== {name}: wall {wall:.2f}s, {len(mine)} jobs, "
+              f"job time {jsum:.2f}s, driver/gap {wall - jsum:.2f}s ===")
+        # merge identical names
+        agg: dict[str, list] = {}
+        for j in mine:
+            k = j["name"][:100]
+            agg.setdefault(k, [0, 0.0])
+            agg[k][0] += 1
+            agg[k][1] += j["dur"]
+        for k, (n, d) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:25]:
+            print(f"  {d:7.2f}s  x{n:<3d} {k}")
+
+
+if __name__ == "__main__":
+    main()
