@@ -187,6 +187,9 @@ def embedding_quantize_int8_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "max_abs", (F.col("i") + 1).alias("i"), "q")
 
 
+_PLANE_WEIGHTS_CACHE: dict[tuple[int, int, str], np.ndarray] = {}
+
+
 def _plane_weights(n_planes: int, dim: int, salt: str = "") -> np.ndarray:
     """Deterministic hyperplane weight matrix, shape (dim, n_planes),
     int64 entries ∈ [-501501, 501501]: an md5 draw per (plane, dim)
@@ -197,16 +200,29 @@ def _plane_weights(n_planes: int, dim: int, salt: str = "") -> np.ndarray:
     bearing here. Symmetric range: a sign-biased distribution also
     correlates the bits. `salt` yields an independent plane family
     (the band tables must not reuse the signature planes).
+
+    Memoized per (n_planes, dim, salt): the table is a pure function
+    of its arguments (never of data), and the multi-table band
+    construction draws up to dim × tables·bits ≈ 10⁶ hashes — seconds
+    of driver-side Python that every plan construction (append, probe,
+    batch LSH) would otherwise re-pay.
     """
+    key = (n_planes, dim, salt)
+    cached = _PLANE_WEIGHTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     import hashlib
 
     def draw(p: int, d: int) -> int:
         h = hashlib.md5(f"plane:{salt}:{p}:dim:{d}".encode()).digest()
         return int.from_bytes(h[:8], "big") % 1000003 - 501501
 
-    return np.array(
+    W = np.array(
         [[draw(p, d) for p in range(n_planes)] for d in range(dim)], dtype=np.int64
     ).reshape(dim, n_planes)
+    _PLANE_WEIGHTS_CACHE[key] = W
+    return W
 
 
 def _project_bits(E: np.ndarray, W: np.ndarray) -> np.ndarray:
@@ -625,9 +641,19 @@ def _band_keys(emb: DataFrame, n_tables: int, band_bits: int, dim: int) -> DataF
     (salted) and projected in the same exact Arrow-batched GEMM as
     hamming_signatures. Long format (T rows per vector) so candidate
     generation is a plain equi-join on (band_table, band_key).
+
+    The Python stage emits ONE row per vector (vec_id, array of T
+    keys) and the T-way fan-out happens in the JVM via posexplode:
+    with T up to ~1000 tables, shipping n rows of packed arrays across
+    the Arrow boundary instead of n·T long-format rows cuts the
+    serialized row count three orders of magnitude for identical
+    output (pos ≡ the old tiled band_table index). Packing itself is
+    one (n, T, b) × (b,) tensor contraction — bits·2ʲ sums are exact
+    in int64 — replacing a T·b-iteration Python loop (guide §4.2).
     """
     W = _plane_weights(n_tables * band_bits, dim, salt="band")
-    schema = "vec_id bigint, band_table int, band_key bigint"
+    pack = 1 << np.arange(band_bits, dtype=np.int64)
+    schema = "vec_id bigint, band_keys array<bigint>"
 
     def gen(batches):
         import pandas as pd
@@ -637,22 +663,24 @@ def _band_keys(emb: DataFrame, n_tables: int, band_bits: int, dim: int) -> DataF
                 continue
             bits = _project_bits(np.stack(pdf["embedding"].to_numpy()), W)
             n = len(pdf)
-            keys = np.zeros((n, n_tables), dtype=np.int64)
-            for t in range(n_tables):
-                chunk = bits[:, t * band_bits : (t + 1) * band_bits]
-                for j in range(band_bits):
-                    keys[:, t] |= chunk[:, j].astype(np.int64) << j
+            keys = bits.reshape(n, n_tables, band_bits).astype(np.int64) @ pack
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
-                    "band_table": np.tile(
-                        np.arange(n_tables, dtype=np.int32), n
-                    ),
-                    "band_key": keys.reshape(-1),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "band_keys": list(keys),
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(gen, schema)
+        .select(
+            "vec_id",
+            F.posexplode("band_keys").alias("band_table", "band_key"),
+        )
+        .withColumn("band_table", F.col("band_table").cast("int"))
+        .select("vec_id", "band_table", "band_key")
+    )
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,23 +931,39 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         // max(n_cells, 1),
     )
     salted = _salted_subcells(probes, cap)
-    embn = _with_norm(emb).join(salted.select("vec_id", "subcell"), "vec_id")
-    a = embn.select(
-        F.col("subcell"),
+    # Pair on (subcell, vec_id) ONLY — the id-pair set is decided
+    # entirely by sub-cell co-membership, so the within-cell join and
+    # the pair dedup shuffle 16-byte rows instead of carrying the
+    # embedding payload through both exchanges (guide §8: decide with
+    # small rows, attach the heavy column once at the end). The
+    # vectors are then fetched by one equi-join per pair side, the
+    # same candidates→payload shape as embedding_near_dup_lsh; the
+    # pair set, cosines and verdicts are unchanged.
+    ids = salted.select("vec_id", "subcell")
+    pairs = (
+        ids.select(F.col("subcell"), F.col("vec_id").alias("id_a"))
+        .join(
+            ids.select(F.col("subcell"), F.col("vec_id").alias("id_b")),
+            "subcell",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    embn = _with_norm(emb)
+    va = embn.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = embn.select(
-        F.col("subcell"),
+    vb = embn.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     dup_pairs = (
-        a.join(b, "subcell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cosine",
             _fixed_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),

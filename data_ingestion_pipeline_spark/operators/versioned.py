@@ -1796,30 +1796,37 @@ def merge_into_mor(
         # rationale as update_rows_mor
         flat = joined.select(*proj).localCheckpoint(eager=True)
 
+        # ONE global aggregation replaces the former two jobs (the
+        # per-action counts collect and a separate per-position
+        # cardinality shuffle): conditional sums give every clause
+        # count, and modifying-row vs distinct-(file,pos) counts
+        # detect source-cardinality violations in the same pass.
+        modp = F.col("__action").isNotNull()
+        st = flat.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("__action") == i, 1)), F.lit(0)
+                ).alias(f"__n_a{i}")
+                for i in range(len(when_matched))
+            ],
+            F.coalesce(F.sum(F.when(modp, 1)), F.lit(0)).alias(
+                "__n_mod_rows"
+            ),
+            F.count_distinct(
+                F.when(modp, F.struct("__dv_file", "__dv_pos"))
+            ).alias("__n_mod_rids"),
+        ).collect()[0]
         counts = {
-            (True, r["__action"]): r["n"]
-            for r in flat.groupBy("__action")
-            .agg(F.count("*").alias("n"))
-            .collect()
+            (True, i): st[f"__n_a{i}"]
+            for i in range(len(when_matched))
+            if st[f"__n_a{i}"]
         }
-        n_modified = sum(
-            n for (mt, a), n in counts.items() if mt and a is not None
-        )
-        if n_modified:
-            dup = (
-                flat.filter(F.col("__action").isNotNull())
-                .groupBy("__dv_file", "__dv_pos")
-                .agg(F.count("*").alias("n"))
-                .filter(F.col("n") > 1)
-                .limit(1)
-                .count()
+        if st["__n_mod_rows"] > st["__n_mod_rids"]:
+            raise MergeCardinalityError(
+                "multiple source rows matched and attempted to modify "
+                "the same target row; deduplicate the source on the "
+                "merge keys first"
             )
-            if dup:
-                raise MergeCardinalityError(
-                    "multiple source rows matched and attempted to modify "
-                    "the same target row; deduplicate the source on the "
-                    "merge keys first"
-                )
         image_parts = []
         for i, (op, assigns, _c) in enumerate(when_matched):
             if op != "update" or not counts.get((True, i)):
@@ -4791,35 +4798,44 @@ def merge_into_cow(
     # the cardinality check and the rewrite
     flat = joined.select(*proj).localCheckpoint(eager=True)
 
-    raw_counts = flat.groupBy("__matched", "__action", "__ins_ok").agg(
-        F.count("*").alias("n")
-    ).collect()
-    counts: dict = {}
-    n_ins = 0
-    for r in raw_counts:
-        counts[(r["__matched"], r["__action"])] = (
-            counts.get((r["__matched"], r["__action"]), 0) + r["n"]
+    # ONE global aggregation over the checkpointed rows replaces the
+    # former two jobs (the flag-grouped counts collect and a separate
+    # per-__rid cardinality shuffle): conditional sums give every
+    # clause count, and comparing modifying-row vs distinct-__rid
+    # counts detects source-cardinality violations — and, separately,
+    # whether ANY target row matched more than once, which decides
+    # below if the per-__rid collapse shuffle is needed at all.
+    mod = F.col("__matched") & F.col("__action").isNotNull()
+    mat = F.col("__matched")
+    st = flat.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(mat & (F.col("__action") == i), 1)), F.lit(0)
+            ).alias(f"__n_a{i}")
+            for i in range(len(when_matched))
+        ],
+        F.coalesce(
+            F.sum(F.when((~mat) & F.col("__ins_ok"), 1)), F.lit(0)
+        ).alias("__n_ins"),
+        F.coalesce(F.sum(F.when(mat, 1)), F.lit(0)).alias("__n_match_rows"),
+        F.count_distinct(F.when(mat, F.col("__rid"))).alias(
+            "__n_match_rids"
+        ),
+        F.coalesce(F.sum(F.when(mod, 1)), F.lit(0)).alias("__n_mod_rows"),
+        F.count_distinct(F.when(mod, F.col("__rid"))).alias("__n_mod_rids"),
+    ).collect()[0]
+    counts: dict = {
+        (True, i): st[f"__n_a{i}"]
+        for i in range(len(when_matched))
+        if st[f"__n_a{i}"]
+    }
+    n_ins = st["__n_ins"] if insert_not_matched else 0
+    if st["__n_mod_rows"] > st["__n_mod_rids"]:
+        raise MergeCardinalityError(
+            "multiple source rows matched and attempted to modify "
+            "the same target row; deduplicate the source on the "
+            "merge keys first"
         )
-        if not r["__matched"] and r["__ins_ok"]:
-            n_ins += r["n"]
-    if not insert_not_matched:
-        n_ins = 0
-    n_modified = sum(n for (mt, a), n in counts.items() if mt and a is not None)
-    if n_modified:
-        dup = (
-            flat.filter(F.col("__matched") & F.col("__action").isNotNull())
-            .groupBy("__rid")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise MergeCardinalityError(
-                "multiple source rows matched and attempted to modify "
-                "the same target row; deduplicate the source on the "
-                "merge keys first"
-            )
 
     update_idx = [
         i for i, (op, _a, _c) in enumerate(when_matched) if op == "update"
@@ -4837,19 +4853,32 @@ def merge_into_cow(
     # MODIFYING matches, so copies whose clause routing is a no-op
     # (__action null) must collapse back to ONE surviving row — and to
     # ZERO rows when a sibling copy routed to update/delete (the
-    # updated image is emitted by the clause branch below).  Per-__rid
-    # aggregate: target columns are identical across copies, so
-    # any_value is exact; one shuffle over the touched slice only.
-    kept = (
-        flat.filter(F.col("__rid").isNotNull())
-        .groupBy("__rid")
-        .agg(
-            F.max(F.col("__action").isNotNull().cast("int")).alias("__any_mod"),
-            *[F.any_value(F.col(c)).alias(c) for c in data_cols],
+    # updated image is emitted by the clause branch below).  The
+    # aggregation above already counted matched rows vs distinct
+    # matched __rids: when they are equal (the overwhelmingly common
+    # case — a deduplicated source), every target row appears exactly
+    # once in `flat` and the collapse is a pure map-side filter — no
+    # Exchange over the touched slice. Only a multi-matched target
+    # (several no-op copies of the same __rid) pays the per-__rid
+    # shuffle; target columns are identical across copies, so
+    # any_value is exact.
+    if st["__n_match_rows"] > st["__n_match_rids"]:
+        kept = (
+            flat.filter(F.col("__rid").isNotNull())
+            .groupBy("__rid")
+            .agg(
+                F.max(F.col("__action").isNotNull().cast("int")).alias(
+                    "__any_mod"
+                ),
+                *[F.any_value(F.col(c)).alias(c) for c in data_cols],
+            )
+            .filter(F.col("__any_mod") == 0)
+            .select(*[F.col(c) for c in data_cols])
         )
-        .filter(F.col("__any_mod") == 0)
-        .select(*[F.col(c) for c in data_cols])
-    )
+    else:
+        kept = flat.filter(
+            F.col("__rid").isNotNull() & F.col("__action").isNull()
+        ).select(*[F.col(c) for c in data_cols])
     parts_out = [kept]
     for i in update_idx:
         if counts.get((True, i)):

@@ -32,9 +32,10 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def parse_eventlog(path: str) -> list[dict]:
+def parse_eventlog(path: str) -> tuple[list[dict], list[dict]]:
     jobs: dict[int, dict] = {}
     stage_names: dict[int, str] = {}
+    stages: dict[int, dict] = {}
     with open(path) as fh:
         for line in fh:
             try:
@@ -60,6 +61,37 @@ def parse_eventlog(path: str) -> list[dict]:
                 jid = ev["Job ID"]
                 if jid in jobs:
                     jobs[jid]["end"] = ev["Completion Time"]
+            elif e == "SparkListenerStageCompleted":
+                si = ev.get("Stage Info", {})
+                sid = si.get("Stage ID")
+                sub = si.get("Submission Time")
+                com = si.get("Completion Time")
+                if sid is not None and sub and com:
+                    # merge: TaskEnd events for this stage may already
+                    # have buffered task_time under the same id
+                    st = stages.setdefault(sid, {"stage": sid})
+                    st.update(
+                        start=sub,
+                        end=com,
+                        dur=(com - sub) / 1000.0,
+                        name=si.get("Stage Name", ""),
+                        tasks=si.get("Number of Tasks", 0),
+                    )
+            elif e == "SparkListenerTaskEnd":
+                sid = ev.get("Stage ID")
+                tm = (ev.get("Task Metrics") or {})
+                if sid in stages:
+                    stages[sid].setdefault("task_time", 0.0)
+                    stages[sid]["task_time"] += (
+                        tm.get("Executor Run Time", 0) / 1000.0
+                    )
+                elif sid is not None:
+                    # task events precede StageCompleted; buffer by id
+                    stages.setdefault(sid, {"stage": sid})
+                    stages[sid].setdefault("task_time", 0.0)
+                    stages[sid]["task_time"] += (
+                        tm.get("Executor Run Time", 0) / 1000.0
+                    )
     out = []
     for jid in sorted(jobs):
         j = jobs[jid]
@@ -70,7 +102,8 @@ def parse_eventlog(path: str) -> list[dict]:
             j["stages"][0] if j["stages"] else -1, j["callsite"]
         )
         out.append(j)
-    return out
+    st = [s for s in stages.values() if "dur" in s]
+    return out, st
 
 
 def main() -> None:
@@ -85,6 +118,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            # Spark 4 compresses rolling event logs by default; keep
+            # them plain text so this script can parse them directly.
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     app_id = spark.sparkContext.applicationId
@@ -121,26 +158,34 @@ def main() -> None:
             for p in os.listdir(evlog)
             if p.startswith("events_")
         )
-        jobs = []
+        jobs, stages = [], []
         for p in parts:
-            jobs.extend(parse_eventlog(p))
+            js, st = parse_eventlog(p)
+            jobs.extend(js)
+            stages.extend(st)
     else:
-        jobs = parse_eventlog(evlog)
+        jobs, stages = parse_eventlog(evlog)
 
     for name, ms0, ms1, wall in marks:
         mine = [j for j in jobs if ms0 <= j["start"] <= ms1]
         jsum = sum(j["dur"] for j in mine)
         print(f"\n=== {name}: wall {wall:.2f}s, {len(mine)} jobs, "
               f"job time {jsum:.2f}s, driver/gap {wall - jsum:.2f}s ===")
-        # merge identical names
+        # stage-level: aggregate by stage name (operator callsite)
+        smine = [s for s in stages if ms0 <= s["start"] <= ms1]
         agg: dict[str, list] = {}
-        for j in mine:
-            k = j["name"][:100]
-            agg.setdefault(k, [0, 0.0])
+        for s in smine:
+            k = " ".join(s.get("name", "").split())[:90]
+            agg.setdefault(k, [0, 0.0, 0.0, 0])
             agg[k][0] += 1
-            agg[k][1] += j["dur"]
-        for k, (n, d) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:25]:
-            print(f"  {d:7.2f}s  x{n:<3d} {k}")
+            agg[k][1] += s["dur"]
+            agg[k][2] += s.get("task_time", 0.0)
+            agg[k][3] += s.get("tasks", 0)
+        for k, (n, d, tt, nt) in sorted(
+            agg.items(), key=lambda kv: -kv[1][1]
+        )[:30]:
+            print(f"  {d:7.2f}s wall  {tt:7.2f}s task  x{n:<3d} "
+                  f"({nt} tasks)  {k}")
 
 
 if __name__ == "__main__":
