@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_pipeline_spark.sources.tables import load_table
+from data_ingestion_pipeline_spark.sources.tables import load_table, load_table_spread
 
 SHINGLE_K = 3
 N_HASHES = 32
@@ -159,7 +159,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     against ngram_jaccard_pairs in tests/test_dedup.py.
     """
     bands = _minhash_band_rows(
-        minhash_signatures(load_table(spark, sf_dir, "documents"))
+        # spread: the per-shingle 32-way hashing otherwise runs on the
+        # small scan's single task (guide §2.5); the doc_id exchange is
+        # reused by the signature aggregation
+        minhash_signatures(load_table_spread(spark, sf_dir, "documents", "doc_id"))
     )
 
     a = bands.select(
@@ -223,7 +226,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe at any corpus size. Hot grams are naturally bounded by the
     benchmark's own size; output rows = contaminated docs only.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     grams = _gram_hashes(docs)
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
     corpus = grams.filter(F.col("doc_id") % 97 != 0)
@@ -283,7 +286,7 @@ def dup_clusters(
         ckpt = lambda df: df.checkpoint()  # noqa: E731
     else:
         ckpt = lambda df: df.localCheckpoint()  # noqa: E731
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     # (doc_id, gh) is already distinct: shingles() array_distincts per
     # doc. Edge generation is ONE aggregation on the gram hash — each
     # bucket collects its member docs (bounded by the df cap, so the
@@ -454,7 +457,7 @@ def simhash_buckets(
     xxhash64; the md5 twin (`simhash_buckets_md5`) exists so the
     DuckDB oracle can recompute the bits.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     fps = simhash_fingerprints(docs, token_hash=token_hash)
     return fps.select("doc_id", "simhash", *_band_cols())
 
@@ -489,7 +492,7 @@ def simhash_candidates(
     near-identical n-gram Jaccard pairs is asserted in
     tests/test_dedup.py.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     fps = simhash_fingerprints(docs, token_hash=token_hash)
     bands = fps.select(
         "doc_id",
@@ -640,7 +643,7 @@ def jaccard_prefix_join(
         ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     t = JACCARD_THRESHOLD
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table_spread(spark, sf_dir, "documents", "doc_id")
         .select(
             "doc_id",
             F.array_distinct(
@@ -974,7 +977,7 @@ def minhash_incremental_candidates(
     path = scratch_path("minhash_index", sf_name, "table")
     _shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     minhash_index_append(spark, path, docs.filter(F.col("doc_id") % 3 != 0))
     return minhash_index_probe(
         spark, path, docs.filter(F.col("doc_id") % 3 == 0)

@@ -78,7 +78,9 @@ def refresh_rollup(
     prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        fresh.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(rollup_path)
+        fresh.repartition(F.col(PARTITION_COL)).write.mode("overwrite").partitionBy(
+            PARTITION_COL
+        ).parquet(rollup_path)
     finally:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_pipeline_spark.sources.tables import load_table
+from data_ingestion_pipeline_spark.sources.tables import load_table, load_table_spread
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -322,7 +322,7 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings for exact scoring. Recall vs cosine_topk is asserted
     in tests/test_similarity.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     sigs = hamming_signatures(emb)
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -554,7 +554,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition at all. Recall vs exact cosine_topk is asserted in
     tests/test_similarity.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     cands = emb.filter(F.col("vec_id") >= N_QUERIES)
     # one scan yields BOTH the bounded training sample and the exact
     # candidate count that sizes the cell grid — no separate count job
@@ -735,7 +735,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus-size probe (`count()`) that sizes the band tables is a
     parquet-metadata count — one cheap job, amortized over the run.
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_table_spread(spark, sf_dir, "embeddings", "vec_id"))
     dim = _vector_dim(emb)
     band_bits, n_tables = _lsh_params(emb.count(), NEAR_DUP_COSINE)
     bk = _band_keys(emb, n_tables, band_bits, dim)
@@ -906,7 +906,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in the hot cell. GROWTH_CURVE.json carries this
     operator's measured scaling exponent.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     rows, n = _ivf_train_sample(emb, min_vec_id=0)
     n_cells, _ = _ivf_params(n)
     Cq = _ivf_centroids(emb, rows, n_cells)
@@ -1098,7 +1098,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolation. Recall vs cosine_topk asserted in
     tests/test_similarity.py::test_ann_pq_recall.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     dim = _vector_dim(emb)
     rows, _ = _ivf_train_sample(emb)
     books = _pq_codebooks(rows, dim)
@@ -1162,7 +1162,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry verifies exactly the COMPOSITION: recall floor in
     tests/test_similarity.py::test_ann_ivfpq_recall.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     dim = _vector_dim(emb)
     rows, n = _ivf_train_sample(emb)
     n_cells, nprobe = _ivf_params(n)
@@ -1463,7 +1463,7 @@ def build_ivfpq_index(
     `append_ivfpq_index` without retraining."""
     from data_ingestion_pipeline_spark.operators import versioned as V
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     dim = _vector_dim(emb)
     cands = emb.filter(F.col("vec_id") >= N_QUERIES)
     if cand_where is not None:
@@ -1679,7 +1679,7 @@ def ann_ivfpq_index_append_roundtrip(
     build_ivfpq_index(
         spark, sf_dir, path, cand_where=(F.col("vec_id") % 2 == 0)
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     odds = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 1)
     )
@@ -2021,7 +2021,7 @@ def embedding_index_incremental_pairs(
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     path = scratch_path("embedding_index", sf_name, "table")
     _shutil.rmtree(path, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
     params = _emb_index_params(emb.count(), _vector_dim(emb))
     embedding_index_append(
         spark, path, emb.filter(F.col("vec_id") % 3 != 0), params=params

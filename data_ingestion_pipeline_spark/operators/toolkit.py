@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.exact import dec_avg
-from data_ingestion_pipeline_spark.sources.tables import load_table
+from data_ingestion_pipeline_spark.sources.tables import load_table, spread_scan
 
 # heartbeat horizon: one reading keeps a station "live" for 15 min
 HEARTBEAT_SECONDS = 900
@@ -231,8 +231,19 @@ def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, which the rows-only registry evidence's pytest
     twin asserts against an independent pure-Python LTTB.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
+    # spread (guide §2.5): the grouped Python stage otherwise inherits
+    # AQE's BYTE-sized post-shuffle partitions — tiny input coalesces
+    # to 1-2 partitions and the per-station LTTB loops run near-serial.
+    # The explicit key repartition pins the exchange width (same
+    # exchange the groupBy needs — not an extra one) and is a no-op at
+    # production scan widths.
+    ev = spread_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        f"{sf_dir}/events.parquet",
+        "user_id",
     )
     schema = "user_id bigint, ts timestamp, value double, pick int"
 

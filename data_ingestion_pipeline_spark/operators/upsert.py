@@ -64,7 +64,11 @@ def write_time_partitioned(
     spark.sql.files.maxPartitionBytes on read and AQE coalescing on
     write.
     """
-    wp = with_partition_col(df, ts_col)
+    # day-keyed distribution before the partitioned write (guide §6 /
+    # Iceberg write.distribution-mode=hash): files per commit =
+    # O(touched days), not O(input partitions × days); the exchange is
+    # AQE-coalescible so big backfills keep write parallelism
+    wp = with_partition_col(df, ts_col).repartition(F.col(PARTITION_COL))
     if df.isEmpty():
         # a partitionBy write of ZERO rows emits no data files (only
         # _SUCCESS), leaving an unreadable table; a plain write of the
@@ -162,7 +166,11 @@ def upsert_into_table(
         # back). A table format with atomic commits (Delta/Iceberg)
         # is the production answer; plain parquet is the environment
         # constraint here.
-        merged = with_partition_col(merged, ts_col).localCheckpoint(eager=True)
+        merged = (
+            with_partition_col(merged, ts_col)
+            .repartition(F.col(PARTITION_COL))  # same §6 rule as above
+            .localCheckpoint(eager=True)
+        )
         merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
         merged.unpersist()
     finally:

@@ -3542,6 +3542,17 @@ def _partition_of(relpath: str, col: str = PART_COL) -> str | None:
     return None
 
 
+def _distribute_for_write(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-distribute rows by the layout column(s) before a
+    partitionBy write — Iceberg's write.distribution-mode=hash
+    (guide §6: partitioned writes from N input partitions otherwise
+    emit O(N × distinct values) small files; clustering first emits
+    O(distinct values)). Without an explicit partition count the
+    exchange stays AQE-coalescible, so large commits keep write
+    parallelism while small ones collapse to few well-sized files."""
+    return df.repartition(*[F.col(c) for c in cols])
+
+
 def commit_version_clustered(
     spark: SparkSession,
     path: str,
@@ -3562,7 +3573,7 @@ def commit_version_clustered(
     v = current_version(path) + 1
     data_dir = _attempt_data_dir(path, v)
     _guarded_write(
-        df,
+        _distribute_for_write(df, partition_col),
         path,
         lambda g: g.write.partitionBy(partition_col)
         .mode("overwrite")
@@ -3633,7 +3644,7 @@ def commit_version_partitioned(
     v = current_version(path) + 1
     data_dir = _attempt_data_dir(path, v)
     _guarded_write(
-        with_partition_col(df, ts_col),
+        _distribute_for_write(with_partition_col(df, ts_col), PART_COL),
         path,
         lambda g: g.write.partitionBy(PART_COL)
         .mode("overwrite")
@@ -3719,7 +3730,7 @@ def append_version_clustered(
     data_dir = _attempt_data_dir(path, v)
     cons_at_write = table_constraints(path)
     _guarded_write(
-        df,
+        _distribute_for_write(df, partition_col),
         path,
         lambda g: g.write.partitionBy(partition_col)
         .mode("overwrite")

@@ -49,6 +49,73 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _size_literal_bytes(v: str) -> int:
+    """Parse a Spark size conf literal ('134217728', '128m', '1g')."""
+    v = v.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if v and v[-1] == "b":
+        v = v[:-1]
+    if v and v[-1] in mult:
+        return int(float(v[:-1]) * mult[v[-1]])
+    return int(v)
+
+
+def _input_bytes(spark: SparkSession, path: str) -> int | None:
+    """Total bytes under `path` via the Hadoop FS API (works for any
+    filesystem the session can read); None when unknown."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.getContentSummary(jpath).getLength()
+    except Exception:
+        return None
+
+
+def spread_scan(
+    spark: SparkSession, df: DataFrame, src_path: str, *keys: str
+) -> DataFrame:
+    """Parallelism floor for CPU-bound work fed by a small scan
+    (guide §2.5 'repartition immediately after the read', §6 input
+    split size).
+
+    A parquet scan yields ~bytes/maxPartitionBytes tasks — a small or
+    single-row-group file scans as ONE task, so every downstream
+    per-row-expensive stage (shingling, hashing, Arrow/Python GEMMs)
+    runs serial while the rest of the cluster idles; AQE's byte-based
+    partition coalescing then keeps even post-shuffle Python stages
+    near-serial because it sizes partitions by bytes, not CPU cost.
+    When the estimated scan width is far below the session's
+    parallelism, hash-repartition by `keys`: the exchange moves only
+    the small input once, deterministically (hash partitioning, not
+    round-robin), and a downstream groupBy/join on the same keys
+    reuses it instead of adding a shuffle. At production scale the
+    scan is already wide and this is a no-op — the floor is
+    scale-adaptive, never a local[32] constant. Results are
+    partitioning-independent for every caller (row-wise transforms +
+    exact keyed aggregations), so oracle hashes are unchanged.
+    """
+    nbytes = _input_bytes(spark, src_path)
+    if nbytes is None:
+        return df  # unknown size: assume a production-scale scan
+    max_pb = _size_literal_bytes(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    )
+    width = max(1, -(-nbytes // max_pb))
+    p = spark.sparkContext.defaultParallelism
+    if width * 2 > p:
+        return df
+    return df.repartition(p, *[F.col(k) for k in keys]) if keys else df.repartition(p)
+
+
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """load_table + spread_scan for the table's own file."""
+    return spread_scan(
+        spark, load_table(spark, sf_dir, name), f"{sf_dir}/{name}.parquet", *keys
+    )
+
+
 def to_micros(df: DataFrame, col: str):
     """Epoch-microseconds Column for a timestamp column, robust to
     representation drift (the single choke point VERDICT r3 asked

@@ -171,6 +171,17 @@ def main() -> None:
         jsum = sum(j["dur"] for j in mine)
         print(f"\n=== {name}: wall {wall:.2f}s, {len(mine)} jobs, "
               f"job time {jsum:.2f}s, driver/gap {wall - jsum:.2f}s ===")
+        # largest driver-side gaps between consecutive jobs (planning,
+        # py4j, manifest I/O, Python between actions)
+        prev_end, gaps = ms0, []
+        for j in sorted(mine, key=lambda j: j["start"]):
+            gaps.append((j["start"] - prev_end, j))
+            prev_end = max(prev_end, j["end"])
+        gaps.append((ms1 - prev_end, {"job": -1, "name": "<end>"}))
+        for g, j in sorted(gaps, key=lambda t: -t[0])[:6]:
+            if g > 200:
+                print(f"  gap {g/1000:6.2f}s before job {j['job']} "
+                      f"[{(j.get('desc') or j.get('callsite') or '')[:70]}]")
         # stage-level: aggregate by stage name (operator callsite)
         smine = [s for s in stages if ms0 <= s["start"] <= ms1]
         agg: dict[str, list] = {}
