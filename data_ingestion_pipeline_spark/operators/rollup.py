@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from data_ingestion_pipeline_spark.functions.exact import dec_sum
 from data_ingestion_pipeline_spark.operators.upsert import (
     PARTITION_COL,
+    distribute_for_write,
     read_table,
     scratch_path,
     upsert_into_table,
@@ -78,7 +79,7 @@ def refresh_rollup(
     prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        fresh.repartition(F.col(PARTITION_COL)).write.mode("overwrite").partitionBy(
+        distribute_for_write(fresh, PARTITION_COL).write.mode("overwrite").partitionBy(
             PARTITION_COL
         ).parquet(rollup_path)
     finally:

@@ -54,6 +54,71 @@ def with_partition_col(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
 
 
+_CALLER_LAYOUT_NODES = frozenset(
+    {"Repartition", "RepartitionByExpression", "RebalancePartitions"}
+)
+_LAYOUT_TRANSPARENT_NODES = frozenset({"Project", "SubqueryAlias", "WithColumns"})
+
+
+def caller_partitioned(df: DataFrame) -> bool:
+    """True when the caller explicitly chose a partitioning for this
+    frame — a repartition/coalesce/rebalance at the top of the logical
+    plan (looking through projections such as with_partition_col's
+    withColumn). Writers honor that layout instead of re-distributing:
+    callers control file layout (e.g. a test committing repartition(4)
+    to create a multi-file partition, or a pipeline pre-clustering for
+    a downstream reader)."""
+    try:
+        node = df._jdf.queryExecution().logical()
+        for _ in range(16):
+            name = node.getClass().getSimpleName()
+            if name in _CALLER_LAYOUT_NODES:
+                return True
+            if name in _LAYOUT_TRANSPARENT_NODES:
+                node = node.children().apply(0)
+                continue
+            return False
+    except Exception:
+        return False
+    return False
+
+
+def distribute_for_write(df: DataFrame, *cols: str) -> DataFrame:
+    """Cluster rows by the layout column(s) before a partitionBy
+    write — Iceberg's write.distribution-mode=hash (guide §6:
+    partitioned writes from N input partitions otherwise emit
+    O(N × distinct values) small files; clustering first emits
+    O(distinct values)).
+
+    Uses a REBALANCE hint rather than repartition(col): AQE both
+    coalesces small partitions AND splits skewed ones
+    (spark.sql.adaptive.optimizeSkewsInRebalancePartitions, default
+    on), so a hot partition value still writes through many tasks at
+    advisory-sized chunks instead of one giant file — plain
+    repartition(col) caps write parallelism at the distinct-value
+    count (guide §2.2/§2.5). Skipped entirely when the caller already
+    repartitioned/coalesced explicitly: caller-chosen file layout wins.
+
+    REBALANCE only resolves under AQE; in a stateful streaming drain
+    Spark clones the session with AQE force-disabled ("Disabling AQE
+    since AQE is not supported in stateful workloads") and the hint
+    would be SILENTLY dropped — no distribution at all, O(input
+    partitions × values) small files per micro-batch. There we fall
+    back to the plain hash repartition: without AQE no skew split
+    exists anyway, and micro-batches are small by construction."""
+    if caller_partitioned(df):
+        return df
+    try:
+        aqe = str(
+            df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+        ).lower() == "true"
+    except Exception:
+        aqe = True
+    if not aqe:
+        return df.repartition(*[F.col(c) for c in cols])
+    return df.hint("rebalance", *cols)
+
+
 def write_time_partitioned(
     df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
 ) -> None:
@@ -66,9 +131,9 @@ def write_time_partitioned(
     """
     # day-keyed distribution before the partitioned write (guide §6 /
     # Iceberg write.distribution-mode=hash): files per commit =
-    # O(touched days), not O(input partitions × days); the exchange is
-    # AQE-coalescible so big backfills keep write parallelism
-    wp = with_partition_col(df, ts_col).repartition(F.col(PARTITION_COL))
+    # O(touched days), not O(input partitions × days); REBALANCE keeps
+    # write parallelism on skewed backfills (AQE splits a hot day)
+    wp = distribute_for_write(with_partition_col(df, ts_col), PARTITION_COL)
     if df.isEmpty():
         # a partitionBy write of ZERO rows emits no data files (only
         # _SUCCESS), leaving an unreadable table; a plain write of the
@@ -166,11 +231,9 @@ def upsert_into_table(
         # back). A table format with atomic commits (Delta/Iceberg)
         # is the production answer; plain parquet is the environment
         # constraint here.
-        merged = (
-            with_partition_col(merged, ts_col)
-            .repartition(F.col(PARTITION_COL))  # same §6 rule as above
-            .localCheckpoint(eager=True)
-        )
+        merged = distribute_for_write(  # same §6 rule as above
+            with_partition_col(merged, ts_col), PARTITION_COL
+        ).localCheckpoint(eager=True)
         merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
         merged.unpersist()
     finally:

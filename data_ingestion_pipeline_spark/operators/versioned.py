@@ -44,7 +44,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_pipeline_spark.operators.upsert import scratch_path
+from data_ingestion_pipeline_spark.operators.upsert import (
+    distribute_for_write,
+    scratch_path,
+)
 from data_ingestion_pipeline_spark.sources.tables import load_table
 
 POINTER = "_CURRENT"
@@ -3542,15 +3545,7 @@ def _partition_of(relpath: str, col: str = PART_COL) -> str | None:
     return None
 
 
-def _distribute_for_write(df: DataFrame, *cols: str) -> DataFrame:
-    """Hash-distribute rows by the layout column(s) before a
-    partitionBy write — Iceberg's write.distribution-mode=hash
-    (guide §6: partitioned writes from N input partitions otherwise
-    emit O(N × distinct values) small files; clustering first emits
-    O(distinct values)). Without an explicit partition count the
-    exchange stays AQE-coalescible, so large commits keep write
-    parallelism while small ones collapse to few well-sized files."""
-    return df.repartition(*[F.col(c) for c in cols])
+_distribute_for_write = distribute_for_write
 
 
 def commit_version_clustered(

@@ -91,6 +91,78 @@ def test_written_table_prunes_partitions(spark):
     assert df.count() == ev.filter(F.to_date("ts") == TOUCHED_DAY).count()
 
 
+def test_distribute_for_write_layout(spark, tmp_path):
+    """The REBALANCE-based write distribution (guide §2.5/§6, VERDICT
+    r16 task 2) must cover three shapes:
+
+    - many-small-inputs: a 32-partition input collapses to ~1 file per
+      day instead of O(partitions × days) small files;
+    - one-hot-partition: a skewed day SPLITS across multiple write
+      tasks (AQE optimizeSkewsInRebalancePartitions) instead of
+      funneling through one task / one giant file — the failure mode
+      plain repartition(PART_COL) bakes in;
+    - caller layout wins: an explicit caller repartition is honored
+      verbatim (the compaction fixtures rely on controlling file
+      counts), so no hash distribution is injected on top of it.
+    """
+    from data_ingestion_pipeline_spark.operators.upsert import (
+        caller_partitioned,
+        distribute_for_write,
+        write_time_partitioned,
+    )
+
+    ev = load_table(spark, SF_TEST, "events").select(*FEED_COLS)
+
+    # plan shape: the injected distribution is a REBALANCE (AQE can
+    # both coalesce and skew-split it), never a plain hash repartition
+    planned = distribute_for_write(ev.withColumn("d", F.to_date("ts")), "d")
+    assert "rebalance" in planned._jdf.queryExecution().analyzed().toString().lower()
+    # caller layout is detected through projections and honored
+    assert caller_partitioned(ev.repartition(4))
+    assert caller_partitioned(ev.repartition(4).withColumn("d", F.to_date("ts")))
+    assert not caller_partitioned(ev)
+    assert distribute_for_write(ev.repartition(4), "d") is not None
+
+    # many-small-inputs: 32 input partitions, files/day must not be 32
+    t1 = str(tmp_path / "fanin")
+    write_time_partitioned(ev.repartition(32), t1)  # caller layout: honored
+    days = glob.glob(f"{t1}/p_date=*")
+    assert days
+    per_day_explicit = max(
+        len(glob.glob(f"{d}/*.parquet")) for d in days
+    )
+    assert per_day_explicit >= 4  # caller's wide layout survives
+
+    t2 = str(tmp_path / "collapsed")
+    wide = ev.repartition(32).localCheckpoint()  # strips caller layout
+    assert not caller_partitioned(wide)
+    write_time_partitioned(wide, t2)
+    per_day = max(
+        len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{t2}/p_date=*")
+    )
+    assert per_day <= 2  # collapsed by the rebalance, not O(input parts)
+
+    # one-hot-partition: with a small advisory size the hot day must
+    # write through >1 task (AQE splits the skewed rebalance output)
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    try:
+        t3 = str(tmp_path / "skew")
+        hot = wide.withColumn(
+            "ts", F.lit("2024-01-05 00:00:00").cast("timestamp")
+        )
+        write_time_partitioned(hot, t3)
+        hot_files = glob.glob(f"{t3}/p_date=2024-01-05/*.parquet")
+        assert len(hot_files) > 1, "hot day must split across write tasks"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
+            )
+
+
 def test_upsert_after_empty_create_heals_layout(spark, tmp_path):
     """An empty first batch creates the plain-layout placeholder (no
     partition dirs); a later non-empty upsert must RE-CREATE the
